@@ -1,0 +1,169 @@
+"""CdcEngine: the batch-apply lifecycle (SURVEY.md §3.2).
+
+Per batch: dedup/LWW-reduce the change events, (optionally) diff against the
+current table state, MERGE the delta into the lake table, record lineage
+(source offset range, rows applied, snapshot id) and throughput metrics.
+This is the shared tail of the reference (state-fetch → graph diff →
+batched publish, SURVEY.md §3.1) generalized to table snapshots.
+
+Exactly-once: the table's commit ledger is consulted by batch_id (a
+re-delivered batch is a metadata-only no-op), and the lineage write is
+idempotent per batch directory — together with Structured Streaming
+checkpoints (streaming/tail.py) replay from any checkpoint reconverges to
+the identical table state.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from rap_etl_spark.lake import CommitInfo, LakeTable, ManifestParquetTable, cast_to_schema
+from rap_etl_spark.operators.cdc import KEY, diff_against_table, lww_latest
+from rap_etl_spark.schemas import PAYLOAD_COLS
+
+
+@dataclass
+class BatchMetrics:
+    batch_id: int
+    input_rows: int
+    applied_rows: int
+    skipped: bool
+    snapshot_id: str
+    seconds: float
+    events_per_sec: float
+
+
+@dataclass
+class CdcEngine:
+    spark: SparkSession
+    table: LakeTable
+    lineage_dir: str | None = None
+    diff_first: bool = False  # skip-unchanged optimization (extra table read)
+    metrics: list[BatchMetrics] = field(default_factory=list)
+
+    def apply_batch(self, events: DataFrame, batch_id: int) -> BatchMetrics:
+        """Apply one micro-batch of change events. Idempotent per batch_id."""
+        t0 = time.monotonic()
+        already = str(batch_id) in self.table.committed_batches()
+        if already:
+            m = BatchMetrics(batch_id, 0, 0, True, self.table.snapshot_id(), 0.0, 0.0)
+            self.metrics.append(m)
+            return m
+
+        events = events.persist()
+        try:
+            # LWW reduction (subsumes (doc_id,lsn) dedup for identical
+            # duplicate deliveries): one skew-safe hash aggregation
+            latest = lww_latest(events)
+
+            if self.diff_first:
+                current = self.table.read()
+                diff = diff_against_table(latest, current, PAYLOAD_COLS)
+                changes = diff.filter(F.col("action") != "N").drop("action")
+            else:
+                changes = latest
+
+            payload = changes.select(KEY, "op", "lsn", *PAYLOAD_COLS)
+            info: CommitInfo = self.table.merge(payload, batch_id=batch_id)
+
+            input_rows = events.count()
+            if self.lineage_dir is not None:
+                self._write_lineage(events, batch_id, info)
+        finally:
+            events.unpersist()
+
+        dt = time.monotonic() - t0
+        m = BatchMetrics(
+            batch_id,
+            input_rows,
+            info.rows_written,
+            info.skipped,
+            info.snapshot_id,
+            dt,
+            input_rows / dt if dt > 0 else 0.0,
+        )
+        self.metrics.append(m)
+        return m
+
+    def _write_lineage(self, events: DataFrame, batch_id: int, info: CommitInfo) -> None:
+        """C9: per-partition lineage — offset (LSN) range, rows, snapshot.
+        Written to lineage/batch=<id>/ with overwrite, so a retried batch
+        rewrites (not duplicates) its lineage."""
+        lineage = (
+            events.groupBy(F.spark_partition_id().alias("partition_id"))
+            .agg(
+                F.min("lsn").alias("lsn_min"),
+                F.max("lsn").alias("lsn_max"),
+                F.count(F.lit(1)).alias("rows_applied"),
+            )
+            .withColumn("batch_id", F.lit(batch_id).cast("bigint"))
+            .withColumn("snapshot_id", F.lit(info.snapshot_id))
+            .withColumn("committed_at", F.current_timestamp())
+            .select(
+                "batch_id",
+                "partition_id",
+                "lsn_min",
+                "lsn_max",
+                "rows_applied",
+                "snapshot_id",
+                "committed_at",
+            )
+        )
+        out = os.path.join(self.lineage_dir, f"batch={batch_id}")
+        lineage.coalesce(1).write.mode("overwrite").parquet(out)
+
+    def read_lineage(self) -> DataFrame:
+        return self.spark.read.parquet(self.lineage_dir)
+
+
+def replay_log(
+    spark: SparkSession,
+    table: ManifestParquetTable,
+    log_dir: str,
+    lineage_dir: str | None = None,
+    diff_first: bool = False,
+) -> list[BatchMetrics]:
+    """Batch-replay an event log written by write_event_log (batch=<i>/
+    partitions) in batch order — the batch-mode twin of the streaming tail."""
+    engine = CdcEngine(spark, table, lineage_dir=lineage_dir, diff_first=diff_first)
+    batches = sorted(
+        int(d.split("=", 1)[1]) for d in os.listdir(log_dir) if d.startswith("batch=")
+    )
+    for b in batches:
+        df = spark.read.parquet(os.path.join(log_dir, f"batch={b}"))
+        engine.apply_batch(df, batch_id=b)
+    return engine.metrics
+
+
+def assert_equivalent(t1: DataFrame, t2: DataFrame, payload_cols: list[str] | None = None) -> None:
+    """C12 replay-equivalence gate: same keys, per-key payload equality
+    (token-array equality + n_tok/source equality — BASELINE.json
+    input_hint). Sort-insensitive: full outer join + payload-hash compare."""
+    payload_cols = payload_cols or PAYLOAD_COLS
+    a = t1.select(
+        KEY, F.xxhash64(*[F.col(c) for c in payload_cols]).alias("_h1")
+    )
+    b = t2.select(
+        KEY, F.xxhash64(*[F.col(c) for c in payload_cols]).alias("_h2")
+    )
+    j = a.join(b, on=KEY, how="full_outer")
+    bad = j.filter(
+        F.col("_h1").isNull() | F.col("_h2").isNull() | (F.col("_h1") != F.col("_h2"))
+    )
+    n_bad = bad.count()
+    assert n_bad == 0, f"tables differ on {n_bad} keys; sample: {bad.limit(5).collect()}"
+
+
+def initial_load(
+    spark: SparkSession,
+    table: ManifestParquetTable,
+    docs: DataFrame,
+    batch_id: int | None = None,
+) -> CommitInfo:
+    """Bootstrap the target table from a full snapshot (bucketed append)."""
+    return table.append(cast_to_schema(docs, table.schema()), batch_id=batch_id)

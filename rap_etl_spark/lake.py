@@ -1,0 +1,536 @@
+"""Lake-table layer: Iceberg-style semantics on plain parquet + manifests.
+
+The reference engine (rap-etl, surveyed in SURVEY.md §1) publishes per-record
+add/remove deltas into a VIVO triple store; re-publishing an unchanged record
+is a no-op. This module generalizes that to table snapshots: every commit is
+a new immutable manifest, a batch_id ledger makes re-applied batches no-ops,
+and schema evolution is a manifest-level schema-version bump (old data files
+are read with their write-time schema and cast up — Iceberg-style read-time
+resolution).
+
+Scale design (100 TB story):
+- Data files are hash-bucketed by ``pmod(xxhash64(key), n_buckets)``. A merge
+  only rewrites the buckets that contain changed keys (bucket-granular
+  copy-on-write), so merge cost is O(affected buckets), not O(table) — the
+  same file-pruning win Iceberg gets from partition/bucket transforms.
+- The anti-join inside a merge joins only the affected buckets' rows against
+  the (small) change set; Spark broadcasts the change keys when they fit.
+- Commit is a single atomic rename of the manifest pointer — one driver-side
+  metadata operation per micro-batch, no data-path coordination.
+
+Two backends behind one ABC:
+- ``ManifestParquetTable`` — sandbox default (no Iceberg jar available here).
+- ``IcebergTable`` — thin SQL passthrough (MERGE INTO / ALTER TABLE), usable
+  when a real catalog is configured on a cluster; not exercised in-sandbox.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from abc import ABC, abstractmethod
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+@dataclass
+class CommitInfo:
+    snapshot_id: str
+    batch_id: int | None
+    rows_written: int
+    skipped: bool = False  # True when the batch_id was already committed
+
+
+def _schema_from_json(s: str) -> T.StructType:
+    return T.StructType.fromJson(json.loads(s))
+
+
+def _is_widening(old: T.DataType, new: T.DataType) -> bool:
+    """int32 -> int64 widening, including inside arrays (SURVEY.md C6)."""
+    if isinstance(old, T.IntegerType) and isinstance(new, T.LongType):
+        return True
+    if isinstance(old, T.ArrayType) and isinstance(new, T.ArrayType):
+        return _is_widening(old.elementType, new.elementType)
+    if isinstance(old, T.FloatType) and isinstance(new, T.DoubleType):
+        return True
+    return False
+
+
+def check_evolution(old: T.StructType, new: T.StructType) -> None:
+    """Raise unless new is a legal evolution of old: existing columns keep
+    their type or widen; new columns must be nullable additions."""
+    old_by_name = {f.name: f for f in old.fields}
+    for f in new.fields:
+        if f.name in old_by_name:
+            o = old_by_name[f.name]
+            if o.dataType != f.dataType and not _is_widening(o.dataType, f.dataType):
+                raise ValueError(
+                    f"illegal type change for column {f.name}: "
+                    f"{o.dataType.simpleString()} -> {f.dataType.simpleString()}"
+                )
+        elif not f.nullable:
+            raise ValueError(f"added column {f.name} must be nullable")
+    dropped = set(old_by_name) - {f.name for f in new.fields}
+    if dropped:
+        raise ValueError(f"dropping columns not supported: {sorted(dropped)}")
+
+
+def cast_to_schema(df: DataFrame, schema: T.StructType) -> DataFrame:
+    """Project/cast df to exactly `schema` (missing columns -> NULL)."""
+    cols = []
+    have = {f.name for f in df.schema.fields}
+    for f in schema.fields:
+        if f.name in have:
+            cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
+        else:
+            cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+    return df.select(*cols)
+
+
+META_LSN = "_lsn"  # row version: max LSN that produced this row
+META_DEL = "_del"  # delete tombstone marker
+
+
+class LakeTable(ABC):
+    """What the engine needs from a table format (SURVEY.md §7.2)."""
+
+    @abstractmethod
+    def schema(self) -> T.StructType: ...
+
+    @abstractmethod
+    def read(self, snapshot_id: str | None = None) -> DataFrame: ...
+
+    @abstractmethod
+    def merge(self, changes: DataFrame, batch_id: int | None = None) -> CommitInfo:
+        """Upsert: changes has key + payload + op ('I'/'U' upsert, 'D' delete),
+        at most one row per key. Idempotent per batch_id."""
+
+    @abstractmethod
+    def evolve(self, new_schema: T.StructType) -> None: ...
+
+    @abstractmethod
+    def snapshot_id(self) -> str: ...
+
+    @abstractmethod
+    def committed_batches(self) -> dict[str, dict]: ...
+
+
+class ManifestParquetTable(LakeTable):
+    """Parquet data files + JSON manifest with an atomically-renamed pointer.
+
+    Layout::
+
+        <path>/data/<file>.parquet            immutable data files
+        <path>/manifests/manifest-<sid>.json  immutable snapshots
+        <path>/_current.json                  pointer {snapshot_id} (atomic rename)
+
+    Manifest: schema_versions (read-time resolution), file list with
+    (path, bucket, schema_version, rows), committed-batch ledger.
+    """
+
+    DEFAULT_BUCKETS = 32
+
+    def __init__(self, spark: SparkSession, path: str, key: str = "doc_id"):
+        self.spark = spark
+        self.path = path
+        self.key = key
+        self._manifest_cache: dict | None = None
+
+    # ---------- creation ----------
+    @classmethod
+    def create(
+        cls,
+        spark: SparkSession,
+        path: str,
+        schema: T.StructType,
+        key: str = "doc_id",
+        n_buckets: int = DEFAULT_BUCKETS,
+        overwrite: bool = False,
+    ) -> "ManifestParquetTable":
+        if os.path.exists(os.path.join(path, "_current.json")) and not overwrite:
+            raise FileExistsError(f"table already exists at {path}")
+        os.makedirs(os.path.join(path, "data"), exist_ok=True)
+        os.makedirs(os.path.join(path, "manifests"), exist_ok=True)
+        t = cls(spark, path, key=key)
+        manifest = {
+            "snapshot_id": t._new_snapshot_id(0),
+            "parent": None,
+            "seq": 0,
+            "key": key,
+            "n_buckets": n_buckets,
+            "current_schema_version": 0,
+            "schema_versions": {"0": schema.json()},
+            "files": [],
+            "committed": {},
+            "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        }
+        t._write_manifest(manifest)
+        return t
+
+    @staticmethod
+    def _new_snapshot_id(seq: int) -> str:
+        return f"{seq:08d}-{uuid.uuid4().hex[:12]}"
+
+    # ---------- manifest plumbing ----------
+    def _pointer_path(self) -> str:
+        return os.path.join(self.path, "_current.json")
+
+    def _manifest(self, refresh: bool = False) -> dict:
+        if self._manifest_cache is None or refresh:
+            with open(self._pointer_path()) as f:
+                ptr = json.load(f)
+            mpath = os.path.join(self.path, "manifests", f"manifest-{ptr['snapshot_id']}.json")
+            with open(mpath) as f:
+                self._manifest_cache = json.load(f)
+        return self._manifest_cache
+
+    def _write_manifest(self, manifest: dict) -> None:
+        sid = manifest["snapshot_id"]
+        mpath = os.path.join(self.path, "manifests", f"manifest-{sid}.json")
+        with open(mpath, "w") as f:
+            json.dump(manifest, f)
+        # atomic pointer swap: readers see old or new snapshot, never a mix
+        tmp = self._pointer_path() + f".tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            json.dump({"snapshot_id": sid}, f)
+        os.replace(tmp, self._pointer_path())
+        self._manifest_cache = manifest
+
+    def _next_manifest(self, m: dict) -> dict:
+        nxt = json.loads(json.dumps(m))  # deep copy
+        nxt["parent"] = m["snapshot_id"]
+        nxt["seq"] = m["seq"] + 1
+        nxt["snapshot_id"] = self._new_snapshot_id(nxt["seq"])
+        nxt["committed_at"] = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
+        return nxt
+
+    # ---------- metadata API ----------
+    def schema(self) -> T.StructType:
+        m = self._manifest()
+        return _schema_from_json(m["schema_versions"][str(m["current_schema_version"])])
+
+    def snapshot_id(self) -> str:
+        return self._manifest()["snapshot_id"]
+
+    def n_buckets(self) -> int:
+        return int(self._manifest()["n_buckets"])
+
+    def committed_batches(self) -> dict[str, dict]:
+        return dict(self._manifest()["committed"])
+
+    def refresh(self) -> None:
+        self._manifest(refresh=True)
+
+    # ---------- read path ----------
+    @staticmethod
+    def _physical_schema(logical: T.StructType) -> T.StructType:
+        """Data files carry two hidden metadata columns beyond the logical
+        schema: _lsn (row version — the LSN of the event that produced the
+        row) and _del (delete tombstone). These make merges commutative
+        (conditional on stored version) and keep deletes from being
+        resurrected by late-arriving older events. read() strips them."""
+        return T.StructType(
+            list(logical.fields)
+            + [
+                T.StructField(META_LSN, T.LongType(), True),
+                T.StructField(META_DEL, T.BooleanType(), True),
+            ]
+        )
+
+    def _read_files(
+        self,
+        files: list[dict],
+        target_schema: T.StructType,
+        with_meta: bool = False,
+    ) -> DataFrame:
+        """Read data files grouped by write-time schema version, cast each
+        group up to target_schema, union. Iceberg-style read-time resolution:
+        old int32 files stay readable after int64 widening. Tombstones are
+        filtered out unless with_meta=True."""
+        m = self._manifest()
+        phys_target = self._physical_schema(target_schema)
+        if not files:
+            df = self.spark.createDataFrame([], phys_target)
+        else:
+            by_ver: dict[str, list[str]] = {}
+            for fe in files:
+                by_ver.setdefault(str(fe["schema_version"]), []).append(
+                    os.path.join(self.path, fe["path"])
+                )
+            parts = []
+            for ver, paths in by_ver.items():
+                ver_schema = self._physical_schema(
+                    _schema_from_json(m["schema_versions"][ver])
+                )
+                part = self.spark.read.schema(ver_schema).parquet(*paths)
+                parts.append(cast_to_schema(part, phys_target))
+            df = parts[0]
+            for p in parts[1:]:
+                df = df.unionByName(p)
+        if with_meta:
+            return df.withColumn(META_DEL, F.coalesce(F.col(META_DEL), F.lit(False)))
+        return df.filter(~F.coalesce(F.col(META_DEL), F.lit(False))).drop(
+            META_LSN, META_DEL
+        )
+
+    def read(self, snapshot_id: str | None = None) -> DataFrame:
+        m = self._manifest()
+        if snapshot_id is not None and snapshot_id != m["snapshot_id"]:
+            mpath = os.path.join(self.path, "manifests", f"manifest-{snapshot_id}.json")
+            with open(mpath) as f:
+                m = json.load(f)
+            schema = _schema_from_json(m["schema_versions"][str(m["current_schema_version"])])
+            return self._read_files_of(m, m["files"], schema)
+        return self._read_files(m["files"], self.schema())
+
+    def _read_files_of(self, m: dict, files: list[dict], target_schema: T.StructType) -> DataFrame:
+        saved = self._manifest_cache
+        self._manifest_cache = m
+        try:
+            return self._read_files(files, target_schema)
+        finally:
+            self._manifest_cache = saved
+
+    # ---------- write path ----------
+    def _bucket_expr(self, col: str):
+        return F.pmod(F.xxhash64(F.col(col)), F.lit(self.n_buckets())).cast("int")
+
+    def _write_data_files(
+        self, df: DataFrame, sid: str, schema_version: int
+    ) -> list[dict]:
+        """Write df (must contain a `_b` bucket column) as one-or-more parquet
+        files per bucket; returns manifest file entries. Files are written via
+        partitionBy into a staging dir then renamed into data/ with the bucket
+        encoded in the filename — keeps data/ flat (no partition-inference
+        surprises when reading explicit file lists)."""
+        staging = os.path.join(self.path, f"_staging-{sid}")
+        (
+            df.write.mode("overwrite")
+            .partitionBy("_b")
+            .parquet(staging)
+        )
+        entries: list[dict] = []
+        for bdir in sorted(os.listdir(staging)):
+            if not bdir.startswith("_b="):
+                continue
+            bucket = int(bdir.split("=", 1)[1])
+            i = 0
+            for fn in sorted(os.listdir(os.path.join(staging, bdir))):
+                if not fn.endswith(".parquet"):
+                    continue
+                new_name = f"b{bucket:05d}-{sid}-{i:04d}.parquet"
+                os.replace(
+                    os.path.join(staging, bdir, fn),
+                    os.path.join(self.path, "data", new_name),
+                )
+                entries.append(
+                    {
+                        "path": os.path.join("data", new_name),
+                        "bucket": bucket,
+                        "schema_version": schema_version,
+                    }
+                )
+                i += 1
+        # clean staging
+        import shutil
+
+        shutil.rmtree(staging, ignore_errors=True)
+        return entries
+
+    def _with_meta(self, df: DataFrame, schema: T.StructType) -> DataFrame:
+        """Normalize to physical layout: logical columns + _lsn + _del."""
+        have = set(df.columns)
+        cols = []
+        for f in schema.fields:
+            if f.name in have:
+                cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
+            else:
+                cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+        if "lsn" in have:
+            lsn_expr = F.col("lsn").cast("long")
+        elif META_LSN in have:
+            lsn_expr = F.col(META_LSN).cast("long")
+        else:
+            lsn_expr = F.lit(None).cast("long")
+        if "op" in have:
+            del_expr = F.col("op") == F.lit("D")
+        elif META_DEL in have:
+            del_expr = F.coalesce(F.col(META_DEL), F.lit(False))
+        else:
+            del_expr = F.lit(False)
+        return df.select(*cols, lsn_expr.alias(META_LSN), del_expr.alias(META_DEL))
+
+    def append(self, df: DataFrame, batch_id: int | None = None) -> CommitInfo:
+        """Blind append (initial load path). Buckets rows by key."""
+        m = self._manifest()
+        if batch_id is not None and str(batch_id) in m["committed"]:
+            prev = m["committed"][str(batch_id)]
+            return CommitInfo(prev["snapshot_id"], batch_id, 0, skipped=True)
+        data = self._with_meta(df, self.schema()).withColumn(
+            "_b", self._bucket_expr(self.key)
+        )
+        nxt = self._next_manifest(m)
+        entries = self._write_data_files(data, nxt["snapshot_id"], m["current_schema_version"])
+        nxt["files"] = m["files"] + entries
+        rows = int(df.count())
+        if batch_id is not None:
+            nxt["committed"][str(batch_id)] = {
+                "snapshot_id": nxt["snapshot_id"],
+                "event_count": rows,
+            }
+        self._write_manifest(nxt)
+        return CommitInfo(nxt["snapshot_id"], batch_id, rows)
+
+    def merge(self, changes: DataFrame, batch_id: int | None = None) -> CommitInfo:
+        """Bucket-granular copy-on-write MERGE, conditional on row version.
+
+        ``changes``: at most one row per key; columns = table schema + ``op``
+        ('I'/'U' upsert, 'D' delete) + optionally ``lsn``. Semantics
+        (Iceberg-equivalent: MERGE INTO ... WHEN MATCHED AND s.lsn > t._lsn
+        AND s.op='D' THEN DELETE / WHEN MATCHED AND s.lsn > t._lsn THEN
+        UPDATE SET * / WHEN NOT MATCHED THEN INSERT *):
+
+        - Only buckets containing changed keys are rewritten (file pruning
+          via the manifest); untouched buckets keep their files.
+        - A change only wins against a stored row with a LOWER _lsn — merges
+          are therefore commutative across batches and idempotent per event,
+          not just per batch_id.
+        - Deletes are kept as tombstone rows (_del=true, payload NULL) so a
+          late-arriving older event cannot resurrect a deleted key.
+        - Survivor rows (keys untouched in affected buckets) are carried via
+          a left-anti join; matched old rows join the LWW reduction.
+        """
+        m = self._manifest()
+        if batch_id is not None and str(batch_id) in m["committed"]:
+            prev = m["committed"][str(batch_id)]
+            return CommitInfo(prev["snapshot_id"], batch_id, 0, skipped=True)
+
+        schema = self.schema()
+        ch = self._with_meta(changes, schema).withColumn("_b", self._bucket_expr(self.key))
+        # Persist: used for (a) affected-bucket discovery, (b) join keys,
+        # (c) the LWW union. One materialization, three uses.
+        ch = ch.persist()
+        try:
+            affected_set = {r["_b"] for r in ch.select("_b").distinct().collect()}
+            old_entries = [fe for fe in m["files"] if fe["bucket"] in affected_set]
+            keep_entries = [fe for fe in m["files"] if fe["bucket"] not in affected_set]
+
+            old_df = self._read_files(old_entries, schema, with_meta=True).withColumn(
+                "_b", self._bucket_expr(self.key)
+            )
+            change_keys = ch.select(self.key)
+            survivors = old_df.join(change_keys, on=self.key, how="left_anti")
+            matched_old = old_df.join(change_keys, on=self.key, how="left_semi")
+
+            # version-conditional LWW between stored rows and changes:
+            # max_by ordered by (_lsn, _del); NULL _lsn (bootstrap rows)
+            # loses to any versioned event
+            cand = matched_old.unionByName(ch.select(*matched_old.columns))
+            data_cols = [c for c in cand.columns if c != self.key]
+            payload = F.struct(*[F.col(c) for c in data_cols])
+            order = F.struct(
+                F.coalesce(F.col(META_LSN), F.lit(-1)).alias("v"),
+                F.col(META_DEL).alias("d"),
+            )
+            winners = (
+                cand.groupBy(self.key)
+                .agg(F.max_by(payload, order).alias("_w"))
+                .select(self.key, *[F.col(f"_w.{c}").alias(c) for c in data_cols])
+            )
+            new_data = survivors.unionByName(winners.select(*survivors.columns))
+
+            nxt = self._next_manifest(m)
+            entries = self._write_data_files(
+                new_data, nxt["snapshot_id"], m["current_schema_version"]
+            )
+            nxt["files"] = keep_entries + entries
+            rows = int(ch.count())
+            if batch_id is not None:
+                nxt["committed"][str(batch_id)] = {
+                    "snapshot_id": nxt["snapshot_id"],
+                    "event_count": rows,
+                }
+            self._write_manifest(nxt)
+            return CommitInfo(nxt["snapshot_id"], batch_id, rows)
+        finally:
+            ch.unpersist()
+
+    # ---------- schema evolution ----------
+    def evolve(self, new_schema: T.StructType) -> None:
+        m = self._manifest()
+        old_schema = self.schema()
+        if new_schema.json() == old_schema.json():
+            return
+        check_evolution(old_schema, new_schema)
+        nxt = self._next_manifest(m)
+        ver = m["current_schema_version"] + 1
+        nxt["schema_versions"][str(ver)] = new_schema.json()
+        nxt["current_schema_version"] = ver
+        self._write_manifest(nxt)
+
+
+class IcebergTable(LakeTable):
+    """Thin passthrough to a real Iceberg catalog (SQL MERGE INTO / ALTER
+    TABLE). Activated only when spark.sql.catalog.* is configured on a real
+    cluster — no Iceberg jar exists in this sandbox, so this class is
+    integration-only and deliberately minimal."""
+
+    def __init__(self, spark: SparkSession, identifier: str, key: str = "doc_id"):
+        self.spark = spark
+        self.identifier = identifier
+        self.key = key
+
+    def schema(self) -> T.StructType:
+        return self.spark.table(self.identifier).schema
+
+    def read(self, snapshot_id: str | None = None) -> DataFrame:
+        if snapshot_id is not None:
+            return (
+                self.spark.read.option("snapshot-id", snapshot_id)
+                .format("iceberg")
+                .load(self.identifier)
+            )
+        return self.spark.table(self.identifier)
+
+    def merge(self, changes: DataFrame, batch_id: int | None = None) -> CommitInfo:
+        changes.createOrReplaceTempView("_changes")
+        cols = [f.name for f in self.schema().fields]
+        set_clause = ", ".join(f"t.{c} = s.{c}" for c in cols)
+        insert_cols = ", ".join(cols)
+        insert_vals = ", ".join(f"s.{c}" for c in cols)
+        self.spark.sql(
+            f"""
+            MERGE INTO {self.identifier} t USING _changes s
+            ON t.{self.key} = s.{self.key}
+            WHEN MATCHED AND s.op = 'D' THEN DELETE
+            WHEN MATCHED THEN UPDATE SET {set_clause}
+            WHEN NOT MATCHED AND s.op <> 'D' THEN INSERT ({insert_cols}) VALUES ({insert_vals})
+            """
+        )
+        return CommitInfo(self.snapshot_id(), batch_id, -1)
+
+    def evolve(self, new_schema: T.StructType) -> None:
+        old = {f.name: f for f in self.schema().fields}
+        for f in new_schema.fields:
+            if f.name not in old:
+                self.spark.sql(
+                    f"ALTER TABLE {self.identifier} ADD COLUMN {f.name} {f.dataType.simpleString()}"
+                )
+            elif old[f.name].dataType != f.dataType:
+                self.spark.sql(
+                    f"ALTER TABLE {self.identifier} ALTER COLUMN {f.name} TYPE {f.dataType.simpleString()}"
+                )
+
+    def snapshot_id(self) -> str:
+        row = self.spark.sql(
+            f"SELECT snapshot_id FROM {self.identifier}.snapshots ORDER BY committed_at DESC LIMIT 1"
+        ).first()
+        return str(row[0]) if row else "none"
+
+    def committed_batches(self) -> dict[str, dict]:
+        return {}

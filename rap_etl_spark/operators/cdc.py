@@ -1,0 +1,131 @@
+"""Core CDC operators: dedup (C1), last-writer-wins (C2), diff (C3).
+
+Generalizes the reference's per-record pipeline (SURVEY.md §1.1): rap-etl
+maps each publication record to a fresh RDF subgraph, diffs it against the
+currently-published graph, and publishes only the delta; re-processing an
+unchanged record yields an empty diff. Here: change events are deduplicated
+by (doc_id, lsn), reduced to the max-LSN winner per key, and diffed against
+the current table state so unchanged rows produce no writes.
+
+Scale notes:
+- ``lww_latest`` uses ``max_by`` hash aggregation, NOT a window: hash aggs
+  get map-side partial combine, so a hot doc_id is pre-reduced inside every
+  task before the shuffle — Zipf skew collapses to ~one row per key per
+  task. A window (row_number over partitionBy(doc_id)) would hash ALL of a
+  hot key's rows to one task; that variant exists only for the operator
+  surface (win_rank) and for the salted two-phase demonstration.
+- ``dedup_events`` is subsumed by lww_latest when duplicate deliveries carry
+  identical payloads (they do, per the WAL contract) — the engine therefore
+  runs one aggregation, not two shuffles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+KEY = "doc_id"
+ORDER_COLS = ["lsn", "ingest_ts", "op"]  # total order => deterministic replay
+
+
+def dedup_events(events: DataFrame) -> DataFrame:
+    """C1: drop exact duplicate deliveries of one change event, keyed by
+    (doc_id, lsn). Batch form; streaming form is
+    dropDuplicatesWithinWatermark in streaming/tail.py."""
+    return events.dropDuplicates([KEY, "lsn"])
+
+
+def _payload_struct(events: DataFrame):
+    cols = [c for c in events.columns if c != KEY]
+    return F.struct(*[F.col(c) for c in cols])
+
+
+def _order_struct(events: DataFrame):
+    cols = [c for c in ORDER_COLS if c in events.columns]
+    return F.struct(*[F.col(c) for c in cols])
+
+
+def lww_latest(events: DataFrame) -> DataFrame:
+    """C2: keep the max-LSN event per doc_id (ties broken by ingest_ts then
+    op — a total order, so replay under any partitioning is deterministic).
+
+    One hash aggregation with map-side partial combine: skew-safe without
+    explicit salting for this reduction.
+    """
+    cols = events.columns
+    win = (
+        events.groupBy(KEY)
+        .agg(F.max_by(_payload_struct(events), _order_struct(events)).alias("_w"))
+    )
+    return win.select(KEY, *[F.col(f"_w.{c}").alias(c) for c in cols if c != KEY]).select(
+        *cols
+    )
+
+
+def lww_latest_window(events: DataFrame) -> DataFrame:
+    """C2 window variant (row_number over key ordered by LSN desc). Kept for
+    the operator surface; prefer lww_latest at scale (see module docstring)."""
+    order = [F.col(c).desc() for c in ORDER_COLS if c in events.columns]
+    w = Window.partitionBy(KEY).orderBy(*order)
+    return (
+        events.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def lww_latest_salted(events: DataFrame, salt_buckets: int = 16) -> DataFrame:
+    """C2 salted two-phase reduction (C5 pattern): phase 1 reduces per
+    (doc_id, salt) — spreading a hot key over `salt_buckets` tasks — phase 2
+    reduces the tiny per-key residue. Demonstrates explicit skew handling;
+    equivalent to lww_latest."""
+    cols = events.columns
+    salted = events.withColumn(
+        "_salt", F.pmod(F.xxhash64(F.col("lsn")), F.lit(salt_buckets))
+    )
+    p1 = salted.groupBy(KEY, "_salt").agg(
+        F.max_by(_payload_struct(events), _order_struct(events)).alias("_w")
+    )
+    p1 = p1.select(KEY, *[F.col(f"_w.{c}").alias(c) for c in cols if c != KEY])
+    p2 = p1.groupBy(KEY).agg(
+        F.max_by(_payload_struct(p1), _order_struct(p1)).alias("_w")
+    )
+    return p2.select(KEY, *[F.col(f"_w.{c}").alias(c) for c in cols if c != KEY]).select(
+        *cols
+    )
+
+
+def payload_hash(df: DataFrame, payload_cols: list[str]):
+    """Order-stable 64-bit content hash of a row's payload (C3/C5/F2).
+    xxhash64 natively hashes arrays/structs JVM-side — no JSON round-trip."""
+    return F.xxhash64(*[F.col(c) for c in payload_cols])
+
+
+def diff_against_table(
+    latest: DataFrame, current: DataFrame, payload_cols: list[str]
+) -> DataFrame:
+    """C3: classify each LWW winner against the current table state:
+      I  key absent from table, op != 'D'      (the reference's `new_only`)
+      U  key present, op != 'D', payload hash differs
+      D  key present, op == 'D'                (the reference's `old_only`)
+      N  no-op: payload unchanged, or a delete for an absent key
+
+    Re-applying an already-applied batch therefore yields only N rows — the
+    empty-diff idempotency of the reference, lifted to tables. Returns
+    latest's columns + `action`.
+    """
+    lat = latest.alias("s")
+    cur = (
+        current.select(
+            F.col(KEY), payload_hash(current, payload_cols).alias("_cur_hash")
+        ).alias("t")
+    )
+    joined = lat.join(cur, on=F.col(f"s.{KEY}") == F.col(f"t.{KEY}"), how="left")
+    new_hash = payload_hash(lat, [f"s.{c}" for c in payload_cols])
+    action = (
+        F.when(F.col("s.op") == "D", F.when(F.col("t._cur_hash").isNull(), "N").otherwise("D"))
+        .when(F.col("t._cur_hash").isNull(), "I")
+        .when(F.col("t._cur_hash") != new_hash, "U")
+        .otherwise("N")
+    )
+    return joined.select("s.*", action.alias("action"))

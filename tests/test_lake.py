@@ -1,0 +1,113 @@
+"""M0: lake-table layer — round-trip, bucket-CoW merge, idempotent commits,
+schema-evolution legality."""
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from rap_etl_spark.lake import ManifestParquetTable, check_evolution
+from rap_etl_spark.schemas import DOCS_SCHEMA, DOCS_SCHEMA_V2
+
+
+def mk_docs(spark, rows):
+    return spark.createDataFrame(rows, schema=DOCS_SCHEMA)
+
+
+def mk_changes(spark, rows):
+    schema = T.StructType(
+        [T.StructField("op", T.StringType())] + list(DOCS_SCHEMA.fields)
+    )
+    return spark.createDataFrame(
+        [(r[0], r[1], r[2], r[3], r[4]) for r in rows], schema=schema
+    ).select("doc_id", "op", "tokens", "n_tok", "source")
+
+
+def test_create_append_read_roundtrip(spark, tmp_path):
+    t = ManifestParquetTable.create(spark, str(tmp_path / "t"), DOCS_SCHEMA, n_buckets=4)
+    df = mk_docs(spark, [("doc-1", [1, 2], 2, "s0"), ("doc-2", [3], 1, "s1")])
+    info = t.append(df, batch_id=0)
+    assert not info.skipped and info.rows_written == 2
+    got = {r["doc_id"]: r for r in t.read().collect()}
+    assert got["doc-1"]["tokens"] == [1, 2]
+    assert got["doc-2"]["n_tok"] == 1
+
+
+def test_merge_upsert_delete(spark, tmp_path):
+    t = ManifestParquetTable.create(spark, str(tmp_path / "t"), DOCS_SCHEMA, n_buckets=4)
+    t.append(mk_docs(spark, [("doc-1", [1], 1, "s0"), ("doc-2", [2], 1, "s0"),
+                             ("doc-3", [3], 1, "s0")]), batch_id=0)
+    changes = mk_changes(
+        spark,
+        [
+            ("U", "doc-1", [9, 9], 2, "s9"),   # update
+            ("D", "doc-2", None, None, None),  # delete
+            ("I", "doc-4", [4], 1, "s4"),      # insert
+        ],
+    )
+    info = t.merge(changes, batch_id=1)
+    assert not info.skipped
+    got = {r["doc_id"]: r for r in t.read().collect()}
+    assert set(got) == {"doc-1", "doc-3", "doc-4"}
+    assert got["doc-1"]["tokens"] == [9, 9] and got["doc-1"]["source"] == "s9"
+    assert got["doc-3"]["tokens"] == [3]  # untouched bucket survives
+
+
+def test_idempotent_double_commit(spark, tmp_path):
+    t = ManifestParquetTable.create(spark, str(tmp_path / "t"), DOCS_SCHEMA, n_buckets=4)
+    changes = mk_changes(spark, [("I", "doc-1", [1], 1, "s0")])
+    i1 = t.merge(changes, batch_id=7)
+    sid = t.snapshot_id()
+    i2 = t.merge(changes, batch_id=7)  # redelivery
+    assert i2.skipped
+    assert t.snapshot_id() == sid  # no new snapshot
+    assert t.read().count() == 1
+    # ledger remembers the original commit
+    assert t.committed_batches()["7"]["snapshot_id"] == i1.snapshot_id
+
+
+def test_snapshot_time_travel(spark, tmp_path):
+    t = ManifestParquetTable.create(spark, str(tmp_path / "t"), DOCS_SCHEMA, n_buckets=4)
+    t.merge(mk_changes(spark, [("I", "doc-1", [1], 1, "s0")]), batch_id=0)
+    sid1 = t.snapshot_id()
+    t.merge(mk_changes(spark, [("U", "doc-1", [2], 1, "s0")]), batch_id=1)
+    assert t.read().first()["tokens"] == [2]
+    assert t.read(snapshot_id=sid1).first()["tokens"] == [1]
+
+
+def test_evolution_rules():
+    check_evolution(DOCS_SCHEMA, DOCS_SCHEMA_V2)  # widen + add nullable: ok
+    with pytest.raises(ValueError):
+        check_evolution(DOCS_SCHEMA_V2, DOCS_SCHEMA)  # narrowing: no
+    bad = T.StructType([*DOCS_SCHEMA.fields, T.StructField("x", T.StringType(), False)])
+    with pytest.raises(ValueError):
+        check_evolution(DOCS_SCHEMA, bad)  # non-nullable add: no
+
+
+def test_evolve_old_files_readable(spark, tmp_path):
+    t = ManifestParquetTable.create(spark, str(tmp_path / "t"), DOCS_SCHEMA, n_buckets=4)
+    t.append(mk_docs(spark, [("doc-1", [1, 2], 2, "s0")]), batch_id=0)
+    t.evolve(DOCS_SCHEMA_V2)
+    assert t.schema() == DOCS_SCHEMA_V2
+    row = t.read().first()
+    assert row["tokens"] == [1, 2] and row["lang"] is None  # old file, cast up
+    # write evolved data alongside
+    df2 = spark.createDataFrame([("doc-2", [10], 1, "s1", "en")], schema=DOCS_SCHEMA_V2)
+    t.append(df2, batch_id=1)
+    got = {r["doc_id"]: r for r in t.read().collect()}
+    assert got["doc-2"]["lang"] == "en"
+    assert got["doc-1"]["lang"] is None
+    assert t.read().schema["n_tok"].dataType.simpleString() == "bigint"
+
+
+def test_merge_only_rewrites_affected_buckets(spark, tmp_path):
+    t = ManifestParquetTable.create(spark, str(tmp_path / "t"), DOCS_SCHEMA, n_buckets=8)
+    rows = [(f"doc-{i}", [i], 1, "s0") for i in range(50)]
+    t.append(mk_docs(spark, rows), batch_id=0)
+    files_before = {fe["path"]: fe for fe in t._manifest()["files"]}
+    t.merge(mk_changes(spark, [("U", "doc-1", [99], 1, "s0")]), batch_id=1)
+    files_after = {fe["path"]: fe for fe in t._manifest()["files"]}
+    kept = set(files_before) & set(files_after)
+    # the single changed key touches exactly one bucket; others keep files
+    changed_buckets = {files_before[p]["bucket"] for p in set(files_before) - kept}
+    assert len(changed_buckets) == 1
+    assert len(kept) > 0
