@@ -3,36 +3,65 @@
 The driver's verify runs ``entry(spark)`` as a smoke check, runs
 each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+order-insensitive value-hash → CORRECTNESS_r{N}.json).
+
+Implementation lives in ``rap_etl_spark`` (see SURVEY.md §2/§7).
 """
 
 from __future__ import annotations
 
+import os
+import sys
+import tempfile
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full CDC replay at sf0.001 — synthesize a Zipf-skewed
+    change-event log, replay it through dedup→LWW→merge into a fresh lake
+    table (exactly-once commits), and return the per-source summary of the
+    final table state."""
+    from pyspark.sql import functions as F
+
+    from rap_etl_spark.engine import replay_log
+    from rap_etl_spark.lake import ManifestParquetTable
+    from rap_etl_spark.schemas import DOCS_SCHEMA
+    from rap_etl_spark.sources.synth import synthesize_events, write_event_log
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_SMALL", "/root/testdata/sf0.001")
+    work = tempfile.mkdtemp(prefix="rap-etl-entry-")
+    n_events = 3000
+    events = synthesize_events(spark, sf_dir, n_events, max_tok=16)
+    write_event_log(events, os.path.join(work, "log"), n_batches=3, n_events=n_events)
+    table = ManifestParquetTable.create(
+        spark, os.path.join(work, "docs"), DOCS_SCHEMA, n_buckets=8
+    )
+    replay_log(spark, table, os.path.join(work, "log"))
+    return (
+        table.read()
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("total_tokens"),
+            F.round(F.avg("n_tok"), 2).alias("avg_tokens"),
+        )
+        .orderBy("source")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    """One entry per implemented operator from SURVEY.md §2."""
+    from rap_etl_spark.operators.relational import QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-dialect oracle for each SQL-expressible queries() key."""
+    from rap_etl_spark.operators.relational import ORACLES
+
+    return dict(ORACLES)

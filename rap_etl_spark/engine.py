@@ -44,6 +44,12 @@ class CdcEngine:
     table: LakeTable
     lineage_dir: str | None = None
     diff_first: bool = False  # skip-unchanged optimization (extra table read)
+    count_input: bool = True  # per-batch input count (extra pass when no lineage)
+    # "join" aggregates only (key, max lsn) — fixed-width buffers, map-side
+    # combine — then semi-joins payloads back; AQE broadcasts the winner set
+    # when it is small and falls back to a shuffled hash join when not.
+    # Adaptively optimal at both sandbox and cluster scale (cdc.py notes).
+    lww_strategy: str = "join"
     metrics: list[BatchMetrics] = field(default_factory=list)
 
     def apply_batch(self, events: DataFrame, batch_id: int) -> BatchMetrics:
@@ -55,27 +61,43 @@ class CdcEngine:
             self.metrics.append(m)
             return m
 
-        events = events.persist()
+        # Caching the raw batch only pays when it is scanned more than once
+        # (lineage and/or input counting). The pure apply path scans events
+        # exactly once (the LWW aggregation), so persisting 10^6-row Arrow
+        # batches would cost columnar-cache build time + GC for nothing.
+        multi_scan = self.lineage_dir is not None or self.count_input
+        if multi_scan:
+            events = events.persist()
+        input_rows = -1
         try:
             # LWW reduction (subsumes (doc_id,lsn) dedup for identical
             # duplicate deliveries): one skew-safe hash aggregation
-            latest = lww_latest(events)
+            latest = lww_latest(events, strategy=self.lww_strategy)
 
+            # payload columns follow the table's CURRENT schema (schema
+            # evolution: an added column like `lang` must flow through)
+            payload_cols = [
+                f.name
+                for f in self.table.schema().fields
+                if f.name != KEY and f.name in latest.columns
+            ]
             if self.diff_first:
                 current = self.table.read()
-                diff = diff_against_table(latest, current, PAYLOAD_COLS)
+                diff = diff_against_table(latest, current, payload_cols)
                 changes = diff.filter(F.col("action") != "N").drop("action")
             else:
                 changes = latest
 
-            payload = changes.select(KEY, "op", "lsn", *PAYLOAD_COLS)
+            payload = changes.select(KEY, "op", "lsn", *payload_cols)
             info: CommitInfo = self.table.merge(payload, batch_id=batch_id)
 
-            input_rows = events.count()
+            if self.count_input:
+                input_rows = events.count()
             if self.lineage_dir is not None:
                 self._write_lineage(events, batch_id, info)
         finally:
-            events.unpersist()
+            if multi_scan:
+                events.unpersist()
 
         dt = time.monotonic() - t0
         m = BatchMetrics(
@@ -85,7 +107,7 @@ class CdcEngine:
             info.skipped,
             info.snapshot_id,
             dt,
-            input_rows / dt if dt > 0 else 0.0,
+            input_rows / dt if dt > 0 and input_rows > 0 else 0.0,
         )
         self.metrics.append(m)
         return m
@@ -127,10 +149,14 @@ def replay_log(
     log_dir: str,
     lineage_dir: str | None = None,
     diff_first: bool = False,
+    count_input: bool = True,
 ) -> list[BatchMetrics]:
     """Batch-replay an event log written by write_event_log (batch=<i>/
     partitions) in batch order — the batch-mode twin of the streaming tail."""
-    engine = CdcEngine(spark, table, lineage_dir=lineage_dir, diff_first=diff_first)
+    engine = CdcEngine(
+        spark, table, lineage_dir=lineage_dir, diff_first=diff_first,
+        count_input=count_input,
+    )
     batches = sorted(
         int(d.split("=", 1)[1]) for d in os.listdir(log_dir) if d.startswith("batch=")
     )

@@ -309,8 +309,12 @@ class ManifestParquetTable(LakeTable):
         encoded in the filename — keeps data/ flat (no partition-inference
         surprises when reading explicit file lists)."""
         staging = os.path.join(self.path, f"_staging-{sid}")
+        # cluster by bucket before the write: one file per bucket instead of
+        # (tasks x buckets) small files — same move as Iceberg's hash
+        # write-distribution mode; keeps later bucket-pruned reads one-file
         (
-            df.write.mode("overwrite")
+            df.repartition(self.n_buckets(), F.col("_b"))
+            .write.mode("overwrite")
             .partitionBy("_b")
             .parquet(staging)
         )

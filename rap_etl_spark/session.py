@@ -43,7 +43,15 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "90g"))
+        # ParallelGC: the token-array payloads allocate heavily in scans and
+        # aggregations; G1 at high thread counts spent more time pacing than
+        # collecting here (measured 2-4x slowdowns at local[32])
+        .config("spark.driver.extraJavaOptions", "-XX:+UseParallelGC")
+        # hash joins over sort-merge where legal: CDC winner-join and merge
+        # joins are selective; sorting the big side is wasted work (AQE can
+        # still demote to broadcast at runtime)
+        .config("spark.sql.join.preferSortMergeJoin", "false")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.compression.codec", "snappy")
         # deterministic timestamp behavior for oracle comparison

@@ -1,0 +1,137 @@
+"""Structured-Streaming WAL tail (C8) + exactly-once sink (C7/R8).
+
+Generalizes the reference's incremental harvest (modified-since date window,
+SURVEY.md §3.1) to a resumable change-event file tail: ``readStream`` over
+the log directory, ``foreachBatch`` bridging into the batch apply lifecycle
+(engine.apply_batch), offsets/commits tracked in the Structured Streaming
+checkpoint, and the lake table's batch-id ledger making re-delivered
+micro-batches metadata-only no-ops — replay from ANY checkpoint (including
+none) reconverges to the identical table state because the merge itself is
+version-conditional and commutative.
+
+Streaming-only operators (R1-R7) live here as thin, tested wrappers.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from rap_etl_spark.engine import CdcEngine
+from rap_etl_spark.lake import LakeTable
+from rap_etl_spark.schemas import EVENTS_SCHEMA
+
+
+def stream_tail(
+    spark: SparkSession,
+    src_dir: str,
+    checkpoint_dir: str,
+    table: LakeTable,
+    lineage_dir: str | None = None,
+    max_files_per_trigger: int | None = None,
+    available_now: bool = True,
+    schema=None,
+) -> StreamingQuery:
+    """Tail `src_dir` (parquet change-event files) into `table`.
+
+    ``available_now=True`` processes the current backlog in rate-limited
+    micro-batches then stops — bounded replay, the batch-mode twin. A
+    long-running tail uses ``available_now=False`` (default processing
+    trigger) and picks up new files as the WAL writer drops them.
+    """
+    reader = spark.readStream.schema(schema or EVENTS_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    events = reader.parquet(src_dir)
+
+    engine = CdcEngine(spark, table, lineage_dir=lineage_dir)
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # foreachBatch gives at-least-once delivery; the engine's batch
+        # ledger + version-conditional merge turn that into exactly-once
+        # table state (BASELINE.json north_star)
+        engine.apply_batch(batch_df, batch_id=batch_id)
+
+    writer = (
+        events.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def replay_stream(
+    spark: SparkSession,
+    src_dir: str,
+    checkpoint_dir: str,
+    table: LakeTable,
+    **kw,
+) -> None:
+    """Run an availableNow tail to completion (blocking)."""
+    q = stream_tail(spark, src_dir, checkpoint_dir, table, **kw)
+    q.awaitTermination()
+
+
+# --------------------------------------------------------------------------
+# streaming operator wrappers (R1-R7)
+# --------------------------------------------------------------------------
+def with_watermark(events: DataFrame, delay: str = "10 minutes") -> DataFrame:
+    """R1: bound state retention for late data."""
+    return events.withWatermark("ingest_ts", delay)
+
+
+def stream_dedup(events: DataFrame, delay: str = "10 minutes") -> DataFrame:
+    """R5/C1 streaming form: exact-duplicate delivery drop within the
+    watermark window — state is bounded by the delay, unlike a global
+    dropDuplicates whose state grows forever."""
+    return with_watermark(events, delay).dropDuplicatesWithinWatermark(
+        ["doc_id", "lsn"]
+    )
+
+
+def tumbling_counts(events: DataFrame, width: str = "5 minutes") -> DataFrame:
+    """R2: tumbling-window event counts (works on batch or stream frames)."""
+    return events.groupBy(F.window("ingest_ts", width).alias("w"), "op").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
+def sliding_counts(
+    events: DataFrame, width: str = "10 minutes", slide: str = "5 minutes"
+) -> DataFrame:
+    """R3: sliding-window counts."""
+    return events.groupBy(F.window("ingest_ts", width, slide).alias("w")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
+def session_counts(events: DataFrame, gap: str = "5 minutes") -> DataFrame:
+    """R4: session windows per key (gap-based)."""
+    return events.groupBy(
+        F.session_window("ingest_ts", gap).alias("w"), "doc_id"
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def late_event_counter(events: DataFrame, watermark_delay: str = "10 minutes"):
+    """R7: watermark + windowed agg in append mode drops late rows; this
+    returns the windowed agg a caller can compare against raw counts to
+    surface the late-drop metric (C10)."""
+    return (
+        with_watermark(events, watermark_delay)
+        .groupBy(F.window("ingest_ts", "5 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def latest_checkpointed_batch(checkpoint_dir: str) -> int | None:
+    """Highest committed micro-batch id in a checkpoint (for tests/ops)."""
+    commits = os.path.join(checkpoint_dir, "commits")
+    if not os.path.isdir(commits):
+        return None
+    ids = [int(f) for f in os.listdir(commits) if f.isdigit()]
+    return max(ids) if ids else None

@@ -1,0 +1,94 @@
+"""M4: streaming tail — availableNow replay equals batch replay; kill/restart
+from checkpoint reconverges; re-running a finished stream is a no-op;
+streaming dedup drops duplicate deliveries."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from rap_etl_spark.engine import assert_equivalent
+from rap_etl_spark.lake import ManifestParquetTable
+from rap_etl_spark.schemas import DOCS_SCHEMA
+from rap_etl_spark.sources.synth import synthesize_events, write_event_log
+from rap_etl_spark.streaming.tail import (
+    latest_checkpointed_batch,
+    replay_stream,
+    stream_dedup,
+    stream_tail,
+)
+
+from .oracle import assert_frames_equal, naive_final_state
+
+N_EVENTS = 3000
+
+
+def _mk_log(spark, sf_small, tmp_path, n_batches=5):
+    ev = synthesize_events(spark, sf_small, N_EVENTS, max_tok=8)
+    write_event_log(ev, str(tmp_path / "log"), n_batches=n_batches, n_events=N_EVENTS)
+    return str(tmp_path / "log")
+
+
+def test_stream_replay_matches_oracle(spark, sf_small, tmp_path):
+    log = _mk_log(spark, sf_small, tmp_path)
+    t = ManifestParquetTable.create(spark, str(tmp_path / "t"), DOCS_SCHEMA, n_buckets=8)
+    replay_stream(
+        spark, log, str(tmp_path / "cp"), t, max_files_per_trigger=16
+    )
+    want = naive_final_state(spark.read.parquet(log).toPandas())
+    assert_frames_equal(t.read().toPandas(), want)
+    assert latest_checkpointed_batch(str(tmp_path / "cp")) is not None
+
+
+def test_stream_resume_from_checkpoint(spark, sf_small, tmp_path):
+    """Process half the backlog, 'crash', restart from the checkpoint with
+    the full backlog present — final state must equal a clean full replay."""
+    log = _mk_log(spark, sf_small, tmp_path)
+    half = str(tmp_path / "log_half")
+    os.makedirs(half)
+    for b in range(3):
+        os.symlink(f"{log}/batch={b}", f"{half}/batch={b}")
+    t = ManifestParquetTable.create(spark, str(tmp_path / "t"), DOCS_SCHEMA, n_buckets=8)
+    cp = str(tmp_path / "cp")
+    replay_stream(spark, half, cp, t, max_files_per_trigger=8)
+    mid_batches = latest_checkpointed_batch(cp)
+    # "restart": same checkpoint, now the full log is visible
+    for b in range(3, 5):
+        os.symlink(f"{log}/batch={b}", f"{half}/batch={b}")
+    replay_stream(spark, half, cp, t, max_files_per_trigger=8)
+    assert latest_checkpointed_batch(cp) > mid_batches
+    want = naive_final_state(spark.read.parquet(log).toPandas())
+    assert_frames_equal(t.read().toPandas(), want)
+    # third run with nothing new: no-op, state unchanged
+    sid = t.snapshot_id()
+    replay_stream(spark, half, cp, t, max_files_per_trigger=8)
+    assert t.snapshot_id() == sid
+
+
+def test_stream_and_batch_agree(spark, sf_small, tmp_path):
+    log = _mk_log(spark, sf_small, tmp_path)
+    t_s = ManifestParquetTable.create(spark, str(tmp_path / "s"), DOCS_SCHEMA, n_buckets=8)
+    replay_stream(spark, log, str(tmp_path / "cp"), t_s, max_files_per_trigger=12)
+    from rap_etl_spark.engine import replay_log
+
+    t_b = ManifestParquetTable.create(spark, str(tmp_path / "b"), DOCS_SCHEMA, n_buckets=8)
+    replay_log(spark, t_b, log)
+    assert_equivalent(t_s.read(), t_b.read())
+
+
+def test_stream_dedup_within_watermark(spark, sf_small, tmp_path):
+    log = _mk_log(spark, sf_small, tmp_path)
+    src = spark.readStream.schema(
+        spark.read.parquet(log).drop("batch").schema
+    ).parquet(log)
+    deduped = stream_dedup(src, delay="1 hour")
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_out")
+        .option("checkpointLocation", str(tmp_path / "cp2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.sql("select count(*) c from dedup_out").first()["c"]
+    distinct = spark.read.parquet(log).dropDuplicates(["doc_id", "lsn"]).count()
+    assert got == distinct
