@@ -55,13 +55,15 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
+    from rap_etl_spark.operators.pipeline_queries import QUERIES2
     from rap_etl_spark.operators.relational import QUERIES
 
-    return dict(QUERIES)
+    return {**QUERIES, **QUERIES2}
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-dialect oracle for each SQL-expressible queries() key."""
+    from rap_etl_spark.operators.pipeline_queries import ORACLES2
     from rap_etl_spark.operators.relational import ORACLES
 
-    return dict(ORACLES)
+    return {**ORACLES, **ORACLES2}

@@ -50,6 +50,10 @@ class CdcEngine:
     # when it is small and falls back to a shuffled hash join when not.
     # Adaptively optimal at both sandbox and cluster scale (cdc.py notes).
     lww_strategy: str = "join"
+    # winner sets up to this many keys are broadcast (a (string,long) row is
+    # ~40B — 5M keys ≈ 200MB, within executor broadcast budgets); larger
+    # batches fall back to a shuffled join
+    broadcast_key_limit: int = 5_000_000
     metrics: list[BatchMetrics] = field(default_factory=list)
 
     def apply_batch(self, events: DataFrame, batch_id: int) -> BatchMetrics:
@@ -69,10 +73,30 @@ class CdcEngine:
         if multi_scan:
             events = events.persist()
         input_rows = -1
+        winners = None
         try:
-            # LWW reduction (subsumes (doc_id,lsn) dedup for identical
-            # duplicate deliveries): one skew-safe hash aggregation
-            latest = lww_latest(events, strategy=self.lww_strategy)
+            if self.lww_strategy == "join":
+                # Decide the winner-join strategy EXPLICITLY: Spark cannot
+                # know the winner cardinality at plan time, so without a
+                # hint AQE first materializes a full shuffle write of the
+                # multi-GB event batch before discovering the winner side is
+                # tiny — disk-bound and serial. One cheap count over the
+                # column-pruned (key, lsn) aggregate tells us up front.
+                winners = (
+                    events.groupBy(KEY).agg(F.max("lsn").alias("lsn")).persist()
+                )
+                n_keys = winners.count()
+                rhs = (
+                    F.broadcast(winners)
+                    if n_keys <= self.broadcast_key_limit
+                    else winners
+                )
+                # no dropDuplicates here: duplicate deliveries of the winner
+                # event are byte-identical and the merge's own winner
+                # reduction collapses them — saves a pass over the arrays
+                latest = events.join(rhs, on=[KEY, "lsn"], how="left_semi")
+            else:
+                latest = lww_latest(events, strategy=self.lww_strategy)
 
             # payload columns follow the table's CURRENT schema (schema
             # evolution: an added column like `lang` must flow through)
@@ -96,6 +120,8 @@ class CdcEngine:
             if self.lineage_dir is not None:
                 self._write_lineage(events, batch_id, info)
         finally:
+            if winners is not None:
+                winners.unpersist()
             if multi_scan:
                 events.unpersist()
 

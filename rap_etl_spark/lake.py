@@ -37,6 +37,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+_TIMING = os.environ.get("RAP_ETL_TIMING", "") == "1"
+
+
+def _tlog(msg: str, t0: float) -> None:
+    if _TIMING:
+        print(f"[rap-etl-timing] {msg}: {time.monotonic() - t0:.2f}s", flush=True)
+
 
 @dataclass
 class CommitInfo:
@@ -420,7 +427,9 @@ class ManifestParquetTable(LakeTable):
         # (c) the LWW union. One materialization, three uses.
         ch = ch.persist()
         try:
+            _t0 = time.monotonic()
             affected_set = {r["_b"] for r in ch.select("_b").distinct().collect()}
+            _tlog("merge.materialize_changes", _t0)
             old_entries = [fe for fe in m["files"] if fe["bucket"] in affected_set]
             keep_entries = [fe for fe in m["files"] if fe["bucket"] not in affected_set]
 
@@ -449,9 +458,11 @@ class ManifestParquetTable(LakeTable):
             new_data = survivors.unionByName(winners.select(*survivors.columns))
 
             nxt = self._next_manifest(m)
+            _t0 = time.monotonic()
             entries = self._write_data_files(
                 new_data, nxt["snapshot_id"], m["current_schema_version"]
             )
+            _tlog("merge.write_data_files", _t0)
             nxt["files"] = keep_entries + entries
             rows = int(ch.count())
             if batch_id is not None:

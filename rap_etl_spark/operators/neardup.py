@@ -77,6 +77,15 @@ def minhash_signatures(
         ]
     )
 
+    import hashlib
+
+    def _stable_id(s: str) -> int:
+        # NOT python hash(): that is salted per process (PYTHONHASHSEED) and
+        # would give different signatures on different workers
+        return int.from_bytes(
+            hashlib.blake2b(s.encode(), digest_size=8).digest(), "little"
+        ) & 0x1FFFFFFFFFFFFFFF
+
     def sig_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         A = b_a.value.astype(np.object_)  # python ints: exact 61-bit modmul
         B = b_b.value.astype(np.object_)
@@ -92,7 +101,7 @@ def minhash_signatures(
                         for i in range(len(words) - shingle_k + 1)
                     ]
                 ids = np.array(
-                    [hash(s) & 0x1FFFFFFFFFFFFFFF for s in shingles], dtype=np.object_
+                    [_stable_id(s) for s in shingles], dtype=np.object_
                 )
                 # (n_hashes, n_shingles) universal hash, min per row
                 hx = (A[:, None] * ids[None, :] + B[:, None]) % _M61
@@ -191,23 +200,22 @@ def simhash(df: DataFrame, col: str = "text", key: str = "doc_id") -> DataFrame:
     words = df.select(
         F.col(key), F.explode(F.array_distinct(F.split(F.col(col), r"\s+"))).alias("w")
     ).withColumn("h", F.xxhash64("w"))
-    # per (key, bit): vote = sum(+1 if bit set else -1); bit set iff vote > 0
-    bits = words.select(
-        key,
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(63)),
-                lambda i: F.when(
-                    F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1
-                ).otherwise(-1),
-            )
-        ).alias("bit", "vote"),
+    # per (key, bit): vote = sum(+1 if bit set else -1); bit set iff vote > 0.
+    # shift amounts must be literals in the Python API, so the 64 bit-vote
+    # expressions are built statically (one array expr, still codegen'd)
+    bit_votes = F.array(
+        *[
+            F.when(
+                F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+            ).otherwise(F.lit(-1))
+            for i in range(64)
+        ]
     )
+    bits = words.select(key, F.posexplode(bit_votes).alias("bit", "vote"))
     votes = bits.groupBy(key, "bit").agg(F.sum("vote").alias("v"))
     sig = votes.groupBy(key).agg(
         F.sum(
-            F.when(F.col("v") > 0, F.shiftleft(F.lit(1).cast("long"), F.col("bit")))
-            .otherwise(F.lit(0))
+            F.when(F.col("v") > 0, F.expr("shiftleft(1L, bit)")).otherwise(F.lit(0))
         ).alias("simhash")
     )
     return sig
@@ -220,17 +228,16 @@ def simhash_near_dups(
     within hamming distance 3 must agree on >=1 chunk — pigeonhole), verify
     hamming distance via bit_count(xor)."""
     sig = simhash(df, col, key).persist()
+    chunk_exprs = F.array(
+        *[
+            F.shiftright(F.col("simhash"), i * 16).bitwiseAND(F.lit(0xFFFF))
+            for i in range(4)
+        ]
+    )
     chunks = sig.select(
         key,
         "simhash",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(3)),
-                lambda i: F.shiftright(F.col("simhash"), i * 16).bitwiseAND(
-                    F.lit(0xFFFF)
-                ),
-            )
-        ).alias("chunk_id", "chunk_val"),
+        F.posexplode(chunk_exprs).alias("chunk_id", "chunk_val"),
     )
     a = chunks.alias("a")
     b = chunks.alias("b")

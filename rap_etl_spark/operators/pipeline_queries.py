@@ -1,0 +1,249 @@
+"""Training-data-pipeline queries() entries (wave 2): text analysis,
+dedup, similarity search, multimodal plumbing, grouped-map token assembly.
+
+Same conventions as relational.py: identical aliases in Spark and DuckDB,
+rounded doubles, deterministic orderings. Approximate/sketch/stubbed ops are
+registered without an oracle (driver rows-only check) and verified by
+pytest properties instead (recall vs brute force, etc.).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from rap_etl_spark.functions.tokens import concat_tokens_per_key
+from rap_etl_spark.operators.multimodal import extract_features, frame_sample, synth_media
+from rap_etl_spark.operators.neardup import (
+    exact_dup_groups,
+    jaccard_pairs,
+    minhash_near_dups,
+    simhash,
+)
+from rap_etl_spark.operators.relational import _t
+from rap_etl_spark.operators.similarity import (
+    brute_force_topk,
+    cosine_to_query,
+    ivf_topk,
+    lsh_topk,
+)
+from rap_etl_spark.operators.text import (
+    fingerprint,
+    fit_lang_id,
+    lang_id,
+    quality_score,
+    token_count,
+)
+
+
+# --------------------------------------------------------------------------
+# text analysis
+# --------------------------------------------------------------------------
+def q_text_quality(spark, sf):
+    d = _t(spark, sf, "documents")
+    return quality_score(d).select(
+        "doc_id", "n_words", "mean_word_len", "distinct_ratio", "quality_score"
+    )
+
+
+def q_text_token_count(spark, sf):
+    d = _t(spark, sf, "documents")
+    return token_count(d).select("doc_id", "n_ws_tokens", "n_bpe_tokens")
+
+
+def q_doc_fingerprint(spark, sf):
+    d = _t(spark, sf, "documents")
+    return fingerprint(d).select("doc_id", "fp_md5")
+
+
+def q_lang_id(spark, sf):
+    """Rows-only: heuristic n-gram language ID (pandas UDF); accuracy is
+    asserted in pytest, not against a SQL oracle."""
+    d = _t(spark, sf, "documents")
+    model = fit_lang_id(d)
+    return lang_id(d, model).select("doc_id", "lang", "lang_pred")
+
+
+# --------------------------------------------------------------------------
+# dedup
+# --------------------------------------------------------------------------
+def q_dedup_exact(spark, sf):
+    """Exact-dup report over a corpus with injected duplicates."""
+    d = _t(spark, sf, "documents")
+    dup = d.filter(F.col("doc_id") % 10 == 0)
+    return exact_dup_groups(d.unionByName(dup))
+
+
+def q_ngram_jaccard(spark, sf):
+    """Exact word-set Jaccard for adjacent doc pairs (deterministic
+    candidate set; the LSH path generates candidates at scale)."""
+    d = _t(spark, sf, "documents")
+    pairs = d.select(F.col("doc_id").alias("a")).join(
+        d.select(F.col("doc_id").alias("b")), F.col("b") == F.col("a") + 1
+    )
+    return jaccard_pairs(d, pairs)
+
+
+def q_minhash_neardup(spark, sf):
+    """Rows-only: MinHash+LSH near-dup pairs over a corpus with planted
+    near-duplicates (each doc-ending-in-0 gets a 1-word-perturbed copy)."""
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    planted = d.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zzz")).alias("text"),
+    )
+    corpus = d.unionByName(planted)
+    return minhash_near_dups(corpus, threshold=0.5)
+
+
+def q_simhash_sig(spark, sf):
+    """Rows-only: 64-bit SimHash signatures (xxhash64-based, JVM-side)."""
+    return simhash(_t(spark, sf, "documents"))
+
+
+# --------------------------------------------------------------------------
+# similarity search
+# --------------------------------------------------------------------------
+def _query_vec(spark, sf):
+    row = (
+        _t(spark, sf, "embeddings").filter(F.col("vec_id") == 0).first()
+    )
+    return [float(x) for x in row["embedding"]]
+
+
+def q_embed_cosine(spark, sf):
+    """Cosine of every vector to the vec_id=0 query — JVM-side zip_with/
+    aggregate; oracle mirrors the exact summation order in DuckDB."""
+    e = _t(spark, sf, "embeddings")
+    q = _query_vec(spark, sf)
+    return cosine_to_query(e, q).select(
+        "vec_id", F.round("cosine", 5).alias("cos_sim")
+    )
+
+
+def q_embed_topk(spark, sf):
+    e = _t(spark, sf, "embeddings")
+    q = _query_vec(spark, sf)
+    return brute_force_topk(e, q, k=10)
+
+
+def q_embed_lsh_topk(spark, sf):
+    """Rows-only: LSH-bucketed ANN (recall asserted in pytest)."""
+    e = _t(spark, sf, "embeddings")
+    q = _query_vec(spark, sf)
+    dim = len(q)
+    return lsh_topk(e, q, dim=dim, k=10, n_planes=10, probe_hamming=1)
+
+
+def q_embed_ivf_topk(spark, sf):
+    """Rows-only: IVF coarse-quantized ANN (recall asserted in pytest)."""
+    e = _t(spark, sf, "embeddings")
+    q = _query_vec(spark, sf)
+    return ivf_topk(e, q, k=10, n_centroids=8, n_probe=3)
+
+
+# --------------------------------------------------------------------------
+# multimodal plumbing + grouped-map token assembly
+# --------------------------------------------------------------------------
+def q_media_features(spark, sf):
+    """Rows-only: binary-column feature extraction via mapInPandas (decode
+    stubbed deterministically — no codecs in this container)."""
+    d = _t(spark, sf, "documents").limit(200)
+    media = synth_media(d, kind="image")
+    return extract_features(media).select("media_id", "kind", "n_bytes", "sha1")
+
+
+def q_media_frame_sample(spark, sf):
+    """Rows-only: video frame-sampling explode plumbing."""
+    d = _t(spark, sf, "documents").limit(50)
+    return frame_sample(synth_media(d, kind="video"), every_ms=1000)
+
+
+def q_token_assembly(spark, sf):
+    """V3 applyInPandas: per-source ordered token concatenation; total
+    length oracled as the SQL sum of per-doc word counts."""
+    d = _t(spark, sf, "documents").select(
+        "source",
+        F.col("doc_id").alias("lsn"),  # assembly order
+        F.transform(F.split("text", " "), lambda w: F.length(w)).alias("tokens"),
+    )
+    out = concat_tokens_per_key(d, key="source")
+    return out.select("source", "n_tok")
+
+
+QUERIES2 = {
+    "text_quality": q_text_quality,
+    "text_token_count": q_text_token_count,
+    "doc_fingerprint": q_doc_fingerprint,
+    "lang_id": q_lang_id,
+    "dedup_exact": q_dedup_exact,
+    "ngram_jaccard": q_ngram_jaccard,
+    "minhash_neardup": q_minhash_neardup,
+    "simhash_sig": q_simhash_sig,
+    "embed_cosine": q_embed_cosine,
+    "embed_topk": q_embed_topk,
+    "embed_lsh_topk": q_embed_lsh_topk,
+    "embed_ivf_topk": q_embed_ivf_topk,
+    "media_features": q_media_features,
+    "media_frame_sample": q_media_frame_sample,
+    "token_assembly": q_token_assembly,
+}
+
+ORACLES2 = {
+    "text_quality": (
+        "SELECT doc_id,"
+        " len(string_split(text, ' ')) AS n_words,"
+        " round((length(text) - (len(string_split(text, ' ')) - 1))"
+        "   / len(string_split(text, ' ')), 4) AS mean_word_len,"
+        " round(len(list_distinct(string_split(text, ' ')))"
+        "   / len(string_split(text, ' ')), 4) AS distinct_ratio,"
+        " (CASE WHEN len(string_split(text,' ')) BETWEEN 5 AND 100000 THEN 1 ELSE 0 END"
+        "  + CASE WHEN (length(text) - (len(string_split(text,' ')) - 1))"
+        "       / len(string_split(text,' ')) BETWEEN 2.0 AND 12.0 THEN 1 ELSE 0 END"
+        "  + CASE WHEN len(list_distinct(string_split(text,' ')))"
+        "       / len(string_split(text,' ')) >= 0.2 THEN 1 ELSE 0 END"
+        "  + CASE WHEN length(regexp_replace(text, '[^A-Za-z]', '', 'g'))"
+        "       / length(text) >= 0.5 THEN 1 ELSE 0 END) AS quality_score"
+        " FROM documents"
+    ),
+    "text_token_count": (
+        "SELECT doc_id,"
+        " len(regexp_split_to_array(text, '\\s+')) AS n_ws_tokens,"
+        " len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+'))"
+        " AS n_bpe_tokens FROM documents"
+    ),
+    "doc_fingerprint": "SELECT doc_id, md5(text) AS fp_md5 FROM documents",
+    "dedup_exact": (
+        "WITH u AS (SELECT text FROM documents UNION ALL"
+        "           SELECT text FROM documents WHERE doc_id % 10 = 0)"
+        " SELECT md5(text) AS fp, count(*) AS cnt FROM u"
+        " GROUP BY 1 HAVING count(*) > 1"
+    ),
+    "ngram_jaccard": (
+        "WITH ws AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS w"
+        "            FROM documents)"
+        " SELECT a.doc_id AS a, b.doc_id AS b,"
+        " round(len(list_intersect(a.w, b.w))"
+        "   / len(list_distinct(list_concat(a.w, b.w))), 4) AS jaccard"
+        " FROM ws a JOIN ws b ON b.doc_id = a.doc_id + 1"
+    ),
+    "embed_cosine": (
+        "WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)"
+        " SELECT vec_id, round("
+        "   list_dot_product(embedding::DOUBLE[], q.qv)"
+        "   / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))"
+        "      * sqrt(list_dot_product(q.qv, q.qv))), 5) AS cos_sim"
+        " FROM embeddings, q"
+    ),
+    "embed_topk": (
+        "WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)"
+        " SELECT vec_id, round("
+        "   list_dot_product(embedding::DOUBLE[], q.qv)"
+        "   / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))"
+        "      * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cosine"
+        " FROM embeddings, q ORDER BY cosine DESC, vec_id ASC LIMIT 10"
+    ),
+    "token_assembly": (
+        "SELECT source, CAST(sum(len(string_split(text, ' '))) AS INTEGER)"
+        " AS n_tok FROM documents GROUP BY source"
+    ),
+}

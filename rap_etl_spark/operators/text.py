@@ -24,11 +24,13 @@ BPE_ISH = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
 
 def token_count(df: DataFrame, col: str = "text") -> DataFrame:
     """Whitespace token count + BPE-ish regex token count (both JVM-side)."""
+    # pattern passed as a Column literal, NOT interpolated into a SQL string
+    # (SQL string literals eat backslashes: '\s' would become 's')
     return df.withColumn(
         "n_ws_tokens", F.size(F.split(F.col(col), r"\s+"))
     ).withColumn(
         "n_bpe_tokens",
-        F.size(F.expr(f"regexp_extract_all({col}, '{BPE_ISH}', 0)")),
+        F.size(F.regexp_extract_all(F.col(col), F.lit(BPE_ISH), F.lit(0))),
     )
 
 

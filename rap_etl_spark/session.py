@@ -43,7 +43,7 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "90g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         # ParallelGC: the token-array payloads allocate heavily in scans and
         # aggregations; G1 at high thread counts spent more time pacing than
         # collecting here (measured 2-4x slowdowns at local[32])

@@ -118,10 +118,14 @@ def synthesize_events(
             starts = np.concatenate(([0], np.cumsum(n_tok)[:-1]))
             total = int(n_tok.sum())
             pos = np.arange(total, dtype=np.int64) - np.repeat(starts, n_tok)
-            base = np.repeat(
-                (doc_num * 31 + lsn * 13) % VOCAB, n_tok
-            )
-            flat = ((base + pos * 7) % VOCAB).astype(tok_dtype)
+            base = np.repeat(doc_num * 31 + lsn * 13, n_tok)
+            # hash-mixed per position: HIGH-ENTROPY token ids. Real token
+            # streams don't dictionary-compress to nothing; an arithmetic
+            # sequence here made parquet decode unrealistically free and
+            # benchmarks overhead-bound.
+            flat = (
+                _splitmix64((base + pos).astype(np.uint64)) % np.uint64(VOCAB)
+            ).astype(tok_dtype)
             tokens = np.split(flat, np.cumsum(n_tok)[:-1])
             src = np.char.add(
                 "src", ((h >> np.uint64(17)) % np.uint64(sources)).astype(np.int64).astype(str)
@@ -194,4 +198,8 @@ def write_event_log(
             (F.col("lsn") * n_batches / F.lit(n_events)).cast("int"),
         ),
     )
-    with_batch.write.mode("overwrite").partitionBy("batch").parquet(out_dir)
+    # zstd: realistic for a read-heavy WAL, and decode work scales with
+    # cores (snappy/uncompressed bit-unpacking is memory-bandwidth-bound)
+    with_batch.write.mode("overwrite").option("compression", "zstd").partitionBy(
+        "batch"
+    ).parquet(out_dir)

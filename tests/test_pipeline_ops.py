@@ -1,0 +1,172 @@
+"""Training-data pipeline operators: dedup recall, ANN recall vs brute
+force, lang-id accuracy, multimodal plumbing shapes, vectorized kernels."""
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from rap_etl_spark.functions.tokens import (
+    recount_tokens,
+    token_count_py,
+    token_mean_py,
+    token_sum_py,
+)
+from rap_etl_spark.operators.multimodal import extract_features, frame_sample, synth_media
+from rap_etl_spark.operators.neardup import (
+    dedup_exact,
+    minhash_near_dups,
+    simhash_near_dups,
+)
+from rap_etl_spark.operators.similarity import brute_force_topk, ivf_topk, lsh_topk
+from rap_etl_spark.operators.text import fit_lang_id, lang_id
+
+
+def _docs(spark, sf_small):
+    return spark.read.parquet(f"{sf_small}/documents.parquet")
+
+
+def _embeddings(spark, sf_small):
+    return spark.read.parquet(f"{sf_small}/embeddings.parquet")
+
+
+def test_dedup_exact_finds_planted_dups(spark, sf_small):
+    d = _docs(spark, sf_small).select("doc_id", "text")
+    n_planted = d.filter(F.col("doc_id") % 7 == 0).count()
+    corpus = d.unionByName(
+        d.filter(F.col("doc_id") % 7 == 0).select(
+            (F.col("doc_id") + 10_000).alias("doc_id"), "text"
+        )
+    )
+    uniq = dedup_exact(corpus)
+    # every planted dup collapses into its original's group
+    assert uniq.count() == corpus.count() - n_planted
+    assert uniq.filter(F.col("n_copies") > 1).count() >= n_planted * 0.9
+
+
+def test_minhash_finds_planted_near_dups(spark, sf_small):
+    d = _docs(spark, sf_small).select("doc_id", "text")
+    planted = d.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat("text", F.lit(" zzz")).alias("text"),
+    )
+    n_planted = planted.count()
+    pairs = minhash_near_dups(d.unionByName(planted), threshold=0.5)
+    hits = pairs.filter(F.col("b") == F.col("a") + 1_000_000).count()
+    assert hits >= 0.8 * n_planted  # LSH recall on near-identical docs
+    # deterministic: second run identical
+    pairs2 = minhash_near_dups(d.unionByName(planted), threshold=0.5)
+    assert pairs.exceptAll(pairs2).count() == 0
+
+
+def test_simhash_near_dups(spark, sf_small):
+    d = _docs(spark, sf_small).select("doc_id", "text")
+    planted = d.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat("text", F.lit(" q")).alias("text"),
+    )
+    n_planted = planted.count()
+    pairs = simhash_near_dups(d.unionByName(planted), max_hamming=6)
+    hits = pairs.filter(F.col("b") == F.col("a") + 1_000_000).count()
+    assert hits >= 0.5 * n_planted
+
+
+def test_ann_recall_vs_brute_force(spark, sf_small):
+    """Plant true near-neighbors (noisy copies of the query) — random
+    vectors have no meaningfully-close neighbors, so recall on them tests
+    nothing. The ANN paths must recover the planted cluster."""
+    import pandas as pd
+
+    e = _embeddings(spark, sf_small)
+    q = [float(x) for x in e.filter(F.col("vec_id") == 0).first()["embedding"]]
+    qv = np.asarray(q)
+    rng = np.random.RandomState(7)
+    planted = pd.DataFrame(
+        {
+            "vec_id": [10_000 + i for i in range(8)],
+            "embedding": [
+                (qv + rng.normal(scale=0.05 * np.abs(qv).mean(), size=len(qv)))
+                .astype(np.float32)
+                .tolist()
+                for i in range(8)
+            ],
+            "label": [0] * 8,
+        }
+    )
+    corpus = e.unionByName(spark.createDataFrame(planted, schema=e.schema))
+    exact = {r["vec_id"] for r in brute_force_topk(corpus, q, k=9).collect()}
+    assert exact == {0} | {10_000 + i for i in range(8)}  # query + planted
+    lsh = {
+        r["vec_id"]
+        for r in lsh_topk(
+            corpus, q, dim=len(q), k=9, n_planes=8, probe_hamming=2
+        ).collect()
+    }
+    ivf = {
+        r["vec_id"] for r in ivf_topk(corpus, q, k=9, n_centroids=8, n_probe=3).collect()
+    }
+    assert len(exact & lsh) >= 6  # LSH recovers most of the planted cluster
+    assert len(exact & ivf) >= 6  # IVF recovers most of the planted cluster
+
+
+def test_lang_id_mechanics(spark, sf_small):
+    """The testdata text is random words — lang labels carry no textual
+    signal, so accuracy ≈ chance BY CONSTRUCTION. Assert the operator's
+    mechanics: predictions come from the trained label set, every doc gets
+    one, and the pandas-UDF path is deterministic across runs."""
+    d = _docs(spark, sf_small)
+    model = fit_lang_id(d)
+    pred = lang_id(d, model).select("doc_id", "lang_pred")
+    rows = pred.collect()
+    langs = set(model) | {"und"}
+    assert len(rows) == d.count()
+    assert all(r["lang_pred"] in langs for r in rows)
+    again = {r["doc_id"]: r["lang_pred"] for r in lang_id(d, model).select("doc_id", "lang_pred").collect()}
+    assert all(again[r["doc_id"]] == r["lang_pred"] for r in rows)
+
+
+def test_multimodal_plumbing(spark, sf_small):
+    d = _docs(spark, sf_small).limit(50)
+    media = synth_media(d, kind="image")
+    feats = extract_features(media, feat_dim=16)
+    rows = feats.collect()
+    assert len(rows) == 50
+    assert all(len(r["feature"]) == 16 for r in rows)
+    assert all(r["n_bytes"] > 0 for r in rows)
+    # deterministic across runs
+    again = {r["media_id"]: r["sha1"] for r in extract_features(media).collect()}
+    assert all(again[r["media_id"]] == r["sha1"] for r in rows)
+    frames = frame_sample(synth_media(d, kind="video"), every_ms=500)
+    per = frames.groupBy("media_id").count()
+    assert per.filter(F.col("count") < 2).count() == 0
+
+
+def test_vectorized_kernels_match_native(spark, sf_small):
+    d = _docs(spark, sf_small).withColumn(
+        "tokens", F.transform(F.split("text", " "), lambda w: F.length(w))
+    )
+    native = recount_tokens(d).select("doc_id", F.col("n_tok").alias("n"))
+    arrow = d.select("doc_id", token_count_py("tokens").alias("n"))
+    assert native.exceptAll(arrow).count() == 0
+    # sum kernel == native aggregate expression
+    nat_sum = d.select(
+        "doc_id",
+        F.aggregate("tokens", F.lit(0).cast("long"), lambda a, x: a + x).alias("s"),
+    )
+    arr_sum = d.select("doc_id", token_sum_py("tokens").alias("s"))
+    assert nat_sum.exceptAll(arr_sum).count() == 0
+    means = d.select(token_mean_py("tokens").alias("m")).limit(5).collect()
+    assert all(r["m"] > 0 for r in means)
+
+
+def test_no_rowwise_python_udf_in_codebase():
+    """Vectorization guard (SURVEY.md §5.2-7): no row-at-a-time F.udf in the
+    engine; Python hits the JVM boundary only through Arrow (pandas_udf,
+    mapInPandas, applyInPandas)."""
+    import pathlib
+
+    root = pathlib.Path(__file__).parent.parent / "rap_etl_spark"
+    bad = []
+    for p in root.rglob("*.py"):
+        src = p.read_text()
+        if "F.udf(" in src or "functions.udf(" in src or "@udf(" in src:
+            bad.append(str(p))
+    assert not bad, f"row-wise Python UDFs found in: {bad}"

@@ -1,0 +1,92 @@
+"""Plan-shape assertions (SURVEY.md §4): pushdown, pruning, join strategy,
+aggregation kind, Arrow-only Python. A regression here is a performance bug
+even when results stay correct."""
+
+from pyspark.sql import functions as F
+
+from rap_etl_spark.operators.cdc import lww_latest
+from rap_etl_spark.operators.relational import (
+    q_agg_pricing_summary,
+    q_filter_pred,
+    q_join_broadcast,
+    q_scan_lineitem,
+    q_topk_orders,
+)
+from rap_etl_spark.plans.explain import (
+    agg_kinds,
+    formatted_plan,
+    has_pushed_filter,
+    join_kinds,
+    read_columns,
+)
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_oracle):
+    df = q_filter_pred(spark, sf_oracle)
+    assert has_pushed_filter(df, "LessThan(l_quantity,24")
+
+
+def test_column_pruning(spark, sf_oracle):
+    df = q_scan_lineitem(spark, sf_oracle)
+    cols = read_columns(df)
+    assert cols == {"l_orderkey", "l_linenumber", "l_quantity"}
+    # the 11-column table is NOT fully read for a 3-column projection
+    assert "l_extendedprice" not in cols
+
+
+def test_small_dim_broadcasts(spark, sf_oracle):
+    df = q_join_broadcast(spark, sf_oracle)
+    kinds = join_kinds(df)
+    assert "BroadcastHashJoin" in kinds
+    assert "SortMergeJoin" not in kinds
+
+
+def test_agg_uses_hash_aggregate(spark, sf_oracle):
+    df = q_agg_pricing_summary(spark, sf_oracle)
+    kinds = agg_kinds(df)
+    assert "HashAggregate" in kinds
+    assert "SortAggregate" not in kinds
+
+
+def test_topk_avoids_global_sort(spark, sf_oracle):
+    plan = formatted_plan(q_topk_orders(spark, sf_oracle))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_lww_join_strategy_keeps_fixed_width_agg(spark, sf_small):
+    """The winner aggregation must stay HashAggregate (fixed-width max(lsn)
+    buffer); arrays flowing through an agg buffer would force SortAggregate
+    — the regression this engine explicitly designs against."""
+    from rap_etl_spark.sources.synth import synthesize_events
+
+    ev = synthesize_events(spark, sf_small, 500, max_tok=4)
+    df = lww_latest(ev, strategy="join")
+    kinds = agg_kinds(df)
+    assert "HashAggregate" in kinds
+    plan = formatted_plan(df)
+    assert "partial_max" in plan  # map-side combine present
+
+
+def test_merge_plan_reads_only_affected_buckets(spark, sf_small, tmp_path):
+    """Bucket pruning: a merge touching one key reads one bucket's file(s),
+    not the whole table (checked via the manifest-selected file list)."""
+    from rap_etl_spark.lake import ManifestParquetTable
+    from rap_etl_spark.schemas import DOCS_SCHEMA
+
+    t = ManifestParquetTable.create(spark, str(tmp_path / "t"), DOCS_SCHEMA, n_buckets=16)
+    rows = [(f"doc-{i}", [1], 1, "s") for i in range(200)]
+    t.append(spark.createDataFrame(rows, DOCS_SCHEMA), batch_id=0)
+    m = t._manifest()
+    ch = spark.createDataFrame(
+        [("doc-3", "U", 99, [9], 1, "s")],
+        "doc_id string, op string, lsn long, tokens array<int>, n_tok int, source string",
+    )
+    bucket = ch.select(t._bucket_expr("doc_id").alias("b")).first()["b"]
+    affected = [fe for fe in m["files"] if fe["bucket"] == bucket]
+    untouched = [fe for fe in m["files"] if fe["bucket"] != bucket]
+    assert len(affected) >= 1 and len(untouched) >= 10
+    t.merge(ch, batch_id=1)
+    m2 = t._manifest()
+    # untouched buckets kept their exact files (no rewrite, no read needed)
+    kept = {fe["path"] for fe in m2["files"]}
+    assert all(fe["path"] in kept for fe in untouched)
