@@ -57,13 +57,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
     from rap_etl_spark.operators.pipeline_queries import QUERIES2
     from rap_etl_spark.operators.relational import QUERIES
+    from rap_etl_spark.operators.tpch_queries import TPCH_QUERIES
 
-    return {**QUERIES, **QUERIES2}
+    return {**QUERIES, **QUERIES2, **TPCH_QUERIES}
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-dialect oracle for each SQL-expressible queries() key."""
     from rap_etl_spark.operators.pipeline_queries import ORACLES2
     from rap_etl_spark.operators.relational import ORACLES
+    from rap_etl_spark.operators.tpch_queries import TPCH_ORACLES
 
-    return {**ORACLES, **ORACLES2}
+    return {**ORACLES, **ORACLES2, **TPCH_ORACLES}

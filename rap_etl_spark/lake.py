@@ -475,6 +475,91 @@ class ManifestParquetTable(LakeTable):
         finally:
             ch.unpersist()
 
+    # ---------- maintenance ----------
+    def compact(
+        self,
+        tombstone_horizon_lsn: int | None = None,
+        expire_snapshots_keep: int | None = None,
+    ) -> CommitInfo:
+        """Table maintenance, Iceberg rewrite_data_files-style:
+
+        - rewrite every bucket's live rows into one file per bucket (merges
+          the per-commit file fragments a long CDC run accumulates);
+        - garbage-collect delete tombstones with _lsn <= tombstone_horizon
+          (safe once no event at-or-below that LSN can ever be redelivered —
+          e.g. the streaming checkpoint's committed offset);
+        - optionally expire old snapshot manifests (keep the newest K),
+          freeing their exclusive data files.
+
+        Runs as one normal commit: readers flip atomically with the pointer.
+        """
+        m = self._manifest()
+        schema = self.schema()
+        df = self._read_files(m["files"], schema, with_meta=True)
+        if tombstone_horizon_lsn is not None:
+            df = df.filter(
+                ~(
+                    F.coalesce(F.col(META_DEL), F.lit(False))
+                    & (F.coalesce(F.col(META_LSN), F.lit(-1)) <= tombstone_horizon_lsn)
+                )
+            )
+        data = df.withColumn("_b", self._bucket_expr(self.key))
+        nxt = self._next_manifest(m)
+        entries = self._write_data_files(data, nxt["snapshot_id"], m["current_schema_version"])
+        nxt["files"] = entries
+        self._write_manifest(nxt)
+        if expire_snapshots_keep is not None:
+            self.expire_snapshots(keep=expire_snapshots_keep)
+        return CommitInfo(nxt["snapshot_id"], None, -1)
+
+    def expire_snapshots(self, keep: int = 3) -> int:
+        """Drop all but the newest `keep` snapshot manifests and delete data
+        files referenced by no surviving snapshot. Returns files deleted."""
+        mdir = os.path.join(self.path, "manifests")
+        manifests = []
+        for fn in os.listdir(mdir):
+            if fn.startswith("manifest-"):
+                with open(os.path.join(mdir, fn)) as f:
+                    manifests.append((fn, json.load(f)))
+        manifests.sort(key=lambda t: t[1]["seq"])
+        current_sid = self._manifest()["snapshot_id"]
+        keep_set = {t[0] for t in manifests[-keep:]}
+        keep_set.add(f"manifest-{current_sid}.json")
+        live_files: set[str] = set()
+        for fn, man in manifests:
+            if fn in keep_set:
+                live_files.update(fe["path"] for fe in man["files"])
+        deleted = 0
+        for fn, man in manifests:
+            if fn not in keep_set:
+                for fe in man["files"]:
+                    p = os.path.join(self.path, fe["path"])
+                    if fe["path"] not in live_files and os.path.exists(p):
+                        os.remove(p)
+                        deleted += 1
+                os.remove(os.path.join(mdir, fn))
+        return deleted
+
+    def history(self) -> list[dict]:
+        """Snapshot lineage (newest first): seq, snapshot_id, parent,
+        committed_at, file count — the Iceberg `.snapshots` analogue."""
+        mdir = os.path.join(self.path, "manifests")
+        out = []
+        for fn in os.listdir(mdir):
+            if fn.startswith("manifest-"):
+                with open(os.path.join(mdir, fn)) as f:
+                    man = json.load(f)
+                out.append(
+                    {
+                        "seq": man["seq"],
+                        "snapshot_id": man["snapshot_id"],
+                        "parent": man["parent"],
+                        "committed_at": man["committed_at"],
+                        "n_files": len(man["files"]),
+                    }
+                )
+        return sorted(out, key=lambda d: d["seq"], reverse=True)
+
     # ---------- schema evolution ----------
     def evolve(self, new_schema: T.StructType) -> None:
         m = self._manifest()
