@@ -16,13 +16,20 @@ the identical table state.
 from __future__ import annotations
 
 import os
+import tempfile
 import time
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from rap_etl_spark.lake import CommitInfo, LakeTable, ManifestParquetTable, cast_to_schema
+from rap_etl_spark.lake import (
+    CommitInfo,
+    LakeTable,
+    ManifestParquetTable,
+    _tlog,
+    cast_to_schema,
+)
 from rap_etl_spark.operators.cdc import KEY, diff_against_table, lww_latest
 from rap_etl_spark.schemas import PAYLOAD_COLS
 
@@ -54,6 +61,15 @@ class CdcEngine:
     # ~40B — 5M keys ≈ 200MB, within executor broadcast budgets); larger
     # batches fall back to a shuffled join
     broadcast_key_limit: int = 5_000_000
+    # Stage the reduced winner delta as a small parquet before merging: the
+    # one expensive pass over the raw batch (the LWW semi-join) runs exactly
+    # once, and every downstream merge job (affected-bucket discovery, the
+    # old-vs-new reduction, the bucket write, row counting) re-reads the
+    # tiny staged delta instead of re-deriving it from the multi-GB scan —
+    # the standard CDC "staging table" move, and it also removes reliance on
+    # Spark cache retention under memory pressure.
+    stage_delta: bool = True
+    staging_dir: str | None = None
     metrics: list[BatchMetrics] = field(default_factory=list)
 
     def apply_batch(self, events: DataFrame, batch_id: int) -> BatchMetrics:
@@ -85,18 +101,66 @@ class CdcEngine:
                 winners = (
                     events.groupBy(KEY).agg(F.max("lsn").alias("lsn")).persist()
                 )
+                _t = time.monotonic()
                 n_keys = winners.count()
-                rhs = (
-                    F.broadcast(winners)
-                    if n_keys <= self.broadcast_key_limit
-                    else winners
+                _tlog("engine.winners_count", _t)
+                # Probe on ONE long key (xxhash64 of the pair), not on the
+                # (string, long) compound: Spark then builds a
+                # LongHashedRelation (dense array probe) instead of a
+                # generic UnsafeRow-keyed map — measured 4x faster and,
+                # unlike the compound probe, it scales with cores. Hash
+                # hits are re-verified with exact (key, lsn) equality, so
+                # a 64-bit collision can admit no wrong row — the hash is
+                # only a fast path, never a correctness assumption.
+                winners_h = winners.select(
+                    F.xxhash64(KEY, "lsn").alias("_h"),
+                    F.col(KEY).alias("_w_key"),
+                    F.col("lsn").alias("_w_lsn"),
                 )
-                # no dropDuplicates here: duplicate deliveries of the winner
-                # event are byte-identical and the merge's own winner
-                # reduction collapses them — saves a pass over the arrays
-                latest = events.join(rhs, on=[KEY, "lsn"], how="left_semi")
+                rhs = (
+                    F.broadcast(winners_h)
+                    if n_keys <= self.broadcast_key_limit
+                    else winners_h
+                )
+                latest = (
+                    events.withColumn("_h", F.xxhash64(KEY, "lsn"))
+                    .join(rhs, on="_h", how="inner")
+                    .filter(
+                        (F.col(KEY) == F.col("_w_key"))
+                        & (F.col("lsn") == F.col("_w_lsn"))
+                    )
+                    .drop("_h", "_w_key", "_w_lsn")
+                )
             else:
                 latest = lww_latest(events, strategy=self.lww_strategy)
+
+            # Stage the winner rows FIRST, before any shuffle or Python
+            # stage, so the one pass over the raw batch is a single
+            # narrow codegen pipeline: scan -> long-key probe -> exact
+            # filter -> parquet write. Dedup, payload unpacking and the
+            # merge then all operate on the tiny staged delta.
+            delta_path = None
+            if self.stage_delta:
+                base = self.staging_dir or tempfile.mkdtemp(prefix="rap-etl-delta-")
+                delta_path = os.path.join(base, f"delta-{batch_id}")
+                _t = time.monotonic()
+                latest.write.mode("overwrite").parquet(delta_path)
+                _tlog("engine.stage_delta_write", _t)
+                latest = self.spark.read.parquet(delta_path)
+
+            # duplicate deliveries of the winner event are byte-identical —
+            # collapse them to strictly one row per key (tiny shuffle: only
+            # winner rows are left)
+            latest = latest.dropDuplicates([KEY])
+
+            # packed WAL wire format: the scan/LWW above never decoded token
+            # arrays (binary blob per row); expand ONLY the winner rows to
+            # the table's array<int32> via the vectorized Arrow kernel
+            table_cols = {f.name for f in self.table.schema().fields}
+            if "tokens_bin" in latest.columns and "tokens" in table_cols:
+                from rap_etl_spark.functions.tokens import unpack_tokens
+
+                latest = unpack_tokens(latest)
 
             # payload columns follow the table's CURRENT schema (schema
             # evolution: an added column like `lang` must flow through)
@@ -113,7 +177,13 @@ class CdcEngine:
                 changes = latest
 
             payload = changes.select(KEY, "op", "lsn", *payload_cols)
-            info: CommitInfo = self.table.merge(payload, batch_id=batch_id)
+            try:
+                info: CommitInfo = self.table.merge(payload, batch_id=batch_id)
+            finally:
+                if delta_path is not None:
+                    import shutil
+
+                    shutil.rmtree(delta_path, ignore_errors=True)
 
             if self.count_input:
                 input_rows = events.count()

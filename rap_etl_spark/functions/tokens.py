@@ -96,6 +96,37 @@ def token_mean_py(tokens: pd.Series) -> pd.Series:
     return pd.Series(out)
 
 
+# ---------- packed wire format (EVENTS_SCHEMA_PACKED) ----------
+@pandas_udf(T.BinaryType())
+def pack_tokens_py(tokens: pd.Series) -> pd.Series:
+    """array<int32> -> packed little-endian int32 bytes (the WAL wire form).
+    One astype+tobytes per Arrow batch; per-row work is a C-level slice."""
+    flat, lens, starts = _flatten(tokens.map(lambda a: a if a is not None else []))
+    buf = flat.astype("<i4").tobytes() if flat.size else b""
+    out = [
+        None if a is None else buf[s * 4 : (s + n) * 4]
+        for a, s, n in zip(tokens, starts, lens)
+    ]
+    return pd.Series(out, dtype=object)
+
+
+@pandas_udf(T.ArrayType(T.IntegerType()))
+def unpack_tokens_py(blob: pd.Series) -> pd.Series:
+    """packed bytes -> array<int32>; np.frombuffer is a zero-copy view."""
+    return pd.Series(
+        [None if b is None else np.frombuffer(b, dtype="<i4") for b in blob],
+        dtype=object,
+    )
+
+
+def pack_tokens(df: DataFrame, col: str = "tokens", out: str = "tokens_bin") -> DataFrame:
+    return df.withColumn(out, pack_tokens_py(F.col(col))).drop(col)
+
+
+def unpack_tokens(df: DataFrame, col: str = "tokens_bin", out: str = "tokens") -> DataFrame:
+    return df.withColumn(out, unpack_tokens_py(F.col(col))).drop(col)
+
+
 def concat_tokens_per_key(df: DataFrame, key: str, col: str = "tokens") -> DataFrame:
     """Grouped-map assembly (V3): concatenate a key's token arrays in lsn
     order into one sequence — the per-record triple-set assembly of the

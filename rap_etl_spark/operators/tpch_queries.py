@@ -84,8 +84,9 @@ def q10_returned_items(spark, sf):
 
 
 def q_fn_map(spark, sf):
-    """F7 map functions (rows-only: DuckDB map value extraction differs in
-    NULL/typing semantics, pytest asserts values instead)."""
+    """F7 map functions. Oracled by VALUE: the DuckDB SQL reproduces the
+    same outputs from the base columns (element_at(m,'lang') == lang, two
+    keys, pipe-joined values) without needing DuckDB's map type."""
     d = _t(spark, sf, "documents")
     m = F.create_map(
         F.lit("lang"), F.col("lang"), F.lit("source"), F.col("source")
@@ -153,6 +154,10 @@ TPCH_ORACLES = {
         " JOIN region ON n_regionkey = r_regionkey"
         " WHERE o_orderdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1996-12-31'"
         " GROUP BY r_name, n_name"
+    ),
+    "fn_map": (
+        "SELECT doc_id, lang AS m_lang, 2 AS n_keys,"
+        " lang || '|' || source AS vals FROM documents"
     ),
     "q10_returned_items": (
         "SELECT c_custkey, c_name, n_name,"

@@ -44,6 +44,25 @@ EVENTS_SCHEMA = T.StructType(
     ]
 )
 
+# Packed WAL variant: tokens travel as one BINARY column (little-endian
+# int32), the wire format a real binlog/Kafka tail would carry. Parquet
+# decodes one byte blob per row instead of assembling an array cell per
+# token — measured ~10x cheaper scan (BENCH/BASELINE.md) — and the blob is
+# only expanded to array<int32> for the (tiny) winner set at merge time
+# (engine.py / functions.tokens.unpack_tokens). The TARGET table keeps the
+# binding array<int32> schema either way.
+EVENTS_SCHEMA_PACKED = T.StructType(
+    [
+        T.StructField("op", T.StringType(), False),
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("lsn", T.LongType(), False),
+        T.StructField("tokens_bin", T.BinaryType(), True),  # packed <i4, null for D
+        T.StructField("n_tok", T.IntegerType(), True),
+        T.StructField("source", T.StringType(), True),
+        T.StructField("ingest_ts", T.TimestampType(), False),
+    ]
+)
+
 EVENTS_SCHEMA_V2 = T.StructType(
     [
         T.StructField("op", T.StringType(), False),

@@ -46,8 +46,12 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         # ParallelGC: the token-array payloads allocate heavily in scans and
         # aggregations; G1 at high thread counts spent more time pacing than
-        # collecting here (measured 2-4x slowdowns at local[32])
-        .config("spark.driver.extraJavaOptions", "-XX:+UseParallelGC")
+        # collecting here (measured 2-4x slowdowns at local[32]).
+        # Override with SPARK_GRAFT_JAVA_OPTS for GC experiments.
+        .config(
+            "spark.driver.extraJavaOptions",
+            os.environ.get("SPARK_GRAFT_JAVA_OPTS", "-XX:+UseParallelGC"),
+        )
         # hash joins over sort-merge where legal: CDC winner-join and merge
         # joins are selective; sorting the big side is wasted work (AQE can
         # still demote to broadcast at runtime)

@@ -21,7 +21,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from rap_etl_spark.schemas import EVENTS_SCHEMA, EVENTS_SCHEMA_V2
+from rap_etl_spark.schemas import EVENTS_SCHEMA, EVENTS_SCHEMA_PACKED, EVENTS_SCHEMA_V2
 
 VOCAB = 50257  # GPT-2-ish vocab size for synthetic token ids
 _EPOCH_US = np.int64(1704067200000000)  # 2024-01-01T00:00:00Z in microseconds
@@ -71,6 +71,8 @@ def synthesize_events(
     evolve_at_lsn: int | None = None,
     sources: int = 8,
     seed: int = 42,
+    packed: bool = False,
+    staging_dir: str | None = None,
 ) -> DataFrame:
     """Synthesize ``n_events`` base change events (plus ~dup_frac duplicate
     deliveries) over the sf_dir documents key space.
@@ -81,13 +83,18 @@ def synthesize_events(
     pre-cutover rows (callers that need the raw two-phase log should call
     twice and keep the frames separate).
     """
+    if packed and evolve_at_lsn is not None:
+        raise ValueError("packed wire format supports the v1 (int32) schema only")
     doc_nums = doc_id_universe(spark, sf_dir)
     cdf = zipf_cdf(len(doc_nums), zipf_s)
     b_docs = spark.sparkContext.broadcast(doc_nums)
     b_cdf = spark.sparkContext.broadcast(cdf)
     evolved_all = evolve_at_lsn is not None and evolve_at_lsn <= 0
 
-    out_schema = EVENTS_SCHEMA_V2 if evolve_at_lsn is not None else EVENTS_SCHEMA
+    if packed:
+        out_schema = EVENTS_SCHEMA_PACKED
+    else:
+        out_schema = EVENTS_SCHEMA_V2 if evolve_at_lsn is not None else EVENTS_SCHEMA
     tok_dtype = np.int64 if evolve_at_lsn is not None else np.int32
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -126,7 +133,16 @@ def synthesize_events(
             flat = (
                 _splitmix64((base + pos).astype(np.uint64)) % np.uint64(VOCAB)
             ).astype(tok_dtype)
-            tokens = np.split(flat, np.cumsum(n_tok)[:-1])
+            if packed:
+                # wire form: one <i4 blob per row (C-level slices of one
+                # contiguous buffer — no per-row Python arithmetic)
+                buf = flat.astype("<i4").tobytes()
+                tokens = [
+                    buf[int(s) * 4 : int(s + n) * 4]
+                    for s, n in zip(starts, n_tok)
+                ]
+            else:
+                tokens = np.split(flat, np.cumsum(n_tok)[:-1])
             src = np.char.add(
                 "src", ((h >> np.uint64(17)) % np.uint64(sources)).astype(np.int64).astype(str)
             )
@@ -136,12 +152,18 @@ def synthesize_events(
                     "op": op,
                     "doc_id": np.char.add("doc-", doc_num.astype(str)),
                     "lsn": lsn,
-                    "tokens": pd.Series(list(tokens), dtype=object),
+                    ("tokens_bin" if packed else "tokens"): pd.Series(
+                        list(tokens), dtype=object
+                    ),
                     "n_tok": n_tok,
                     "source": src,
                     "ingest_ts": ts,
                 }
             )
+            if packed:
+                out = out[
+                    ["op", "doc_id", "lsn", "tokens_bin", "n_tok", "source", "ingest_ts"]
+                ]
             if evolve_at_lsn is not None:
                 lang_vals = langs[
                     (_splitmix64(doc_num.astype(np.uint64)) % np.uint64(len(langs))).astype(
@@ -160,6 +182,13 @@ def synthesize_events(
         .repartition(max(spark.sparkContext.defaultParallelism, 8))
         .mapInPandas(gen, schema=out_schema)
     )
+    if staging_dir is not None:
+        # The downstream fixup (first-I join) and duplicate-delivery union
+        # would otherwise re-execute the Python generator 3x per consuming
+        # action. Staging the raw generation once turns every later pass
+        # into a plain JVM parquet scan — essential at 10^8-event prep.
+        base.write.mode("overwrite").option("compression", "zstd").parquet(staging_dir)
+        base = spark.read.parquet(staging_dir)
 
     # first event per key must be 'I' (FIXTURES.md B2): key-min-lsn is a tiny
     # aggregate (|keys| rows) — broadcast-joined back, no big-side shuffle
@@ -172,7 +201,8 @@ def synthesize_events(
         .drop("_min_lsn")
     )
     # null the payload on deletes (a fixed-up first-'I' keeps its payload)
-    for c in ["tokens", "n_tok", "source"] + (["lang"] if evolve_at_lsn is not None else []):
+    payload_cols = ["tokens_bin" if packed else "tokens", "n_tok", "source"]
+    for c in payload_cols + (["lang"] if evolve_at_lsn is not None else []):
         base = base.withColumn(c, F.when(F.col("op") == "D", F.lit(None)).otherwise(F.col(c)))
 
     # duplicate deliveries: a seeded ~dup_frac of events emitted twice with

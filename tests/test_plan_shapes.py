@@ -90,3 +90,36 @@ def test_merge_plan_reads_only_affected_buckets(spark, sf_small, tmp_path):
     # untouched buckets kept their exact files (no rewrite, no read needed)
     kept = {fe["path"] for fe in m2["files"]}
     assert all(fe["path"] in kept for fe in untouched)
+
+
+def test_packed_winners_scan_prunes_blob(spark, sf_small):
+    """Packed WAL: the winners aggregation (max lsn per key) must not read
+    the tokens_bin blob column — pruning to (doc_id, lsn) is what makes the
+    first pass ~free at 10^10-event scale."""
+    from rap_etl_spark.sources.synth import synthesize_events
+
+    ev = synthesize_events(spark, sf_small, 500, max_tok=4, packed=True)
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="rap-etl-plan-") + "/log"
+    ev.write.mode("overwrite").parquet(d)
+    logdf = spark.read.parquet(d)
+    winners = logdf.groupBy("doc_id").agg(F.max("lsn").alias("lsn"))
+    cols = read_columns(winners)
+    assert "tokens_bin" not in cols, cols
+    assert "doc_id" in cols and "lsn" in cols
+
+
+def test_packed_semi_join_broadcasts_winners(spark, sf_small):
+    """The LWW payload fetch is a broadcast semi join: the multi-GB event
+    scan must never shuffle (only the tiny winner set moves)."""
+    from pyspark.sql import functions as F2
+
+    from rap_etl_spark.sources.synth import synthesize_events
+
+    ev = synthesize_events(spark, sf_small, 500, max_tok=4, packed=True)
+    w = ev.groupBy("doc_id").agg(F2.max("lsn").alias("lsn"))
+    latest = ev.join(F2.broadcast(w), on=["doc_id", "lsn"], how="left_semi")
+    kinds = join_kinds(latest)
+    assert "BroadcastHashJoin" in kinds
+    assert "SortMergeJoin" not in kinds

@@ -92,3 +92,27 @@ def test_stream_dedup_within_watermark(spark, sf_small, tmp_path):
     got = spark.sql("select count(*) c from dedup_out").first()["c"]
     distinct = spark.read.parquet(log).dropDuplicates(["doc_id", "lsn"]).count()
     assert got == distinct
+
+
+def test_stream_packed_wal_tail(spark, sf_small, tmp_path):
+    """C8 over the packed wire format: a streaming tail of EVENTS_SCHEMA_PACKED
+    files converges to the same final state as the array-format batch replay
+    of the same events (engine expands winners at merge time)."""
+    from rap_etl_spark.schemas import EVENTS_SCHEMA_PACKED
+
+    packed = synthesize_events(spark, sf_small, N_EVENTS, max_tok=8, packed=True)
+    write_event_log(packed, str(tmp_path / "plog"), n_batches=4, n_events=N_EVENTS)
+    t = ManifestParquetTable.create(
+        spark, str(tmp_path / "tp"), DOCS_SCHEMA, n_buckets=8
+    )
+    replay_stream(
+        spark,
+        str(tmp_path / "plog"),
+        str(tmp_path / "pcp"),
+        t,
+        schema=EVENTS_SCHEMA_PACKED,
+        max_files_per_trigger=16,
+    )
+    arr = synthesize_events(spark, sf_small, N_EVENTS, max_tok=8)
+    want = naive_final_state(arr.toPandas())
+    assert_frames_equal(t.read().toPandas(), want)
