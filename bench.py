@@ -53,6 +53,12 @@ LEVELS = tuple(
     int(x) for x in os.environ.get("SPARK_GRAFT_BENCH_LEVELS", "2,8,32").split(",")
 )
 ROUNDS = int(os.environ.get("SPARK_GRAFT_BENCH_ROUNDS", "3"))
+# Merge-heavy scenario: a second, smaller log over a ~10^6-key universe so
+# the winner delta (and therefore the bucket-CoW merge) carries real data
+# volume — the headline log's 5000-key universe makes the merge trivial.
+# Batch 0 bootstraps ~1M rows; batch 1 upserts into them.
+MERGE_KEYS = int(os.environ.get("SPARK_GRAFT_BENCH_MERGE_KEYS", "1000000"))
+MERGE_EVENTS = int(os.environ.get("SPARK_GRAFT_BENCH_MERGE_EVENTS", "16000000"))
 HEADLINE_QUERIES = [
     "agg_pricing_summary",
     "join_sortmerge",
@@ -109,6 +115,25 @@ def prepare_log(work: str) -> str:
         spark, SF_DIR, N_EVENTS, max_tok=MAX_TOK, packed=PACKED, staging_dir=staging
     )
     write_event_log(ev, log_dir, n_batches=N_BATCHES, n_events=N_EVENTS)
+    shutil.rmtree(staging, ignore_errors=True)
+    spark.stop()
+    return log_dir
+
+
+def prepare_merge_log(work: str) -> str:
+    import shutil
+
+    from rap_etl_spark.session import get_spark
+    from rap_etl_spark.sources.synth import synthesize_events, write_event_log
+
+    spark = get_spark(app_name="bench-prep-merge", cpus=32)
+    log_dir = os.path.join(work, "log-merge")
+    staging = os.path.join(work, "stage-raw-merge")
+    ev = synthesize_events(
+        spark, SF_DIR, MERGE_EVENTS, max_tok=MAX_TOK, packed=PACKED,
+        staging_dir=staging, n_keys=MERGE_KEYS,
+    )
+    write_event_log(ev, log_dir, n_batches=2, n_events=MERGE_EVENTS)
     shutil.rmtree(staging, ignore_errors=True)
     spark.stop()
     return log_dir
@@ -197,6 +222,28 @@ def main() -> None:
 
     best = {c: min(ts) for c, ts in times.items()}
     eps = {c: N_EVENTS / best[c] for c in LEVELS}
+
+    # merge-heavy scenario: 2 rounds at the top level, min
+    merge_log = os.path.join(work, "log-merge")
+    if not os.path.exists(os.path.join(merge_log, "batch=0")):
+        merge_log = prepare_merge_log(work)
+    mtimes = []
+    for _ in range(2):
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--replay-worker",
+             str(max(LEVELS)), merge_log, work],
+            capture_output=True, text=True, env=dict(os.environ), check=False,
+        )
+        line = [ln for ln in proc.stdout.splitlines() if ln.startswith("{")]
+        if line:
+            mtimes.append(json.loads(line[-1])["seconds"])
+    merge_heavy = {
+        "n_events": MERGE_EVENTS,
+        "n_keys": MERGE_KEYS,
+        "best_sec": round(min(mtimes), 3) if mtimes else None,
+        "eps": round(MERGE_EVENTS / min(mtimes), 1) if mtimes else None,
+    }
+
     platform = platform_calibration()
     qtimes = run_queries()
 
@@ -232,6 +279,7 @@ def main() -> None:
                 "queries": queries,
                 "sf": _sf_label(SF_DIR),
                 "scaling": scaling,
+                "merge_heavy": merge_heavy,
                 "platform": platform,
             }
         )

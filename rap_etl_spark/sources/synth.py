@@ -73,6 +73,7 @@ def synthesize_events(
     seed: int = 42,
     packed: bool = False,
     staging_dir: str | None = None,
+    n_keys: int | None = None,
 ) -> DataFrame:
     """Synthesize ``n_events`` base change events (plus ~dup_frac duplicate
     deliveries) over the sf_dir documents key space.
@@ -85,7 +86,14 @@ def synthesize_events(
     """
     if packed and evolve_at_lsn is not None:
         raise ValueError("packed wire format supports the v1 (int32) schema only")
-    doc_nums = doc_id_universe(spark, sf_dir)
+    if n_keys is not None:
+        # synthetic key universe 'doc-0'..'doc-<n-1>': decouples the key
+        # cardinality (and therefore delta/merge volume) from the testdata
+        # documents table — the merge-heavy bench scenario needs ~10^6 keys
+        # where sf0.1 only provides 5000
+        doc_nums = np.arange(n_keys, dtype=np.int64)
+    else:
+        doc_nums = doc_id_universe(spark, sf_dir)
     cdf = zipf_cdf(len(doc_nums), zipf_s)
     b_docs = spark.sparkContext.broadcast(doc_nums)
     b_cdf = spark.sparkContext.broadcast(cdf)
