@@ -1,0 +1,230 @@
+"""spark-submit entry point for the CDC engine.
+
+The north-rule deployment shape is ``spark-submit --py-files`` on a
+multi-executor cluster; this module is the submittable driver program. The
+same commands run locally (it builds a session via session.get_spark when
+no active SparkSession exists, e.g. under plain ``python -m``).
+
+Packaging for a cluster::
+
+    cd <repo> && zip -r rap_etl_spark.zip rap_etl_spark
+    spark-submit --py-files rap_etl_spark.zip \
+        --conf spark.sql.shuffle.partitions=<3x total cores> \
+        -m rap_etl_spark.cli  # or a thin launcher file importing main()
+
+Subcommands::
+
+    init     --table PATH [--buckets N] [--schema v1|v2]
+    replay   --table PATH --log DIR [--lineage DIR] [--batches a,b,...]
+    stream   --table PATH --log DIR --checkpoint DIR [--max-files N]
+             [--metrics JSONL] [--continuous]
+    compact  --table PATH [--tombstone-horizon LSN] [--keep-snapshots K]
+    status   --table PATH
+    synth    --out DIR --events N [--sf DIR] [--batches K] [--packed]
+             [--keys N] [--max-tok N]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from pyspark.sql import SparkSession
+
+
+def _spark(app: str) -> SparkSession:
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        return active
+    from rap_etl_spark.session import get_spark
+
+    return get_spark(app_name=app)
+
+
+def cmd_init(args) -> int:
+    from rap_etl_spark.lake import ManifestParquetTable
+    from rap_etl_spark.schemas import DOCS_SCHEMA, DOCS_SCHEMA_V2
+
+    schema = DOCS_SCHEMA_V2 if args.schema == "v2" else DOCS_SCHEMA
+    t = ManifestParquetTable.create(
+        _spark("rap-etl-init"), args.table, schema, n_buckets=args.buckets
+    )
+    print(json.dumps({"table": args.table, "snapshot": t.snapshot_id()}))
+    return 0
+
+
+def cmd_replay(args) -> int:
+    import os
+
+    from rap_etl_spark.engine import CdcEngine
+    from rap_etl_spark.lake import ManifestParquetTable
+
+    spark = _spark("rap-etl-replay")
+    t = ManifestParquetTable(spark, args.table)
+    engine = CdcEngine(spark, t, lineage_dir=args.lineage)
+    if args.batches:
+        batch_ids = [int(b) for b in args.batches.split(",")]
+    else:
+        batch_ids = sorted(
+            int(d.split("=", 1)[1])
+            for d in os.listdir(args.log)
+            if d.startswith("batch=")
+        )
+    for b in batch_ids:
+        df = spark.read.parquet(os.path.join(args.log, f"batch={b}"))
+        m = engine.apply_batch(df, batch_id=b)
+        print(
+            json.dumps(
+                {
+                    "batch_id": m.batch_id,
+                    "applied_rows": m.applied_rows,
+                    "skipped": m.skipped,
+                    "snapshot": m.snapshot_id,
+                    "seconds": round(m.seconds, 3),
+                }
+            )
+        )
+    return 0
+
+
+def cmd_stream(args) -> int:
+    from rap_etl_spark.lake import ManifestParquetTable
+    from rap_etl_spark.schemas import EVENTS_SCHEMA, EVENTS_SCHEMA_PACKED
+    from rap_etl_spark.streaming import metrics as m
+    from rap_etl_spark.streaming.tail import stream_tail
+
+    spark = _spark("rap-etl-stream")
+    t = ManifestParquetTable(spark, args.table)
+    listener = m.attach(spark, args.metrics) if args.metrics else None
+    q = stream_tail(
+        spark,
+        args.log,
+        args.checkpoint,
+        t,
+        lineage_dir=args.lineage,
+        max_files_per_trigger=args.max_files,
+        available_now=not args.continuous,
+        schema=EVENTS_SCHEMA_PACKED if args.packed else EVENTS_SCHEMA,
+    )
+    q.awaitTermination()
+    if listener is not None:
+        # progress events are delivered on a separate listener-bus thread;
+        # give them a moment to drain after termination
+        import time
+
+        for _ in range(50):
+            if listener.totals()["batches"]:
+                break
+            time.sleep(0.1)
+        print(json.dumps(listener.totals()))
+        m.detach(spark, listener)
+    return 0
+
+
+def cmd_compact(args) -> int:
+    from rap_etl_spark.lake import ManifestParquetTable
+
+    t = ManifestParquetTable(_spark("rap-etl-compact"), args.table)
+    info = t.compact(
+        tombstone_horizon_lsn=args.tombstone_horizon,
+        expire_snapshots_keep=args.keep_snapshots,
+    )
+    print(json.dumps({"snapshot": info.snapshot_id}))
+    return 0
+
+
+def cmd_status(args) -> int:
+    from rap_etl_spark.lake import ManifestParquetTable
+
+    t = ManifestParquetTable(_spark("rap-etl-status"), args.table)
+    hist = t.history()
+    print(
+        json.dumps(
+            {
+                "snapshot": t.snapshot_id(),
+                "schema": t.schema().simpleString(),
+                "n_buckets": t.n_buckets(),
+                "committed_batches": sorted(t.committed_batches()),
+                "snapshots": len(hist),
+                "rows": t.read().count(),
+            }
+        )
+    )
+    return 0
+
+
+def cmd_synth(args) -> int:
+    from rap_etl_spark.sources.synth import synthesize_events, write_event_log
+
+    spark = _spark("rap-etl-synth")
+    ev = synthesize_events(
+        spark,
+        args.sf,
+        args.events,
+        max_tok=args.max_tok,
+        packed=args.packed,
+        n_keys=args.keys,
+    )
+    write_event_log(ev, args.out, n_batches=args.batches, n_events=args.events)
+    print(json.dumps({"log": args.out, "events": args.events}))
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="rap-etl-spark", description=__doc__)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    sp = sub.add_parser("init")
+    sp.add_argument("--table", required=True)
+    sp.add_argument("--buckets", type=int, default=32)
+    sp.add_argument("--schema", choices=["v1", "v2"], default="v1")
+    sp.set_defaults(fn=cmd_init)
+
+    sp = sub.add_parser("replay")
+    sp.add_argument("--table", required=True)
+    sp.add_argument("--log", required=True)
+    sp.add_argument("--lineage")
+    sp.add_argument("--batches")
+    sp.set_defaults(fn=cmd_replay)
+
+    sp = sub.add_parser("stream")
+    sp.add_argument("--table", required=True)
+    sp.add_argument("--log", required=True)
+    sp.add_argument("--checkpoint", required=True)
+    sp.add_argument("--lineage")
+    sp.add_argument("--max-files", type=int)
+    sp.add_argument("--metrics")
+    sp.add_argument("--packed", action="store_true")
+    sp.add_argument("--continuous", action="store_true")
+    sp.set_defaults(fn=cmd_stream)
+
+    sp = sub.add_parser("compact")
+    sp.add_argument("--table", required=True)
+    sp.add_argument("--tombstone-horizon", type=int)
+    sp.add_argument("--keep-snapshots", type=int)
+    sp.set_defaults(fn=cmd_compact)
+
+    sp = sub.add_parser("status")
+    sp.add_argument("--table", required=True)
+    sp.set_defaults(fn=cmd_status)
+
+    sp = sub.add_parser("synth")
+    sp.add_argument("--out", required=True)
+    sp.add_argument("--events", type=int, required=True)
+    sp.add_argument("--sf", default="/root/testdata/sf0.001")
+    sp.add_argument("--batches", type=int, default=4)
+    sp.add_argument("--packed", action="store_true")
+    sp.add_argument("--keys", type=int)
+    sp.add_argument("--max-tok", type=int, default=32)
+    sp.set_defaults(fn=cmd_synth)
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,45 @@
+"""The spark-submit driver program (rap_etl_spark.cli) — the deployment
+surface of the north rule (`spark-submit --py-files`). Runs in-process
+against the session fixture (cli reuses the active SparkSession)."""
+
+import json
+
+from rap_etl_spark.cli import main
+
+
+def _run(capsys, *argv) -> list[dict]:
+    assert main(list(argv)) == 0
+    out = capsys.readouterr().out
+    return [json.loads(ln) for ln in out.splitlines() if ln.startswith("{")]
+
+
+def test_cli_full_lifecycle(spark, sf_small, tmp_path, capsys):
+    log = str(tmp_path / "log")
+    table = str(tmp_path / "t")
+
+    rec = _run(capsys, "synth", "--out", log, "--events", "2000",
+               "--sf", sf_small, "--batches", "2", "--packed")
+    assert rec[-1]["events"] == 2000
+
+    rec = _run(capsys, "init", "--table", table, "--buckets", "8")
+    assert rec[-1]["snapshot"].startswith("00000000-")
+
+    rec = _run(capsys, "replay", "--table", table, "--log", log)
+    applied = [r for r in rec if "batch_id" in r]
+    assert len(applied) == 2 and all(not r["skipped"] for r in applied)
+
+    # redelivery of one batch is a metadata no-op
+    rec = _run(capsys, "replay", "--table", table, "--log", log, "--batches", "1")
+    assert rec[-1]["skipped"] is True
+
+    rec = _run(capsys, "status", "--table", table)
+    st = rec[-1]
+    assert st["committed_batches"] == ["0", "1"]
+    assert st["rows"] > 0
+    assert "array<int>" in st["schema"]  # packed WAL expanded to array table
+
+    rec = _run(capsys, "compact", "--table", table)
+    assert rec[-1]["snapshot"]
+
+    rec = _run(capsys, "status", "--table", table)
+    assert rec[-1]["rows"] == st["rows"]  # compaction preserves state
