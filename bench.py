@@ -139,10 +139,12 @@ def prepare_merge_log(work: str) -> str:
     return log_dir
 
 
-def replay_worker(cpus: int, log_dir: str, work: str) -> None:
+def replay_worker(cpus: int, log_dir: str, work: str, n_buckets: int = 16) -> None:
     """Subprocess entry: replay the log ONCE at local[cpus] into a fresh
     table, print seconds. (Min-over-rounds happens in the parent, with
-    rounds interleaved across levels.)"""
+    rounds interleaved across levels.) Bucket count is sized to the final
+    table's data volume — the same sizing rule a real deployment uses
+    (headline table ~5k rows -> 16; merge-heavy ~1M rows -> 64)."""
     import shutil
 
     from rap_etl_spark.engine import replay_log
@@ -155,7 +157,7 @@ def replay_worker(cpus: int, log_dir: str, work: str) -> None:
     spark.read.parquet(os.path.join(log_dir, "batch=0")).count()
     tdir = os.path.join(work, f"table-{cpus}")
     shutil.rmtree(tdir, ignore_errors=True)
-    table = ManifestParquetTable.create(spark, tdir, DOCS_SCHEMA, n_buckets=64)
+    table = ManifestParquetTable.create(spark, tdir, DOCS_SCHEMA, n_buckets=n_buckets)
     t0 = time.monotonic()
     replay_log(spark, table, log_dir, count_input=False)
     dt = time.monotonic() - t0
@@ -184,7 +186,8 @@ def run_queries() -> dict[str, float]:
 
 def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "--replay-worker":
-        replay_worker(int(sys.argv[2]), sys.argv[3], sys.argv[4])
+        nb = int(sys.argv[5]) if len(sys.argv) > 5 else 16
+        replay_worker(int(sys.argv[2]), sys.argv[3], sys.argv[4], n_buckets=nb)
         return
 
     # SPARK_GRAFT_BENCH_WORK: reuse a prepared work dir (log cached there) so
@@ -231,7 +234,7 @@ def main() -> None:
     for _ in range(2):
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--replay-worker",
-             str(max(LEVELS)), merge_log, work],
+             str(max(LEVELS)), merge_log, work, "64"],
             capture_output=True, text=True, env=dict(os.environ), check=False,
         )
         line = [ln for ln in proc.stdout.splitlines() if ln.startswith("{")]
