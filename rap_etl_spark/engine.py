@@ -140,44 +140,48 @@ class CdcEngine:
             # filter -> parquet write. Dedup, payload unpacking and the
             # merge then all operate on the tiny staged delta.
             delta_path = None
-            if self.stage_delta:
-                base = self.staging_dir or tempfile.mkdtemp(prefix="rap-etl-delta-")
-                delta_path = os.path.join(base, f"delta-{batch_id}")
-                _t = time.monotonic()
-                latest.write.mode("overwrite").parquet(delta_path)
-                _tlog("engine.stage_delta_write", _t)
-                latest = self.spark.read.parquet(delta_path)
-
-            # duplicate deliveries of the winner event are byte-identical —
-            # collapse them to strictly one row per key (tiny shuffle: only
-            # winner rows are left)
-            latest = latest.dropDuplicates([KEY])
-
-            # packed WAL wire format: the scan/LWW above never decoded token
-            # arrays (binary blob per row); expand ONLY the winner rows to
-            # the table's array<int32> via the vectorized Arrow kernel
-            table_cols = {f.name for f in self.table.schema().fields}
-            if "tokens_bin" in latest.columns and "tokens" in table_cols:
-                from rap_etl_spark.functions.tokens import unpack_tokens
-
-                latest = unpack_tokens(latest)
-
-            # payload columns follow the table's CURRENT schema (schema
-            # evolution: an added column like `lang` must flow through)
-            payload_cols = [
-                f.name
-                for f in self.table.schema().fields
-                if f.name != KEY and f.name in latest.columns
-            ]
-            if self.diff_first:
-                current = self.table.read()
-                diff = diff_against_table(latest, current, payload_cols)
-                changes = diff.filter(F.col("action") != "N").drop("action")
-            else:
-                changes = latest
-
-            payload = changes.select(KEY, "op", "lsn", *payload_cols)
             try:
+                if self.stage_delta:
+                    if self.staging_dir:
+                        delta_path = os.path.join(self.staging_dir, f"delta-{batch_id}")
+                    else:
+                        delta_path = tempfile.mkdtemp(
+                            prefix=f"rap-etl-delta-{batch_id}-"
+                        )
+                    _t = time.monotonic()
+                    latest.write.mode("overwrite").parquet(delta_path)
+                    _tlog("engine.stage_delta_write", _t)
+                    latest = self.spark.read.parquet(delta_path)
+
+                # duplicate deliveries of the winner event are byte-identical
+                # — collapse them to strictly one row per key (tiny shuffle:
+                # only winner rows are left)
+                latest = latest.dropDuplicates([KEY])
+
+                # packed WAL wire format: the scan/LWW above never decoded
+                # token arrays (binary blob per row); expand ONLY the winner
+                # rows to the table's array<int32> via the Arrow kernel
+                table_cols = {f.name for f in self.table.schema().fields}
+                if "tokens_bin" in latest.columns and "tokens" in table_cols:
+                    from rap_etl_spark.functions.tokens import unpack_tokens
+
+                    latest = unpack_tokens(latest)
+
+                # payload columns follow the table's CURRENT schema (schema
+                # evolution: an added column like `lang` must flow through)
+                payload_cols = [
+                    f.name
+                    for f in self.table.schema().fields
+                    if f.name != KEY and f.name in latest.columns
+                ]
+                if self.diff_first:
+                    current = self.table.read()
+                    diff = diff_against_table(latest, current, payload_cols)
+                    changes = diff.filter(F.col("action") != "N").drop("action")
+                else:
+                    changes = latest
+
+                payload = changes.select(KEY, "op", "lsn", *payload_cols)
                 info: CommitInfo = self.table.merge(payload, batch_id=batch_id)
             finally:
                 if delta_path is not None:
