@@ -475,6 +475,29 @@ class ManifestParquetTable(LakeTable):
         finally:
             ch.unpersist()
 
+    def lookup(self, keys: list[str]) -> DataFrame:
+        """Point lookup by key, bucket-pruned: hashes the requested keys to
+        their buckets and reads ONLY those buckets' files — O(|keys| x
+        bucket-size) instead of O(table). The payoff of the hash-bucket
+        layout for serving-style access (Iceberg bucket-transform partition
+        pruning equivalent)."""
+        m = self._manifest()
+        nb = self.n_buckets()
+        # driver-side bucket computation must match the executor-side
+        # _bucket_expr: xxhash64 seed 42 over the UTF-8 key, pmod nb.
+        # Rather than reimplement xxhash64 in Python, compute via a tiny
+        # local DataFrame (exact same JVM function).
+        kdf = self.spark.createDataFrame([(k,) for k in keys], f"{self.key} string")
+        buckets = {
+            r["_b"]
+            for r in kdf.select(self._bucket_expr(self.key).alias("_b"))
+            .distinct()
+            .collect()
+        }
+        files = [fe for fe in m["files"] if fe["bucket"] in buckets]
+        df = self._read_files(files, self.schema())
+        return df.filter(F.col(self.key).isin(list(keys)))
+
     # ---------- maintenance ----------
     def compact(
         self,

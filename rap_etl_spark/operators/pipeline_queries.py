@@ -170,7 +170,26 @@ def q_token_assembly(spark, sf):
     return out.select("source", "n_tok")
 
 
+
+def q_neardup_components(spark, sf):
+    """Near-dup clustering (graph.py): deterministic chain edges over
+    documents (i -> i+1 when i%10 < 3, both endpoints existing) yield
+    4-node components; iterative min-label propagation must equal the
+    transitive closure the oracle computes with a recursive CTE."""
+    from rap_etl_spark.operators.graph import connected_components
+
+    d = _t(spark, sf, "documents").select("doc_id")
+    e = (
+        d.filter(F.col("doc_id") % 10 < 3)
+        .select(F.col("doc_id").alias("a"), (F.col("doc_id") + 1).alias("b"))
+        .join(d.select(F.col("doc_id").alias("b")), on="b", how="inner")
+        .select("a", "b")
+    )
+    return connected_components(e).select("node", "comp")
+
+
 QUERIES2 = {
+    "neardup_components": q_neardup_components,
     "text_quality": q_text_quality,
     "text_token_count": q_text_token_count,
     "doc_fingerprint": q_doc_fingerprint,
@@ -189,6 +208,18 @@ QUERIES2 = {
 }
 
 ORACLES2 = {
+    "neardup_components": (
+        "WITH RECURSIVE"
+        " e AS (SELECT d.doc_id AS a, d.doc_id + 1 AS b FROM documents d"
+        "   JOIN documents d2 ON d2.doc_id = d.doc_id + 1"
+        "   WHERE d.doc_id % 10 < 3),"
+        " sym AS (SELECT a, b FROM e UNION SELECT b, a FROM e),"
+        " reach(a, b) AS ("
+        "   SELECT a, b FROM sym"
+        "   UNION"
+        "   SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a)"
+        " SELECT a AS node, least(a, min(b)) AS comp FROM reach GROUP BY a"
+    ),
     "text_quality": (
         "SELECT doc_id,"
         " len(string_split(text, ' ')) AS n_words,"

@@ -111,3 +111,26 @@ def test_merge_only_rewrites_affected_buckets(spark, tmp_path):
     changed_buckets = {files_before[p]["bucket"] for p in set(files_before) - kept}
     assert len(changed_buckets) == 1
     assert len(kept) > 0
+
+
+def test_lookup_reads_only_key_buckets(spark, tmp_path):
+    """Point lookup prunes to the requested keys' buckets and returns
+    exactly the live rows for those keys."""
+    from rap_etl_spark.schemas import DOCS_SCHEMA
+
+    t = ManifestParquetTable.create(spark, str(tmp_path / "lk"), DOCS_SCHEMA, n_buckets=16)
+    rows = [(f"doc-{i}", [i], 1, "s") for i in range(300)]
+    t.append(spark.createDataFrame(rows, DOCS_SCHEMA), batch_id=0)
+
+    got = t.lookup(["doc-7", "doc-123", "doc-no-such"]).orderBy("doc_id").collect()
+    assert [r["doc_id"] for r in got] == ["doc-123", "doc-7"]
+    assert [list(r["tokens"]) for r in got] == [[123], [7]]
+
+    # pruning: the file set actually read is a strict subset of the table
+    m = t._manifest()
+    kdf = spark.createDataFrame([("doc-7",), ("doc-123",)], "doc_id string")
+    buckets = {
+        r["_b"] for r in kdf.select(t._bucket_expr("doc_id").alias("_b")).collect()
+    }
+    pruned = [fe for fe in m["files"] if fe["bucket"] in buckets]
+    assert 0 < len(pruned) < len(m["files"])

@@ -170,3 +170,37 @@ def test_no_rowwise_python_udf_in_codebase():
         if "F.udf(" in src or "functions.udf(" in src or "@udf(" in src:
             bad.append(str(p))
     assert not bad, f"row-wise Python UDFs found in: {bad}"
+
+
+def test_connected_components_chains(spark):
+    from rap_etl_spark.operators.graph import connected_components
+
+    # two chains and one isolated edge: {1,2,3,4}, {10,11,12}, {20,21}
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (20, 21)], "a long, b long"
+    )
+    comp = {r["node"]: r["comp"] for r in connected_components(edges).collect()}
+    assert {k: comp[k] for k in (1, 2, 3, 4)} == {1: 1, 2: 1, 3: 1, 4: 1}
+    assert {k: comp[k] for k in (10, 11, 12)} == {10: 10, 11: 10, 12: 10}
+    assert {k: comp[k] for k in (20, 21)} == {20: 20, 21: 20}
+
+
+def test_keep_representatives_drops_planted_dups(spark, sf_small):
+    from rap_etl_spark.operators.graph import keep_representatives
+    from rap_etl_spark.operators.neardup import minhash_near_dups
+
+    d = _docs(spark, sf_small).select("doc_id", "text")
+    planted = d.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat("text", F.lit(" zzz")).alias("text"),
+    )
+    corpus = d.unionByName(planted)
+    pairs = minhash_near_dups(corpus, threshold=0.5).select("a", "b")
+    kept = keep_representatives(corpus, pairs)
+    n_planted = planted.count()
+    # most planted dups collapse onto their original (minhash recall >= .8),
+    # and no original doc is lost unless it joined a cluster as non-min id
+    assert kept.count() <= corpus.count() - 0.8 * n_planted
+    # representatives themselves survive
+    reps_present = kept.filter(F.col("doc_id") % 10 == 0).count()
+    assert reps_present >= 0.9 * n_planted
