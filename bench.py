@@ -240,6 +240,10 @@ def main() -> None:
         line = [ln for ln in proc.stdout.splitlines() if ln.startswith("{")]
         if line:
             mtimes.append(json.loads(line[-1])["seconds"])
+        else:
+            print(proc.stdout[-2000:], file=sys.stderr)
+            print(proc.stderr[-4000:], file=sys.stderr)
+            print("merge-heavy replay worker failed (continuing)", file=sys.stderr)
     merge_heavy = {
         "n_events": MERGE_EVENTS,
         "n_keys": MERGE_KEYS,

@@ -8,9 +8,10 @@ no active SparkSession exists, e.g. under plain ``python -m``).
 Packaging for a cluster::
 
     cd <repo> && zip -r rap_etl_spark.zip rap_etl_spark
+    printf 'import sys\\nfrom rap_etl_spark.cli import main\\nsys.exit(main())\\n' > launcher.py
     spark-submit --py-files rap_etl_spark.zip \
         --conf spark.sql.shuffle.partitions=<3x total cores> \
-        -m rap_etl_spark.cli  # or a thin launcher file importing main()
+        launcher.py replay --table s3://lake/docs --log s3://wal/events
 
 Subcommands::
 
@@ -110,13 +111,23 @@ def cmd_stream(args) -> int:
     q.awaitTermination()
     if listener is not None:
         # progress events are delivered on a separate listener-bus thread;
-        # give them a moment to drain after termination
+        # wait until the count is STABLE (no new events for ~0.6s), capped
+        # at 5s — breaking on the first event would undercount multi-batch
+        # streams
         import time
 
-        for _ in range(50):
-            if listener.totals()["batches"]:
-                break
-            time.sleep(0.1)
+        stable, last = 0.0, -1
+        deadline = time.monotonic() + 5.0
+        while time.monotonic() < deadline:
+            n = listener.totals()["batches"]
+            if n == last and n > 0:
+                stable += 0.2
+                if stable >= 0.6:
+                    break
+            else:
+                stable = 0.0
+            last = n
+            time.sleep(0.2)
         print(json.dumps(listener.totals()))
         m.detach(spark, listener)
     return 0
@@ -145,7 +156,9 @@ def cmd_status(args) -> int:
                 "snapshot": t.snapshot_id(),
                 "schema": t.schema().simpleString(),
                 "n_buckets": t.n_buckets(),
-                "committed_batches": sorted(t.committed_batches()),
+                "committed_batches": sorted(
+                    t.committed_batches(), key=lambda b: (len(b), b)
+                ),
                 "snapshots": len(hist),
                 "rows": t.read().count(),
             }

@@ -30,7 +30,7 @@ from rap_etl_spark.lake import (
     _tlog,
     cast_to_schema,
 )
-from rap_etl_spark.operators.cdc import KEY, diff_against_table, lww_latest
+from rap_etl_spark.operators.cdc import KEY, diff_against_table, lww_latest, winner_probe
 from rap_etl_spark.schemas import PAYLOAD_COLS
 
 
@@ -104,33 +104,13 @@ class CdcEngine:
                 _t = time.monotonic()
                 n_keys = winners.count()
                 _tlog("engine.winners_count", _t)
-                # Probe on ONE long key (xxhash64 of the pair), not on the
-                # (string, long) compound: Spark then builds a
-                # LongHashedRelation (dense array probe) instead of a
-                # generic UnsafeRow-keyed map — measured 4x faster and,
-                # unlike the compound probe, it scales with cores. Hash
-                # hits are re-verified with exact (key, lsn) equality, so
-                # a 64-bit collision can admit no wrong row — the hash is
-                # only a fast path, never a correctness assumption.
-                winners_h = winners.select(
-                    F.xxhash64(KEY, "lsn").alias("_h"),
-                    F.col(KEY).alias("_w_key"),
-                    F.col("lsn").alias("_w_lsn"),
-                )
+                # long-key probe with exact re-check: see cdc.winner_probe
                 rhs = (
-                    F.broadcast(winners_h)
+                    F.broadcast(winners)
                     if n_keys <= self.broadcast_key_limit
-                    else winners_h
+                    else winners
                 )
-                latest = (
-                    events.withColumn("_h", F.xxhash64(KEY, "lsn"))
-                    .join(rhs, on="_h", how="inner")
-                    .filter(
-                        (F.col(KEY) == F.col("_w_key"))
-                        & (F.col("lsn") == F.col("_w_lsn"))
-                    )
-                    .drop("_h", "_w_key", "_w_lsn")
-                )
+                latest = winner_probe(events, rhs, key=KEY)
             else:
                 latest = lww_latest(events, strategy=self.lww_strategy)
 
@@ -144,6 +124,13 @@ class CdcEngine:
                 if self.stage_delta:
                     if self.staging_dir:
                         delta_path = os.path.join(self.staging_dir, f"delta-{batch_id}")
+                    elif isinstance(self.table, ManifestParquetTable):
+                        # default to the TABLE's own storage: on a real
+                        # cluster that is shared (S3/HDFS), whereas a
+                        # driver-local tempdir is invisible to executors
+                        delta_path = os.path.join(
+                            self.table.path, "_staging_delta", f"delta-{batch_id}"
+                        )
                     else:
                         delta_path = tempfile.mkdtemp(
                             prefix=f"rap-etl-delta-{batch_id}-"

@@ -45,6 +45,33 @@ def _order_struct(events: DataFrame):
     return F.struct(*[F.col(c) for c in cols])
 
 
+def winner_probe(events: DataFrame, winners_rhs: DataFrame, key: str = KEY) -> DataFrame:
+    """Fetch the full rows of the (key, lsn) winner set from `events`.
+
+    Probes on ONE long key — xxhash64 of the pair — instead of the
+    (string, long) compound: Spark then builds a LongHashedRelation (dense
+    array probe) rather than a generic UnsafeRow-keyed map — measured 4x
+    faster at 64M rows, and unlike the compound probe it scales with
+    cores. Hash hits are re-verified with exact (key, lsn) equality, so a
+    64-bit collision can admit no wrong row — the hash is only a fast
+    path, never a correctness assumption.
+
+    `winners_rhs` is DF[key, lsn]; wrap it in F.broadcast() BEFORE calling
+    to pin the broadcast strategy (engine.py decides by winner count).
+    """
+    winners_h = winners_rhs.select(
+        F.xxhash64(key, "lsn").alias("_h"),
+        F.col(key).alias("_w_key"),
+        F.col("lsn").alias("_w_lsn"),
+    )
+    return (
+        events.withColumn("_h", F.xxhash64(key, "lsn"))
+        .join(winners_h, on="_h", how="inner")
+        .filter((F.col(key) == F.col("_w_key")) & (F.col("lsn") == F.col("_w_lsn")))
+        .drop("_h", "_w_key", "_w_lsn")
+    )
+
+
 def lww_latest(events: DataFrame, key: str = KEY, strategy: str = "window") -> DataFrame:
     """C2: keep the max-LSN event per key (ties broken by ingest_ts then
     op — a total order, so replay under any partitioning is deterministic).
@@ -74,23 +101,8 @@ def lww_latest(events: DataFrame, key: str = KEY, strategy: str = "window") -> D
             key, *[F.col(f"_w.{c}").alias(c) for c in cols if c != key]
         ).select(*cols)
     if strategy == "join":
-        # Probe on ONE long key (xxhash64 of the pair) instead of the
-        # (string, long) compound: Spark builds a LongHashedRelation
-        # (dense array probe) instead of a generic UnsafeRow-keyed map —
-        # measured 4x faster at 64M rows. Hash hits are re-verified with
-        # exact equality, so a collision can admit no wrong row.
         winners = events.groupBy(key).agg(F.max("lsn").alias("lsn"))
-        winners_h = winners.select(
-            F.xxhash64(key, "lsn").alias("_h"),
-            F.col(key).alias("_w_key"),
-            F.col("lsn").alias("_w_lsn"),
-        )
-        out = (
-            events.withColumn("_h", F.xxhash64(key, "lsn"))
-            .join(winners_h, on="_h", how="inner")
-            .filter((F.col(key) == F.col("_w_key")) & (F.col("lsn") == F.col("_w_lsn")))
-            .drop("_h", "_w_key", "_w_lsn")
-        )
+        out = winner_probe(events, winners, key=key)
         # duplicate deliveries of the winner event are byte-identical;
         # keep one (cheap: runs on the already-reduced winner rows)
         return out.dropDuplicates([key, "lsn"])

@@ -94,8 +94,21 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        import warnings
+
+        warnings.warn(
+            f"connected_components did not converge in {max_iter} iterations "
+            "(a component has larger diameter); labels may be split",
+            stacklevel=2,
+        )
     sym.unpersist()
-    return labels
+    # hand back a checkpointed, UNpersisted frame: the result stays cheap
+    # to re-scan (no loop re-execution) without leaking cached partitions
+    # the caller never knows to unpersist
+    out = labels.localCheckpoint(eager=True)
+    labels.unpersist()
+    return out
 
 
 def dedup_clusters(pairs: DataFrame, src: str = "a", dst: str = "b") -> DataFrame:

@@ -215,13 +215,21 @@ def q_cdc_merge(spark, sf):
         ]
     )
     work = tempfile.mkdtemp(prefix="rap-etl-cdc-merge-")
-    table = ManifestParquetTable.create(
-        spark, os.path.join(work, "t"), schema, n_buckets=8
-    )
-    for batch_id in (0, 1):
-        batch = ev.filter(F.col("lsn") % 2 == batch_id)
-        table.merge(lww_latest(batch), batch_id=batch_id)
-    return table.read().select("doc_id", "lsn", "price")
+    try:
+        table = ManifestParquetTable.create(
+            spark, os.path.join(work, "t"), schema, n_buckets=8
+        )
+        for batch_id in (0, 1):
+            batch = ev.filter(F.col("lsn") % 2 == batch_id)
+            table.merge(lww_latest(batch), batch_id=batch_id)
+        # materialize before deleting the on-disk table: the returned frame
+        # must stay collectible after cleanup
+        rows = table.read().select("doc_id", "lsn", "price").collect()
+        return spark.createDataFrame(rows, schema)
+    finally:
+        import shutil
+
+        shutil.rmtree(work, ignore_errors=True)
 
 
 TPCH_QUERIES2 = {
