@@ -45,6 +45,12 @@ def _tlog(msg: str, t0: float) -> None:
         print(f"[rap-etl-timing] {msg}: {time.monotonic() - t0:.2f}s", flush=True)
 
 
+class CommitConflictError(RuntimeError):
+    """Another writer committed a snapshot since this commit's base was
+    read (Iceberg's optimistic-concurrency conflict). Re-read the table
+    and retry the merge — the batch ledger makes retries idempotent."""
+
+
 @dataclass
 class CommitInfo:
     snapshot_id: str
@@ -197,15 +203,39 @@ class ManifestParquetTable(LakeTable):
         return self._manifest_cache
 
     def _write_manifest(self, manifest: dict) -> None:
+        """Commit a new snapshot with optimistic concurrency: under an
+        exclusive lock, verify the current pointer still names this
+        commit's parent (compare-and-swap), then atomically swap the
+        pointer. A concurrent committer raises CommitConflictError — the
+        caller re-reads and retries; the batch ledger keeps retries
+        idempotent. Readers never take the lock (they see old or new
+        pointer, never a mix, via the atomic rename)."""
+        import fcntl
+
         sid = manifest["snapshot_id"]
         mpath = os.path.join(self.path, "manifests", f"manifest-{sid}.json")
         with open(mpath, "w") as f:
             json.dump(manifest, f)
-        # atomic pointer swap: readers see old or new snapshot, never a mix
-        tmp = self._pointer_path() + f".tmp-{uuid.uuid4().hex[:8]}"
-        with open(tmp, "w") as f:
-            json.dump({"snapshot_id": sid}, f)
-        os.replace(tmp, self._pointer_path())
+        lock_path = os.path.join(self.path, "_commit.lock")
+        with open(lock_path, "w") as lock:
+            fcntl.flock(lock, fcntl.LOCK_EX)
+            try:
+                expected_parent = manifest.get("parent")
+                if expected_parent is not None and os.path.exists(self._pointer_path()):
+                    with open(self._pointer_path()) as f:
+                        current = json.load(f)["snapshot_id"]
+                    if current != expected_parent:
+                        os.remove(mpath)  # abandon this snapshot's manifest
+                        raise CommitConflictError(
+                            f"commit base {expected_parent} is stale; current "
+                            f"snapshot is {current}"
+                        )
+                tmp = self._pointer_path() + f".tmp-{uuid.uuid4().hex[:8]}"
+                with open(tmp, "w") as f:
+                    json.dump({"snapshot_id": sid}, f)
+                os.replace(tmp, self._pointer_path())
+            finally:
+                fcntl.flock(lock, fcntl.LOCK_UN)
         self._manifest_cache = manifest
 
     def _next_manifest(self, m: dict) -> dict:

@@ -89,3 +89,33 @@ def test_crash_during_lineage_write_then_retry(spark, log_and_table, tmp_path):
     # lineage for batch 0 intact
     l0 = spark.read.parquet(f"{lineage}/batch=0")
     assert l0.agg(F.sum("rows_applied")).first()[0] > 0
+
+
+def test_concurrent_commit_conflict_detected(spark, tmp_path):
+    """Optimistic concurrency: a writer whose base snapshot went stale
+    (another writer committed in between) must get CommitConflictError and
+    succeed after refresh — never silently clobber the other commit."""
+    from rap_etl_spark.lake import CommitConflictError
+
+    t_path = str(tmp_path / "occ")
+    a = ManifestParquetTable.create(spark, t_path, DOCS_SCHEMA, n_buckets=4)
+    b = ManifestParquetTable(spark, t_path)
+    ch = spark.createDataFrame(
+        [("doc-1", "I", 1, [1], 1, "s")],
+        "doc_id string, op string, lsn long, tokens array<int>, n_tok int, source string",
+    )
+    ch2 = spark.createDataFrame(
+        [("doc-2", "I", 2, [2], 1, "s")],
+        "doc_id string, op string, lsn long, tokens array<int>, n_tok int, source string",
+    )
+    b.schema()  # populate b's cache at the initial snapshot
+    a.merge(ch, batch_id=0)  # a commits first
+
+    with pytest.raises(CommitConflictError):
+        b.merge(ch2, batch_id=1)  # b's base is stale
+
+    b.refresh()
+    b.merge(ch2, batch_id=1)  # retry on the fresh base succeeds
+    a.refresh()
+    keys = sorted(r["doc_id"] for r in a.read().select("doc_id").collect())
+    assert keys == ["doc-1", "doc-2"]  # neither commit was lost
