@@ -327,3 +327,107 @@ TPCH_ORACLES2 = {
         " SELECT doc_id, lsn, price FROM w WHERE rn = 1 AND op <> 'D'"
     ),
 }
+
+
+# --------------------------------------------------------------------------
+# wave 5: remaining aggregate/window/sort shapes
+# --------------------------------------------------------------------------
+def q_agg_cube(spark, sf):
+    """A4 cube: all 4 grouping combinations of (returnflag, linestatus)."""
+    li = _t(spark, sf, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )
+
+
+def q_agg_grouping_sets(spark, sf):
+    """A4 GROUPING SETS via SQL: per-priority, per-status, and grand total
+    in one pass (the non-rollup subset selection rollup/cube can't express)."""
+    _t(spark, sf, "orders").createOrReplaceTempView("v_orders")
+    return spark.sql(
+        "SELECT o_orderpriority, o_orderstatus, count(*) AS cnt"
+        " FROM v_orders"
+        " GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())"
+    )
+
+
+def q_win_first_last(spark, sf):
+    """W2 first/last over an ordered frame: each order's smallest- and
+    largest-quantity line item (full-partition frame for last_value)."""
+    li = _t(spark, sf, "lineitem")
+    w = (
+        Window.partitionBy("l_orderkey")
+        .orderBy("l_quantity", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.first("l_quantity").over(w).alias("min_qty"),
+        F.last("l_quantity").over(w).alias("max_qty"),
+    )
+
+
+def q_sort_nulls(spark, sf):
+    """O1 null ordering: explicit NULLS FIRST/LAST must agree cross-engine."""
+    d = _t(spark, sf, "documents")
+    nullable = d.withColumn(
+        "maybe", F.when(F.col("doc_id") % 7 == 0, None).otherwise(F.col("n_chars"))
+    )
+    return nullable.select("doc_id", "maybe").orderBy(
+        F.col("maybe").asc_nulls_first(), F.col("doc_id").asc()
+    )
+
+
+def q_agg_string(spark, sf):
+    """A5 ordered string aggregation: deterministic per-group concatenation."""
+    d = _t(spark, sf, "documents")
+    return d.groupBy("source").agg(
+        F.array_join(F.sort_array(F.collect_list(F.col("lang"))), "|").alias("langs"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+TPCH_QUERIES2.update(
+    {
+        "agg_cube": q_agg_cube,
+        "agg_grouping_sets": q_agg_grouping_sets,
+        "win_first_last": q_win_first_last,
+        "sort_nulls": q_sort_nulls,
+        "agg_string": q_agg_string,
+    }
+)
+
+TPCH_ORACLES2.update(
+    {
+        "agg_cube": (
+            "SELECT l_returnflag, l_linestatus, count(*) AS cnt,"
+            " round(sum(l_quantity), 2) AS sum_qty"
+            " FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)"
+        ),
+        "agg_grouping_sets": (
+            "SELECT o_orderpriority, o_orderstatus, count(*) AS cnt"
+            " FROM orders"
+            " GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())"
+        ),
+        "win_first_last": (
+            "SELECT l_orderkey, l_linenumber,"
+            " first_value(l_quantity) OVER w AS min_qty,"
+            " last_value(l_quantity) OVER w AS max_qty"
+            " FROM lineitem"
+            " WINDOW w AS (PARTITION BY l_orderkey"
+            "   ORDER BY l_quantity, l_linenumber"
+            "   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)"
+        ),
+        "sort_nulls": (
+            "SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN NULL ELSE n_chars END"
+            " AS maybe FROM documents"
+            " ORDER BY maybe ASC NULLS FIRST, doc_id ASC"
+        ),
+        "agg_string": (
+            "SELECT source, string_agg(lang, '|' ORDER BY lang) AS langs,"
+            " count(*) AS n FROM documents GROUP BY source"
+        ),
+    }
+)
