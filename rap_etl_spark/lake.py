@@ -463,29 +463,46 @@ class ManifestParquetTable(LakeTable):
             old_entries = [fe for fe in m["files"] if fe["bucket"] in affected_set]
             keep_entries = [fe for fe in m["files"] if fe["bucket"] not in affected_set]
 
-            old_df = self._read_files(old_entries, schema, with_meta=True).withColumn(
-                "_b", self._bucket_expr(self.key)
-            )
-            change_keys = ch.select(self.key)
-            survivors = old_df.join(change_keys, on=self.key, how="left_anti")
-            matched_old = old_df.join(change_keys, on=self.key, how="left_semi")
+            old_df = self._read_files(old_entries, schema, with_meta=True)
 
-            # version-conditional LWW between stored rows and changes:
-            # max_by ordered by (_lsn, _del); NULL _lsn (bootstrap rows)
-            # loses to any versioned event
-            cand = matched_old.unionByName(ch.select(*matched_old.columns))
-            data_cols = [c for c in cand.columns if c != self.key]
-            payload = F.struct(*[F.col(c) for c in data_cols])
-            order = F.struct(
-                F.coalesce(F.col(META_LSN), F.lit(-1)).alias("v"),
-                F.col(META_DEL).alias("d"),
+            # Version-conditional reduction in ONE full-outer join: both
+            # sides carry at most one row per key (table invariant; merge
+            # contract), so survivors (old-only), inserts (change-only) and
+            # matched rows all fall out of a single join with a per-column
+            # conditional — replacing the previous anti-join + semi-join +
+            # union + max_by aggregation (3 shuffles of the old side and a
+            # variable-width agg) with one shuffle per side. The change
+            # wins iff its (_lsn, _del) order is >= the stored row's —
+            # identical semantics to the former max_by((payload),
+            # (_lsn, _del)) with NULL _lsn (bootstrap rows) losing to any
+            # versioned event; equal (key, lsn) rows are byte-identical by
+            # the WAL contract, so the >= tiebreak is content-neutral.
+            data_cols = [c for c in old_df.columns if c != self.key]
+            o = old_df.alias("o")
+            c = ch.select(*old_df.columns).alias("c")
+            o_key, c_key = F.col(f"o.{self.key}"), F.col(f"c.{self.key}")
+            o_v = F.coalesce(F.col(f"o.{META_LSN}"), F.lit(-1))
+            c_v = F.coalesce(F.col(f"c.{META_LSN}"), F.lit(-1))
+            o_d = F.coalesce(F.col(f"o.{META_DEL}"), F.lit(False)).cast("int")
+            c_d = F.coalesce(F.col(f"c.{META_DEL}"), F.lit(False)).cast("int")
+            change_wins = F.when(c_key.isNull(), F.lit(False)).otherwise(
+                o_key.isNull()
+                | (c_v > o_v)
+                | ((c_v == o_v) & (c_d >= o_d))
             )
-            winners = (
-                cand.groupBy(self.key)
-                .agg(F.max_by(payload, order).alias("_w"))
-                .select(self.key, *[F.col(f"_w.{c}").alias(c) for c in data_cols])
+            new_data = (
+                o.join(c, o_key == c_key, "full_outer")
+                .select(
+                    F.coalesce(o_key, c_key).alias(self.key),
+                    *[
+                        F.when(change_wins, F.col(f"c.{col}"))
+                        .otherwise(F.col(f"o.{col}"))
+                        .alias(col)
+                        for col in data_cols
+                    ],
+                )
+                .withColumn("_b", self._bucket_expr(self.key))
             )
-            new_data = survivors.unionByName(winners.select(*survivors.columns))
 
             nxt = self._next_manifest(m)
             _t0 = time.monotonic()
