@@ -209,13 +209,14 @@ def q_agg_collect(spark, sf):
 
 
 def q_agg_pandas_udaf(spark, sf):
-    """Grouped-agg pandas UDAF: p95 of n_chars per lang (rows-only check —
-    percentile interpolation is engine-specific)."""
+    """Grouped-agg pandas UDAF: p95 of n_chars per lang. Oracled by value:
+    pandas' quantile and DuckDB's quantile_cont both interpolate linearly,
+    and rounding to 4dp in both engines removes ulp-level divergence."""
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
     def p95_fn(v):
-        return float(v.quantile(0.95))
+        return round(float(v.quantile(0.95)), 4)
 
     # real (non-stringified) annotations so pyspark recognizes GROUPED_AGG
     # despite `from __future__ import annotations` in this module
@@ -495,7 +496,8 @@ def q_token_clip(spark, sf):
 
 def q_udf_grouped_map(spark, sf):
     """V3 grouped-map applyInPandas: per-source document count + total chars
-    computed inside the pandas group kernel (rows-only check)."""
+    computed inside the pandas group kernel. Oracled by value (exact
+    integer aggregates reproduce in plain SQL)."""
     import pandas as pd
 
     d = _t(spark, sf, "documents")
@@ -628,6 +630,15 @@ ORACLES = {
     "agg_count_distinct": (
         "SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_cust"
         " FROM orders GROUP BY o_orderpriority"
+    ),
+    "agg_pandas_udaf": (
+        "SELECT lang, round(quantile_cont(n_chars, 0.95), 4) AS p95_chars"
+        " FROM documents GROUP BY lang"
+    ),
+    "udf_grouped_map": (
+        "SELECT source, count(*) AS n_docs,"
+        " CAST(sum(n_chars) AS BIGINT) AS total_chars"
+        " FROM documents GROUP BY source"
     ),
     "agg_rollup": (
         "SELECT r_name, n_name, count(*) AS cnt FROM customer"
