@@ -101,7 +101,7 @@ def q_fn_map(spark, sf):
 
 def q_map_in_arrow(spark, sf):
     """V5 mapInArrow: whole-partition token transform at the Arrow batch
-    level (rows-only; equivalence vs the native path asserted in pytest)."""
+    level. Oracled by value (first word uppercased reproduces in SQL)."""
     import pyarrow as pa
 
     d = _t(spark, sf, "documents").select(
@@ -154,6 +154,10 @@ TPCH_ORACLES = {
         " JOIN region ON n_regionkey = r_regionkey"
         " WHERE o_orderdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1996-12-31'"
         " GROUP BY r_name, n_name"
+    ),
+    "udf_map_in_arrow": (
+        "SELECT doc_id, upper(coalesce(string_split(text, ' ')[1], ''))"
+        " AS first_upper FROM documents"
     ),
     "fn_map": (
         "SELECT doc_id, lang AS m_lang, 2 AS n_keys,"
