@@ -136,7 +136,16 @@ class CdcEngine:
                             prefix=f"rap-etl-delta-{batch_id}-"
                         )
                     _t = time.monotonic()
-                    latest.write.mode("overwrite").parquet(delta_path)
+                    # repartition to core count: winner rows are a tiny
+                    # fraction of the scan, so without this every scan task
+                    # commits its own near-empty file (one per input split
+                    # -> serial driver-side commit renames). The shuffle
+                    # moves only winner rows and keeps the scan at full
+                    # parallelism (a coalesce would throttle the scan).
+                    n_out = max(self.spark.sparkContext.defaultParallelism, 4)
+                    latest.repartition(n_out).write.mode("overwrite").parquet(
+                        delta_path
+                    )
                     _tlog("engine.stage_delta_write", _t)
                     latest = self.spark.read.parquet(delta_path)
 
