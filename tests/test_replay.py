@@ -111,3 +111,42 @@ def test_diff_first_mode_matches(spark, event_log, tmp_path):
     replay_log(spark, t, event_log, diff_first=True)
     want = naive_final_state(spark.read.parquet(event_log).toPandas())
     assert_frames_equal(t.read().toPandas(), want)
+
+
+def test_replay_with_shuffled_winner_join(spark, event_log, tmp_path):
+    """broadcast_key_limit=1 forces the shuffled (non-broadcast) winner
+    join — the path large cluster batches (>5M keys) take — which must
+    produce the identical final state."""
+    t = ManifestParquetTable.create(
+        spark, str(tmp_path / "tsj"), DOCS_SCHEMA, n_buckets=8
+    )
+    eng = CdcEngine(spark, t, count_input=False, broadcast_key_limit=1)
+    import os
+
+    for b in sorted(
+        int(d.split("=")[1]) for d in os.listdir(event_log) if d.startswith("batch=")
+    ):
+        eng.apply_batch(
+            spark.read.parquet(f"{event_log}/batch={b}"), batch_id=b
+        )
+    want = naive_final_state(spark.read.parquet(event_log).toPandas())
+    assert_frames_equal(t.read().toPandas(), want)
+
+
+def test_replay_with_window_strategy_engine(spark, event_log, tmp_path):
+    """Engine end-to-end on the window LWW strategy (one shuffle by key)
+    — same final state as the join strategy."""
+    t = ManifestParquetTable.create(
+        spark, str(tmp_path / "twin"), DOCS_SCHEMA, n_buckets=8
+    )
+    eng = CdcEngine(spark, t, count_input=False, lww_strategy="window")
+    import os
+
+    for b in sorted(
+        int(d.split("=")[1]) for d in os.listdir(event_log) if d.startswith("batch=")
+    ):
+        eng.apply_batch(
+            spark.read.parquet(f"{event_log}/batch={b}"), batch_id=b
+        )
+    want = naive_final_state(spark.read.parquet(event_log).toPandas())
+    assert_frames_equal(t.read().toPandas(), want)
