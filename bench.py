@@ -101,6 +101,21 @@ def platform_calibration() -> dict:
     return out
 
 
+def _retry(fn, attempts: int = 3):
+    """This VM intermittently kills a Python worker mid-synthesis (EOF on
+    the Arrow stream, no fault trace, memory plentiful) — a transient
+    infra failure, not a code path. Retry the whole prep a bounded number
+    of times before giving up."""
+    last = None
+    for i in range(attempts):
+        try:
+            return fn()
+        except Exception as e:  # noqa: BLE001 - deliberate broad retry
+            last = e
+            print(f"prep attempt {i + 1}/{attempts} failed: {e}", file=sys.stderr)
+    raise last
+
+
 def prepare_log(work: str) -> str:
     """Synthesize the event log once (at local[32]); all replay runs read it."""
     import shutil
@@ -111,10 +126,15 @@ def prepare_log(work: str) -> str:
     spark = get_spark(app_name="bench-prep", cpus=32)
     log_dir = os.path.join(work, "log-packed" if PACKED else "log-array")
     staging = os.path.join(work, "stage-raw")
-    ev = synthesize_events(
-        spark, SF_DIR, N_EVENTS, max_tok=MAX_TOK, packed=PACKED, staging_dir=staging
-    )
-    write_event_log(ev, log_dir, n_batches=N_BATCHES, n_events=N_EVENTS)
+
+    def _run():
+        ev = synthesize_events(
+            spark, SF_DIR, N_EVENTS, max_tok=MAX_TOK, packed=PACKED,
+            staging_dir=staging,
+        )
+        write_event_log(ev, log_dir, n_batches=N_BATCHES, n_events=N_EVENTS)
+
+    _retry(_run)
     shutil.rmtree(staging, ignore_errors=True)
     spark.stop()
     return log_dir
@@ -129,11 +149,14 @@ def prepare_merge_log(work: str) -> str:
     spark = get_spark(app_name="bench-prep-merge", cpus=32)
     log_dir = os.path.join(work, "log-merge")
     staging = os.path.join(work, "stage-raw-merge")
-    ev = synthesize_events(
-        spark, SF_DIR, MERGE_EVENTS, max_tok=MAX_TOK, packed=PACKED,
-        staging_dir=staging, n_keys=MERGE_KEYS,
-    )
-    write_event_log(ev, log_dir, n_batches=2, n_events=MERGE_EVENTS)
+    def _run():
+        ev = synthesize_events(
+            spark, SF_DIR, MERGE_EVENTS, max_tok=MAX_TOK, packed=PACKED,
+            staging_dir=staging, n_keys=MERGE_KEYS,
+        )
+        write_event_log(ev, log_dir, n_batches=2, n_events=MERGE_EVENTS)
+
+    _retry(_run)
     shutil.rmtree(staging, ignore_errors=True)
     spark.stop()
     return log_dir

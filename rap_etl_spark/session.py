@@ -56,6 +56,11 @@ def get_spark(
         # joins are selective; sorting the big side is wasted work (AQE can
         # still demote to broadcast at runtime)
         .config("spark.sql.join.preferSortMergeJoin", "false")
+        # Python worker crash diagnostics (no steady-state cost): this VM
+        # intermittently kills workers mid-synthesis; with these on, a real
+        # fault prints the worker's Python traceback instead of a bare EOF
+        .config("spark.python.worker.faulthandler.enabled", "true")
+        .config("spark.sql.execution.pyspark.udf.faulthandler.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.compression.codec", "snappy")
         # deterministic timestamp behavior for oracle comparison
