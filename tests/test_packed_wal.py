@@ -64,3 +64,35 @@ def test_packed_replay_converges_to_array_replay(spark, sf_small, tmp_path):
     replay_log(spark, t_bin, str(tmp_path / "log-bin"))
     assert t_bin.read().schema == t_arr.read().schema  # binding array<int32> shape
     assert_equivalent(t_arr.read(), t_bin.read())
+
+
+def test_packed_events_into_evolved_table(spark, sf_small, tmp_path):
+    """Schema evolution x packed WAL: after widening to V2 (int64 tokens,
+    +lang), int32 packed events still apply — unpacked arrays upcast at
+    write, missing lang lands NULL, pre-evolution rows stay readable."""
+    from rap_etl_spark.schemas import DOCS_SCHEMA_V2
+
+    ev = synthesize_events(spark, sf_small, 1500, max_tok=8, packed=True)
+    write_event_log(ev, str(tmp_path / "log"), n_batches=2, n_events=1500)
+    t = ManifestParquetTable.create(
+        spark, str(tmp_path / "t"), DOCS_SCHEMA, n_buckets=8
+    )
+    from rap_etl_spark.engine import CdcEngine
+
+    eng = CdcEngine(spark, t, count_input=False)
+    eng.apply_batch(spark.read.parquet(str(tmp_path / "log/batch=0")), batch_id=0)
+    t.evolve(DOCS_SCHEMA_V2)
+    eng.apply_batch(spark.read.parquet(str(tmp_path / "log/batch=1")), batch_id=1)
+
+    out = t.read()
+    fields = {f.name: f.dataType.simpleString() for f in out.schema.fields}
+    assert fields["tokens"] == "array<bigint>" and fields["n_tok"] == "bigint"
+    assert out.filter(F.col("lang").isNotNull()).count() == 0  # packed v1 has no lang
+    # final state equals the array-format oracle (tokens upcast)
+    from .oracle import assert_frames_equal, naive_final_state
+
+    arr = synthesize_events(spark, sf_small, 1500, max_tok=8)
+    want = naive_final_state(arr.toPandas())
+    got = out.select("doc_id", "tokens", "n_tok", "source").toPandas()
+    got["n_tok"] = got["n_tok"].astype("int64")
+    assert_frames_equal(got, want)
