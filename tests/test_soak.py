@@ -1,0 +1,52 @@
+"""Long-run soak: many small micro-batches into one table — the shape a
+continuous CDC tail produces over days. Asserts (a) the final state stays
+oracle-correct across 20 commits, (b) file/manifest growth is linear and
+bounded, (c) compact + expire_snapshots returns the table to one file per
+occupied bucket with history trimmed, state unchanged."""
+
+import os
+
+from rap_etl_spark.engine import CdcEngine
+from rap_etl_spark.lake import ManifestParquetTable
+from rap_etl_spark.schemas import DOCS_SCHEMA
+from rap_etl_spark.sources.synth import synthesize_events, write_event_log
+
+from .oracle import assert_frames_equal, naive_final_state
+
+N_EVENTS = 5000
+N_BATCHES = 20
+
+
+def test_twenty_batch_soak_then_compact(spark, sf_small, tmp_path):
+    ev = synthesize_events(spark, sf_small, N_EVENTS, max_tok=8, packed=True)
+    log = str(tmp_path / "log")
+    write_event_log(ev, log, n_batches=N_BATCHES, n_events=N_EVENTS)
+    t = ManifestParquetTable.create(spark, str(tmp_path / "t"), DOCS_SCHEMA, n_buckets=8)
+    eng = CdcEngine(spark, t, count_input=False)
+
+    for b in sorted(
+        int(d.split("=")[1]) for d in os.listdir(log) if d.startswith("batch=")
+    ):
+        eng.apply_batch(spark.read.parquet(f"{log}/batch={b}"), batch_id=b)
+
+    # correctness after 20 commits
+    arr = synthesize_events(spark, sf_small, N_EVENTS, max_tok=8)
+    want = naive_final_state(arr.toPandas())
+    assert_frames_equal(t.read().toPandas(), want)
+
+    m = t._manifest()
+    n_files_before = len(m["files"])
+    # bounded growth: at most one file per (batch, affected bucket)
+    assert n_files_before <= N_BATCHES * 8 + 8
+    assert len(t.history()) == N_BATCHES + 1  # create + one snapshot per batch
+
+    # maintenance: rewrite to one file per occupied bucket, trim history
+    t.compact(tombstone_horizon_lsn=N_EVENTS + 1, expire_snapshots_keep=3)
+    m2 = t._manifest()
+    assert len(m2["files"]) <= 8
+    assert len(t.history()) <= 4  # kept 3 + current
+    assert_frames_equal(t.read().toPandas(), want)  # state identical
+
+    # the batch ledger survives compaction: redelivery is still a no-op
+    redo = eng.apply_batch(spark.read.parquet(f"{log}/batch=5"), batch_id=5)
+    assert redo.skipped
