@@ -11,7 +11,14 @@ Packaging for a cluster::
     printf 'import sys\\nfrom rap_etl_spark.cli import main\\nsys.exit(main())\\n' > launcher.py
     spark-submit --py-files rap_etl_spark.zip \
         --conf spark.sql.shuffle.partitions=<3x total cores> \
-        launcher.py replay --table s3://lake/docs --log s3://wal/events
+        launcher.py replay --table /shared/lake/docs --log /shared/wal/events
+
+Storage note: ``ManifestParquetTable`` requires a single-writer-host POSIX
+path (its manifest pointer swap uses os.replace + flock, and replay's
+batch discovery uses os.listdir) — a cluster deployment points --table at
+a POSIX-mounted shared filesystem (NFS/Lustre) or uses the IcebergTable
+backend, which is the object-store (s3a://) path: a real catalog provides
+the transactional commit this backend implements locally.
 
 Subcommands::
 

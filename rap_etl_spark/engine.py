@@ -75,7 +75,7 @@ class CdcEngine:
     def apply_batch(self, events: DataFrame, batch_id: int) -> BatchMetrics:
         """Apply one micro-batch of change events. Idempotent per batch_id."""
         t0 = time.monotonic()
-        already = str(batch_id) in self.table.committed_batches()
+        already = self.table.is_committed(batch_id)
         if already:
             m = BatchMetrics(batch_id, 0, 0, True, self.table.snapshot_id(), 0.0, 0.0)
             self.metrics.append(m)
@@ -181,9 +181,27 @@ class CdcEngine:
                 info: CommitInfo = self.table.merge(payload, batch_id=batch_id)
             finally:
                 if delta_path is not None:
-                    import shutil
+                    # delete through the same filesystem abstraction the
+                    # write used: a driver-local rmtree would silently leak
+                    # the delta every batch on shared storage (S3/HDFS
+                    # staging). Failures are surfaced, not swallowed.
+                    from rap_etl_spark.lake import (
+                        hadoop_fs_delete,
+                        hadoop_fs_rmdir_if_empty,
+                    )
 
-                    shutil.rmtree(delta_path, ignore_errors=True)
+                    try:
+                        hadoop_fs_delete(self.spark, delta_path)
+                        hadoop_fs_rmdir_if_empty(
+                            self.spark, os.path.dirname(delta_path)
+                        )
+                    except Exception as e:  # noqa: BLE001
+                        import warnings
+
+                        warnings.warn(
+                            f"staged-delta cleanup failed for {delta_path}: {e}",
+                            stacklevel=2,
+                        )
 
             if self.count_input:
                 input_rows = events.count()

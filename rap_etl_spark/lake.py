@@ -45,6 +45,30 @@ def _tlog(msg: str, t0: float) -> None:
         print(f"[rap-etl-timing] {msg}: {time.monotonic() - t0:.2f}s", flush=True)
 
 
+def hadoop_fs_delete(spark: SparkSession, path: str, recursive: bool = True) -> bool:
+    """Delete `path` through the Hadoop FileSystem API — works for any
+    scheme the Spark job itself can write to (file://, hdfs://, s3a://),
+    unlike driver-local shutil/os which silently do nothing for remote
+    paths. Returns True if something was deleted."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(jpath):
+        return False
+    return bool(fs.delete(jpath, recursive))
+
+
+def hadoop_fs_rmdir_if_empty(spark: SparkSession, path: str) -> bool:
+    """Remove `path` iff it is an empty directory (non-recursive)."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(jpath) and fs.getFileStatus(jpath).isDirectory():
+        if len(fs.listStatus(jpath)) == 0:
+            return bool(fs.delete(jpath, False))
+    return False
+
+
 class CommitConflictError(RuntimeError):
     """Another writer committed a snapshot since this commit's base was
     read (Iceberg's optimistic-concurrency conflict). Re-read the table
@@ -131,6 +155,12 @@ class LakeTable(ABC):
 
     @abstractmethod
     def committed_batches(self) -> dict[str, dict]: ...
+
+    def is_committed(self, batch_id: int | None) -> bool:
+        """True iff this batch_id was already applied (idempotency check).
+        Backends with a pruned ledger override this to also honor the
+        ledger horizon."""
+        return batch_id is not None and str(batch_id) in self.committed_batches()
 
 
 class ManifestParquetTable(LakeTable):
@@ -259,6 +289,44 @@ class ManifestParquetTable(LakeTable):
 
     def committed_batches(self) -> dict[str, dict]:
         return dict(self._manifest()["committed"])
+
+    def ledger_horizon(self) -> int | None:
+        """All batch_ids <= this value are committed AND pruned from the
+        per-batch ledger (None = nothing pruned). Keeps commit metadata
+        O(live batches) instead of O(history) over a long CDC run."""
+        h = self._manifest().get("ledger_horizon")
+        return int(h) if h is not None else None
+
+    def is_committed(self, batch_id: int | None) -> bool:
+        if batch_id is None:
+            return False
+        m = self._manifest()
+        h = m.get("ledger_horizon")
+        if h is not None and int(batch_id) <= int(h):
+            return True
+        return str(batch_id) in m["committed"]
+
+    def prune_ledger(self, horizon_batch_id: int) -> int:
+        """Truncate the committed-batch ledger below `horizon_batch_id`
+        (inclusive). Safe once the source guarantees no batch at-or-below
+        the horizon can ever be redelivered — e.g. the Structured Streaming
+        checkpoint's committed offset: the micro-batch planner never
+        re-emits an epoch below it. Pruned ids still answer is_committed()
+        == True via the recorded horizon, so idempotency is preserved with
+        O(1) metadata for the entire pruned history. Returns entries
+        removed; commits a new snapshot only when something was pruned."""
+        m = self._manifest()
+        keep = {k: v for k, v in m["committed"].items() if int(k) > horizon_batch_id}
+        removed = len(m["committed"]) - len(keep)
+        prev_h = m.get("ledger_horizon")
+        new_h = max(horizon_batch_id, int(prev_h)) if prev_h is not None else horizon_batch_id
+        if removed == 0 and prev_h is not None and new_h == int(prev_h):
+            return 0
+        nxt = self._next_manifest(m)
+        nxt["committed"] = keep
+        nxt["ledger_horizon"] = new_h
+        self._write_manifest(nxt)
+        return removed
 
     def refresh(self) -> None:
         self._manifest(refresh=True)
@@ -406,15 +474,59 @@ class ManifestParquetTable(LakeTable):
             del_expr = F.lit(False)
         return df.select(*cols, lsn_expr.alias(META_LSN), del_expr.alias(META_DEL))
 
-    def append(self, df: DataFrame, batch_id: int | None = None) -> CommitInfo:
-        """Blind append (initial load path). Buckets rows by key."""
+    def append(
+        self,
+        df: DataFrame,
+        batch_id: int | None = None,
+        assume_unique: bool = False,
+    ) -> CommitInfo:
+        """Bootstrap append. The merge path's single full-outer-join
+        reduction relies on the table invariant of AT MOST ONE ROW PER KEY,
+        so append enforces it rather than trusting the caller:
+
+        - duplicate keys WITHIN the batch are reduced deterministically
+          (max (_lsn, _del, payload-hash) wins — same order merge uses);
+        - appending a key that ALREADY EXISTS in the table raises (that
+          write must go through merge). The existence check scans only the
+          current table's keys and is skipped entirely on an empty table —
+          the normal bootstrap case.
+
+        ``assume_unique=True`` skips both (caller-guaranteed disjoint
+        unique keys, e.g. synthesized bootstrap data).
+        """
         m = self._manifest()
-        if batch_id is not None and str(batch_id) in m["committed"]:
-            prev = m["committed"][str(batch_id)]
+        if self.is_committed(batch_id):
+            prev = m["committed"].get(str(batch_id), {"snapshot_id": m["snapshot_id"]})
             return CommitInfo(prev["snapshot_id"], batch_id, 0, skipped=True)
-        data = self._with_meta(df, self.schema()).withColumn(
-            "_b", self._bucket_expr(self.key)
-        )
+        data = self._with_meta(df, self.schema())
+        if not assume_unique:
+            from pyspark.sql import Window
+
+            order = [
+                F.col(META_LSN).desc_nulls_last(),
+                F.col(META_DEL).desc(),
+                F.xxhash64(*[F.col(c) for c in data.columns]).desc(),
+            ]
+            w = Window.partitionBy(self.key).orderBy(*order)
+            data = (
+                data.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .drop("_rn")
+            )
+            if m["files"]:
+                existing = self._read_files(m["files"], self.schema(), with_meta=True)
+                n_overlap = (
+                    data.join(existing.select(self.key), on=self.key, how="left_semi")
+                    .limit(1)
+                    .count()
+                )
+                if n_overlap:
+                    raise ValueError(
+                        "append would duplicate existing key(s); use merge() "
+                        "for upserts (or assume_unique=True if keys are "
+                        "known-disjoint)"
+                    )
+        data = data.withColumn("_b", self._bucket_expr(self.key))
         nxt = self._next_manifest(m)
         entries = self._write_data_files(data, nxt["snapshot_id"], m["current_schema_version"])
         nxt["files"] = m["files"] + entries
@@ -447,8 +559,8 @@ class ManifestParquetTable(LakeTable):
           a left-anti join; matched old rows join the LWW reduction.
         """
         m = self._manifest()
-        if batch_id is not None and str(batch_id) in m["committed"]:
-            prev = m["committed"][str(batch_id)]
+        if self.is_committed(batch_id):
+            prev = m["committed"].get(str(batch_id), {"snapshot_id": m["snapshot_id"]})
             return CommitInfo(prev["snapshot_id"], batch_id, 0, skipped=True)
 
         schema = self.schema()
@@ -550,6 +662,7 @@ class ManifestParquetTable(LakeTable):
         self,
         tombstone_horizon_lsn: int | None = None,
         expire_snapshots_keep: int | None = None,
+        ledger_horizon_batch_id: int | None = None,
     ) -> CommitInfo:
         """Table maintenance, Iceberg rewrite_data_files-style:
 
@@ -558,8 +671,11 @@ class ManifestParquetTable(LakeTable):
         - garbage-collect delete tombstones with _lsn <= tombstone_horizon
           (safe once no event at-or-below that LSN can ever be redelivered —
           e.g. the streaming checkpoint's committed offset);
+        - optionally truncate the committed-batch ledger at-or-below
+          `ledger_horizon_batch_id` (same redelivery-safety rule — see
+          prune_ledger) so commit metadata stays O(live), not O(history);
         - optionally expire old snapshot manifests (keep the newest K),
-          freeing their exclusive data files.
+          freeing their exclusive data files and sweeping orphans.
 
         Runs as one normal commit: readers flip atomically with the pointer.
         """
@@ -577,14 +693,35 @@ class ManifestParquetTable(LakeTable):
         nxt = self._next_manifest(m)
         entries = self._write_data_files(data, nxt["snapshot_id"], m["current_schema_version"])
         nxt["files"] = entries
+        if ledger_horizon_batch_id is not None:
+            nxt["committed"] = {
+                k: v
+                for k, v in nxt["committed"].items()
+                if int(k) > ledger_horizon_batch_id
+            }
+            prev_h = nxt.get("ledger_horizon")
+            nxt["ledger_horizon"] = (
+                max(ledger_horizon_batch_id, int(prev_h))
+                if prev_h is not None
+                else ledger_horizon_batch_id
+            )
         self._write_manifest(nxt)
         if expire_snapshots_keep is not None:
             self.expire_snapshots(keep=expire_snapshots_keep)
         return CommitInfo(nxt["snapshot_id"], None, -1)
 
-    def expire_snapshots(self, keep: int = 3) -> int:
-        """Drop all but the newest `keep` snapshot manifests and delete data
-        files referenced by no surviving snapshot. Returns files deleted."""
+    def expire_snapshots(
+        self, keep: int = 3, orphan_grace_sec: float = 3600.0
+    ) -> int:
+        """Drop all but the newest `keep` snapshot manifests, delete data
+        files referenced by no surviving snapshot, and sweep ORPHANS: files
+        in data/ referenced by no manifest at all (left behind by crashed
+        writes or OCC-conflicted commits whose manifest was abandoned).
+        Orphans younger than `orphan_grace_sec` are kept — an in-flight
+        commit renames its data files into data/ BEFORE publishing the
+        manifest, so a grace window (Iceberg's remove_orphan_files
+        `older_than` rule) is what makes the sweep safe to run while
+        writers are active. Returns files deleted."""
         mdir = os.path.join(self.path, "manifests")
         manifests = []
         for fn in os.listdir(mdir):
@@ -608,6 +745,25 @@ class ManifestParquetTable(LakeTable):
                         os.remove(p)
                         deleted += 1
                 os.remove(os.path.join(mdir, fn))
+        # orphan sweep: anything in data/ no surviving manifest references
+        referenced: set[str] = set()
+        for fn, man in manifests:
+            if fn in keep_set:
+                referenced.update(
+                    os.path.basename(fe["path"]) for fe in man["files"]
+                )
+        ddir = os.path.join(self.path, "data")
+        now = time.time()
+        for fn in os.listdir(ddir):
+            if fn in referenced or not fn.endswith(".parquet"):
+                continue
+            p = os.path.join(ddir, fn)
+            try:
+                if now - os.path.getmtime(p) >= orphan_grace_sec:
+                    os.remove(p)
+                    deleted += 1
+            except FileNotFoundError:
+                pass
         return deleted
 
     def history(self) -> list[dict]:

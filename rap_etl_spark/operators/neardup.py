@@ -44,14 +44,27 @@ def exact_dup_groups(df: DataFrame, col: str = "text") -> DataFrame:
 # --------------------------------------------------------------------------
 # MinHash + LSH
 # --------------------------------------------------------------------------
-_M61 = (1 << 61) - 1  # Mersenne prime modulus for the hash family
+_SHINGLE_C = np.uint64(0x100000001B3)  # odd multiplier for the rolling poly
+_EMPTY_SHINGLE = np.uint64(0x9E3779B97F4A7C15)  # shingle id of an empty doc
 
 
-def _hash_family(n: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
+def _mix64(x: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer over a uint64 ndarray — the avalanche step that
+    turns structured polynomial sums / xor'd seeds into uniform 64-bit
+    values. Pure vectorized uint64 (wraparound is the point)."""
+    with np.errstate(over="ignore"):
+        x = x.astype(np.uint64, copy=True)
+        x ^= x >> np.uint64(30)
+        x *= np.uint64(0xBF58476D1CE4E5B9)
+        x ^= x >> np.uint64(27)
+        x *= np.uint64(0x94D049BB133111EB)
+        x ^= x >> np.uint64(31)
+        return x
+
+
+def _hash_seeds(n: int, seed: int) -> np.ndarray:
     rng = np.random.RandomState(seed)
-    a = rng.randint(1, _M61, size=n, dtype=np.int64)
-    b = rng.randint(0, _M61, size=n, dtype=np.int64)
-    return a, b
+    return rng.randint(0, 1 << 62, size=n, dtype=np.int64).astype(np.uint64)
 
 
 def minhash_signatures(
@@ -64,12 +77,28 @@ def minhash_signatures(
 ) -> DataFrame:
     """(key, signature: array<long>) — MinHash over k-word shingles.
 
-    mapInPandas: per Arrow batch, shingle -> stable 64-bit shingle ids ->
-    n_hashes universal hashes -> column-wise min. numpy throughout."""
-    a, b = _hash_family(n_hashes, seed)
+    Fully vectorized kernel (mapInPandas, numpy uint64 end-to-end — the
+    per-row/per-shingle Python of the first iteration was the dominant cost
+    of corpus dedup):
+
+    1. the batch's words are flattened once; only the batch VOCABULARY
+       (unique words, typically ≪ occurrences) is hashed in Python
+       (blake2b — process-stable, unlike the salted builtin hash), then
+       gathered back via factorize codes;
+    2. shingle ids are a degree-k rolling polynomial over word hashes
+       (k shifted multiply-adds over the flat array), finalized with
+       splitmix64 — docs shorter than k words get one whole-doc shingle,
+       empty docs a constant;
+    3. hash i of the family is mix64(shingle ^ r_i) — xor+avalanche, no
+       big-int modular arithmetic — and per-doc minima fall out of
+       np.minimum.reduceat over the doc's shingle segment.
+
+    Deterministic across any partitioning/batching of the input (property-
+    tested), so signatures computed on different executors agree.
+    """
+    seeds = _hash_seeds(n_hashes, seed)
     spark = df.sparkSession
-    b_a = spark.sparkContext.broadcast(a)
-    b_b = spark.sparkContext.broadcast(b)
+    b_seeds = spark.sparkContext.broadcast(seeds)
     out_schema = T.StructType(
         [
             df.schema[key],
@@ -79,35 +108,87 @@ def minhash_signatures(
 
     import hashlib
 
-    def _stable_id(s: str) -> int:
-        # NOT python hash(): that is salted per process (PYTHONHASHSEED) and
-        # would give different signatures on different workers
+    def _word_hash(w: str) -> int:
         return int.from_bytes(
-            hashlib.blake2b(s.encode(), digest_size=8).digest(), "little"
-        ) & 0x1FFFFFFFFFFFFFFF
+            hashlib.blake2b(w.encode(), digest_size=8).digest(), "little"
+        )
+
+    k = shingle_k
 
     def sig_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        A = b_a.value.astype(np.object_)  # python ints: exact 61-bit modmul
-        B = b_b.value.astype(np.object_)
-        for pdf in batches:
-            keys, sigs = [], []
-            for k_, text in zip(pdf[key], pdf[col]):
-                words = text.split()
-                if len(words) < shingle_k:
-                    shingles = [" ".join(words)]
-                else:
-                    shingles = [
-                        " ".join(words[i : i + shingle_k])
-                        for i in range(len(words) - shingle_k + 1)
-                    ]
-                ids = np.array(
-                    [_stable_id(s) for s in shingles], dtype=np.object_
+        R = b_seeds.value
+        with np.errstate(over="ignore"):
+            pows = np.ones(k, dtype=np.uint64)
+            for t in range(1, k):
+                pows[t] = pows[t - 1] * _SHINGLE_C
+            for pdf in batches:
+                n = len(pdf)
+                if n == 0:
+                    continue
+                words = pdf[col].fillna("").str.split()
+                wlens = words.str.len().to_numpy(dtype=np.int64)
+                flat = [w for lst in words for w in lst]
+                # vocabulary-bounded Python: hash unique words only
+                codes, uniq = pd.factorize(np.asarray(flat, dtype=object))
+                uh = np.fromiter(
+                    (_word_hash(w) for w in uniq), dtype=np.uint64, count=len(uniq)
                 )
-                # (n_hashes, n_shingles) universal hash, min per row
-                hx = (A[:, None] * ids[None, :] + B[:, None]) % _M61
-                sigs.append(hx.min(axis=1).astype(np.int64))
-                keys.append(k_)
-            yield pd.DataFrame({key: keys, "signature": sigs})
+                wh = uh[codes] if len(flat) else np.empty(0, np.uint64)
+                wstarts = np.zeros(n, dtype=np.int64)
+                if n > 1:
+                    np.cumsum(wlens[:-1], out=wstarts[1:])
+
+                # output shingle segments per doc
+                slens = np.where(wlens >= k, wlens - k + 1, 1)
+                sstarts = np.zeros(n, dtype=np.int64)
+                if n > 1:
+                    np.cumsum(slens[:-1], out=sstarts[1:])
+                shingles = np.empty(int(slens.sum()), dtype=np.uint64)
+
+                total = len(flat)
+                is_long = wlens >= k
+                if total >= k and is_long.any():
+                    # rolling degree-k polynomial over the flat word hashes
+                    S = np.zeros(total - k + 1, dtype=np.uint64)
+                    for t in range(k):
+                        S += wh[t : total - k + 1 + t] * pows[t]
+                    # keep only windows fully inside one (long) doc
+                    doc_of = np.repeat(np.arange(n), wlens)
+                    valid = doc_of[: total - k + 1] == doc_of[k - 1 :]
+                    long_sh = _mix64(S[valid])
+                    shingles[np.repeat(is_long, slens)] = long_sh
+                is_short = (wlens > 0) & (wlens < k)
+                if is_short.any():
+                    # one whole-doc shingle: same polynomial, degree wlen-1
+                    occ_doc = np.repeat(np.arange(n), wlens)
+                    occ_pos = np.arange(total) - wstarts[occ_doc]
+                    short_occ = is_short[occ_doc]
+                    contrib = wh[short_occ] * pows[occ_pos[short_occ]]
+                    # start of each short doc's segment inside the compressed
+                    # `contrib` array = rank of its first occurrence among
+                    # all short-doc occurrences
+                    seg_starts = np.searchsorted(
+                        np.flatnonzero(short_occ), wstarts[np.flatnonzero(is_short)]
+                    )
+                    sums = np.add.reduceat(contrib, seg_starts)
+                    shingles[np.repeat(is_short, slens)] = _mix64(sums)
+                is_empty = wlens == 0
+                if is_empty.any():
+                    shingles[np.repeat(is_empty, slens)] = _mix64(
+                        np.full(int(is_empty.sum()), _EMPTY_SHINGLE)
+                    )
+
+                # n_hashes minima over each doc's shingle segment
+                sig = np.empty((n, n_hashes), dtype=np.uint64)
+                for i in range(n_hashes):
+                    sig[:, i] = np.minimum.reduceat(_mix64(shingles ^ R[i]), sstarts)
+                sig_i64 = sig.view(np.int64)
+                yield pd.DataFrame(
+                    {
+                        key: pdf[key].to_numpy(),
+                        "signature": [sig_i64[j] for j in range(n)],
+                    }
+                )
 
     return df.select(key, col).mapInPandas(sig_batches, schema=out_schema)
 
@@ -195,30 +276,39 @@ def minhash_near_dups(
 # --------------------------------------------------------------------------
 def simhash(df: DataFrame, col: str = "text", key: str = "doc_id") -> DataFrame:
     """64-bit SimHash over word features, computed JVM-side: per word take
-    xxhash64, sign-vote each bit weighted by term presence. Expressed as an
-    explode + bitwise aggregation — no Python."""
+    xxhash64, sign-vote each bit weighted by term presence.
+
+    ONE groupBy(key) with 64 fixed-width long sum buffers — a HashAggregate
+    with map-side combine whose intermediate row count equals the WORD
+    count. (The first iteration posexploded a 64-element vote array per
+    word — a 64x row blowup into a (key, bit) shuffle; folding the votes
+    into 64 aggregation buffers removes the blowup and the second shuffle.)
+    Shift amounts must be literals in the Python API, so the 64 vote
+    expressions are built statically — still codegen'd."""
     words = df.select(
         F.col(key), F.explode(F.array_distinct(F.split(F.col(col), r"\s+"))).alias("w")
     ).withColumn("h", F.xxhash64("w"))
-    # per (key, bit): vote = sum(+1 if bit set else -1); bit set iff vote > 0.
-    # shift amounts must be literals in the Python API, so the 64 bit-vote
-    # expressions are built statically (one array expr, still codegen'd)
-    bit_votes = F.array(
+    # per bit i: vote_i = sum over words of (+1 if bit set else -1)
+    votes = words.groupBy(key).agg(
         *[
-            F.when(
-                F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, F.lit(1)
-            ).otherwise(F.lit(-1))
+            F.sum(
+                F.when(
+                    F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+                ).otherwise(F.lit(-1))
+            ).alias(f"_v{i}")
             for i in range(64)
         ]
     )
-    bits = words.select(key, F.posexplode(bit_votes).alias("bit", "vote"))
-    votes = bits.groupBy(key, "bit").agg(F.sum("vote").alias("v"))
-    sig = votes.groupBy(key).agg(
-        F.sum(
-            F.when(F.col("v") > 0, F.expr("shiftleft(1L, bit)")).otherwise(F.lit(0))
-        ).alias("simhash")
-    )
-    return sig
+    # bit i set iff vote_i > 0; distinct powers of two sum to the packed
+    # signed-int64 value (bit 63 contributes the sign bit)
+    packed = None
+    for i in range(64):
+        bit_val = (1 << i) if i < 63 else -(1 << 63)
+        term = F.when(F.col(f"_v{i}") > 0, F.lit(bit_val).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        packed = term if packed is None else packed + term
+    return votes.select(key, packed.alias("simhash"))
 
 
 def simhash_near_dups(

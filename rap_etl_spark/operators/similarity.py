@@ -139,13 +139,21 @@ def ivf_assign(
     sample_frac: float = 0.2,
     iters: int = 5,
     seed: int = 42,
+    max_sample: int = 100_000,
 ):
     """IVF coarse quantizer: k-means on a driver-side sample (centroid count
     is tiny), then distributed assignment via one numpy matmul per batch.
     Returns (assigned_df with 'centroid' column, centroids ndarray). At
     scale the assigned table is written partitioned by centroid so a query
-    probes only the nearest partitions (partition pruning)."""
-    sample = df.select(vec_col).sample(sample_frac, seed=seed).toPandas()
+    probes only the nearest partitions (partition pruning).
+
+    The driver collect is HARD-CAPPED at `max_sample` rows regardless of
+    table size (centroid fitting needs ~100k vectors no matter how big the
+    corpus is) — sample_frac alone would scale the collect with the table
+    and OOM the driver at corpus scale."""
+    sample = (
+        df.select(vec_col).sample(sample_frac, seed=seed).limit(max_sample).toPandas()
+    )
     X = np.stack([np.asarray(v, dtype=np.float64) for v in sample[vec_col]])
     rng = np.random.RandomState(seed)
     cent = X[rng.choice(len(X), size=min(n_centroids, len(X)), replace=False)]

@@ -61,25 +61,67 @@ def quality_score(df: DataFrame, col: str = "text") -> DataFrame:
     )
 
 
-# character-trigram prior per language, built from the doc corpus itself in
+# byte-trigram prior per language, built from the doc corpus itself in
 # fit_lang_id (a real system ships trained priors; the mechanism is the same)
-def fit_lang_id(df: DataFrame, text_col: str = "text", lang_col: str = "lang"):
-    """Learn top character trigrams per language from a labeled sample.
-    Returns {lang: set(trigrams)} suitable for broadcasting."""
-    sample = df.select(lang_col, text_col).sample(0.3, seed=42).toPandas()
-    model: dict[str, set] = {}
+def _trigram_codes(data: bytes) -> tuple[np.ndarray, np.ndarray]:
+    """All byte-trigrams of `data` as uint32 codes (b0<<16|b1<<8|b2), fully
+    vectorized. Returns (codes, valid) where valid=False marks trigrams
+    that touch a 0x00 byte — the document separator, which UTF-8 never
+    produces for real characters — so concatenated docs never leak
+    cross-document trigrams."""
+    b = np.frombuffer(data, dtype=np.uint8)
+    if b.size < 3:
+        return np.empty(0, np.uint32), np.empty(0, bool)
+    codes = (
+        (b[:-2].astype(np.uint32) << 16)
+        | (b[1:-1].astype(np.uint32) << 8)
+        | b[2:].astype(np.uint32)
+    )
+    valid = (b[:-2] != 0) & (b[1:-1] != 0) & (b[2:] != 0)
+    return codes, valid
+
+
+def fit_lang_id(
+    df: DataFrame,
+    text_col: str = "text",
+    lang_col: str = "lang",
+    sample_frac: float = 0.3,
+    max_rows: int = 20_000,
+):
+    """Learn the top-300 byte-trigram codes per language from a labeled
+    sample. Returns {lang: sorted uint32 ndarray} suitable for broadcasting.
+
+    The driver collect is HARD-CAPPED at `max_rows` regardless of table
+    size (the trigram prior needs a few hundred KB of text per language;
+    an uncapped fraction would scale the collect with the corpus). Trigram
+    extraction and counting are single numpy passes — no per-gram Python."""
+    sample = (
+        df.select(lang_col, text_col)
+        .filter(F.col(text_col).isNotNull())
+        .sample(sample_frac, seed=42)
+        .limit(max_rows)
+        .toPandas()
+    )
+    model: dict[str, np.ndarray] = {}
     for lang, grp in sample.groupby(lang_col):
-        text = " ".join(grp[text_col].tolist())[:200_000]
-        grams = pd.Series(
-            [text[i : i + 3] for i in range(0, max(len(text) - 2, 0), 1)]
-        )
-        model[lang] = set(grams.value_counts().head(300).index)
+        text = "\x00".join(grp[text_col].tolist())[:200_000]
+        codes, valid = _trigram_codes(text.encode("utf-8"))
+        codes = codes[valid]
+        if codes.size == 0:
+            model[lang] = np.empty(0, np.uint32)
+            continue
+        uniq, counts = np.unique(codes, return_counts=True)
+        top = uniq[np.argsort(-counts, kind="stable")[:300]]
+        model[lang] = np.sort(top)
     return model
 
 
-def lang_id(df: DataFrame, model: dict[str, set], text_col: str = "text") -> DataFrame:
-    """N-gram-overlap language ID: argmax over per-language trigram hit
-    counts. Vectorized pandas UDF (Arrow batches); model broadcast once."""
+def lang_id(df: DataFrame, model: dict[str, np.ndarray], text_col: str = "text") -> DataFrame:
+    """Trigram-hit language ID: argmax over per-language trigram-hit counts,
+    CountVectorizer-style and fully vectorized — per Arrow batch, ALL texts
+    are concatenated once, trigram codes come from three shifted numpy
+    slices, per-language hits are one np.isin each, and per-row counts fall
+    out of one bincount per language. No per-row Python anywhere."""
     spark = df.sparkSession
     b_model = spark.sparkContext.broadcast(model)
 
@@ -87,13 +129,33 @@ def lang_id(df: DataFrame, model: dict[str, set], text_col: str = "text") -> Dat
     def predict(texts: pd.Series) -> pd.Series:
         m = b_model.value
         langs = list(m)
-
-        def score_one(t: str) -> str:
-            grams = {t[i : i + 3] for i in range(0, max(len(t) - 2, 0), 7)}
-            hits = np.array([len(grams & m[lg]) for lg in langs])
-            return langs[int(hits.argmax())] if hits.max() > 0 else "und"
-
-        return texts.map(score_one)
+        t = texts.fillna("")
+        enc = t.str.encode("utf-8")
+        lens = enc.str.len().to_numpy(dtype=np.int64)
+        n = len(t)
+        if n == 0 or not langs:
+            return pd.Series(["und"] * n)
+        cat = b"\x00".join(enc.tolist())
+        codes, valid = _trigram_codes(cat)
+        # byte offset where each row starts inside `cat` (rows separated by
+        # one 0x00): searchsorted maps a trigram position back to its row
+        starts = np.zeros(n, dtype=np.int64)
+        if n > 1:
+            np.cumsum(lens[:-1] + 1, out=starts[1:])
+        pos = np.arange(codes.size, dtype=np.int64)
+        rows = np.searchsorted(starts, pos, side="right") - 1
+        scores = np.zeros((len(langs), n), dtype=np.int64)
+        for i, lg in enumerate(langs):
+            hit = valid & np.isin(codes, m[lg])
+            if hit.any():
+                scores[i] = np.bincount(rows[hit], minlength=n)
+        best = scores.argmax(axis=0)
+        out = np.where(
+            scores.max(axis=0) > 0,
+            np.asarray(langs, dtype=object)[best],
+            "und",
+        )
+        return pd.Series(out)
 
     return df.withColumn("lang_pred", predict(F.col(text_col)))
 

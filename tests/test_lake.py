@@ -134,3 +134,75 @@ def test_lookup_reads_only_key_buckets(spark, tmp_path):
     }
     pruned = [fe for fe in m["files"] if fe["bucket"] in buckets]
     assert 0 < len(pruned) < len(m["files"])
+
+
+def test_append_enforces_one_row_per_key(spark, tmp_path):
+    """The merge reduction relies on at-most-one-row-per-key; append must
+    not be able to break it (ADVICE r1): in-batch duplicates are reduced
+    deterministically, key overlap with stored data raises."""
+    t = ManifestParquetTable.create(spark, str(tmp_path / "t"), DOCS_SCHEMA, n_buckets=4)
+    dup = mk_docs(
+        spark,
+        [("doc-1", [1], 1, "s0"), ("doc-1", [2], 1, "s1"), ("doc-2", [3], 1, "s0")],
+    )
+    t.append(dup, batch_id=0)
+    got = {r["doc_id"]: r for r in t.read().collect()}
+    assert set(got) == {"doc-1", "doc-2"}  # one survivor per key
+
+    with pytest.raises(ValueError, match="duplicate existing key"):
+        t.append(mk_docs(spark, [("doc-2", [9], 1, "s9")]), batch_id=1)
+    # disjoint keys still append fine
+    t.append(mk_docs(spark, [("doc-3", [9], 1, "s9")]), batch_id=2)
+    assert t.read().count() == 3
+    # and a later merge keeps exact per-key state (no multiplied rows)
+    t.merge(mk_changes(spark, [("U", "doc-1", [7, 7], 2, "s7")]), batch_id=3)
+    rows = t.read().filter(F.col("doc_id") == "doc-1").collect()
+    assert len(rows) == 1 and rows[0]["tokens"] == [7, 7]
+
+
+def test_ledger_pruning_keeps_idempotency(spark, tmp_path):
+    """prune_ledger truncates per-batch entries below the horizon but
+    redelivered pruned batches still skip (O(1) horizon check)."""
+    t = ManifestParquetTable.create(spark, str(tmp_path / "t"), DOCS_SCHEMA, n_buckets=4)
+    for b in range(5):
+        t.merge(mk_changes(spark, [("I", f"doc-{b}", [b], 1, "s")]), batch_id=b)
+    assert len(t.committed_batches()) == 5
+    removed = t.prune_ledger(horizon_batch_id=2)
+    assert removed == 3
+    assert set(t.committed_batches()) == {"3", "4"}
+    assert t.ledger_horizon() == 2
+    # pruned batch redelivery is still a no-op
+    sid = t.snapshot_id()
+    info = t.merge(mk_changes(spark, [("I", "doc-0", [99], 1, "x")]), batch_id=1)
+    assert info.skipped and t.snapshot_id() == sid
+    assert t.read().filter(F.col("doc_id") == "doc-0").first()["tokens"] == [0]
+    # horizon never regresses
+    t.prune_ledger(horizon_batch_id=1)
+    assert t.ledger_horizon() == 2
+    # compact can prune in the same commit
+    t.merge(mk_changes(spark, [("I", "doc-9", [9], 1, "s")]), batch_id=9)
+    t.compact(ledger_horizon_batch_id=9)
+    assert t.committed_batches() == {} and t.ledger_horizon() == 9
+    assert t.is_committed(4) and t.is_committed(9) and not t.is_committed(10)
+
+
+def test_expire_snapshots_sweeps_orphans(spark, tmp_path):
+    """Data files from crashed/conflicted commits (referenced by no
+    manifest) are garbage-collected by expire_snapshots once past the
+    grace window (ADVICE r1)."""
+    import os
+
+    t = ManifestParquetTable.create(spark, str(tmp_path / "t"), DOCS_SCHEMA, n_buckets=4)
+    t.append(mk_docs(spark, [("doc-1", [1], 1, "s")]), batch_id=0)
+    # simulate a crashed commit: a data file exists but no manifest knows it
+    orphan = os.path.join(str(tmp_path / "t"), "data", "b00000-deadbeef-0000.parquet")
+    with open(orphan, "wb") as f:
+        f.write(b"not-a-real-parquet")
+    # grace window protects fresh files (in-flight commits)
+    t.expire_snapshots(keep=3, orphan_grace_sec=3600)
+    assert os.path.exists(orphan)
+    deleted = t.expire_snapshots(keep=3, orphan_grace_sec=0.0)
+    assert deleted >= 1
+    assert not os.path.exists(orphan)
+    # live data untouched
+    assert t.read().count() == 1

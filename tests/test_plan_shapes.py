@@ -110,16 +110,24 @@ def test_packed_winners_scan_prunes_blob(spark, sf_small):
     assert "doc_id" in cols and "lsn" in cols
 
 
-def test_packed_semi_join_broadcasts_winners(spark, sf_small):
-    """The LWW payload fetch is a broadcast semi join: the multi-GB event
-    scan must never shuffle (only the tiny winner set moves)."""
+def test_packed_winner_probe_broadcasts_winners(spark, sf_small):
+    """The LWW payload fetch is the production winner_probe join (single
+    xxhash64 long key + exact re-check) against a broadcast winner set:
+    the multi-GB event scan must never shuffle (only the tiny winner set
+    moves). This asserts the exact join shape engine.apply_batch builds."""
     from pyspark.sql import functions as F2
 
+    from rap_etl_spark.operators.cdc import winner_probe
     from rap_etl_spark.sources.synth import synthesize_events
 
     ev = synthesize_events(spark, sf_small, 500, max_tok=4, packed=True)
     w = ev.groupBy("doc_id").agg(F2.max("lsn").alias("lsn"))
-    latest = ev.join(F2.broadcast(w), on=["doc_id", "lsn"], how="left_semi")
+    latest = winner_probe(ev, F2.broadcast(w))
     kinds = join_kinds(latest)
     assert "BroadcastHashJoin" in kinds
     assert "SortMergeJoin" not in kinds
+    plan = formatted_plan(latest)
+    # the join key is the single xxhash64 long (LongHashedRelation probe),
+    # and the winner side reaches the join via a broadcast exchange
+    assert "xxhash64" in plan
+    assert "BroadcastExchange" in plan

@@ -204,3 +204,102 @@ def test_engine_lww_matches_oracle_random_sets(spark, triples):
         )
         assert got["doc_id"].tolist() == want_t["doc_id"].tolist(), strategy
         assert got["tokens"].tolist() == want_t["tokens"].tolist(), strategy
+
+
+# ---------- pure-python: vectorized minhash kernel vs its spec ----------
+def _ref_minhash_sig(text: str, n_hashes: int, k: int, seed: int) -> np.ndarray:
+    """Slow, per-shingle reference of the documented minhash spec
+    (neardup.minhash_signatures): blake2b word hashes, degree-k rolling
+    polynomial shingles, splitmix64-finalized xor family."""
+    import hashlib
+
+    from rap_etl_spark.operators import neardup as nd
+
+    R = nd._hash_seeds(n_hashes, seed)
+    C, M = int(nd._SHINGLE_C), 1 << 64
+
+    def wh(w: str) -> int:
+        return int.from_bytes(
+            hashlib.blake2b(w.encode(), digest_size=8).digest(), "little"
+        )
+
+    words = text.split()
+    if not words:
+        shingle_sums = [int(nd._EMPTY_SHINGLE)]
+    else:
+        kk = min(k, len(words))
+        shingle_sums = [
+            sum(wh(words[j + t]) * pow(C, t, M) for t in range(kk)) % M
+            for j in range(len(words) - kk + 1)
+        ]
+    sh = nd._mix64(np.array(shingle_sums, dtype=np.uint64))
+    sig = np.empty(n_hashes, dtype=np.uint64)
+    for i in range(n_hashes):
+        sig[i] = nd._mix64(sh ^ R[i]).min()
+    return sig.view(np.int64)
+
+
+texts_strategy = st.lists(
+    st.text(
+        alphabet=st.sampled_from(list("abcde é中")), max_size=80
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@given(texts_strategy, st.integers(min_value=1, max_value=3))
+@settings(max_examples=30, suppress_health_check=[HealthCheck.too_slow])
+def test_minhash_kernel_matches_spec_and_batch_invariant(texts, n_chunks):
+    """The vectorized kernel must (a) equal the per-shingle reference spec
+    exactly and (b) give identical signatures under ANY batch split —
+    the cross-executor determinism signatures rely on."""
+    from rap_etl_spark.operators import neardup as nd
+
+    n_hashes, k, seed = 8, 5, 42
+    captured = {}
+
+    class _BC:
+        def __init__(self, v):
+            self.value = v
+
+    class _SC:
+        def broadcast(self, v):
+            return _BC(v)
+
+    class _Sess:
+        sparkContext = _SC()
+
+    class _FakeDF:
+        def __init__(self):
+            self.sparkSession = _Sess()
+            self.schema = T.StructType([T.StructField("doc_id", T.StringType())])
+
+        def select(self, *a):
+            return self
+
+        def mapInPandas(self, fn, schema):
+            captured["fn"] = fn
+            return self
+
+    nd.minhash_signatures(_FakeDF(), n_hashes=n_hashes, shingle_k=k, seed=seed)
+    fn = captured["fn"]
+    pdf = pd.DataFrame(
+        {"doc_id": [f"d{i}" for i in range(len(texts))], "text": texts}
+    )
+    whole = pd.concat(list(fn(iter([pdf])))).reset_index(drop=True)
+    assert len(whole) == len(texts)
+    for i, t in enumerate(texts):
+        got = np.asarray(whole["signature"].iloc[i])
+        want = _ref_minhash_sig(t, n_hashes, k, seed)
+        assert np.array_equal(got, want), (i, t)
+    # batch-split invariance
+    chunks = [c.reset_index(drop=True) for c in np.array_split(pdf, n_chunks) if len(c)]
+    split = pd.concat([pd.concat(list(fn(iter([c])))) for c in chunks]).reset_index(
+        drop=True
+    )
+    for i in range(len(texts)):
+        assert np.array_equal(
+            np.asarray(split["signature"].iloc[i]),
+            np.asarray(whole["signature"].iloc[i]),
+        )
