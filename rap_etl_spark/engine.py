@@ -70,6 +70,12 @@ class CdcEngine:
     # Spark cache retention under memory pressure.
     stage_delta: bool = True
     staging_dir: str | None = None
+    # Ingest-path curation: drop non-representative (near-)duplicate payloads
+    # from each batch's winner delta BEFORE the merge, so planted near-dups
+    # never reach the table. None (default) = off; "exact" | "minhash" =
+    # neardup.dedup_batch_tokens policies over the token arrays. Runs on the
+    # already-reduced winner delta (small), never on the raw event scan.
+    dedup_policy: str | None = None
     metrics: list[BatchMetrics] = field(default_factory=list)
 
     def apply_batch(self, events: DataFrame, batch_id: int) -> BatchMetrics:
@@ -162,6 +168,13 @@ class CdcEngine:
                     from rap_etl_spark.functions.tokens import unpack_tokens
 
                     latest = unpack_tokens(latest)
+
+                if self.dedup_policy is not None and "tokens" in latest.columns:
+                    from rap_etl_spark.operators.neardup import dedup_batch_tokens
+
+                    latest = dedup_batch_tokens(
+                        latest, policy=self.dedup_policy, key=KEY
+                    )
 
                 # payload columns follow the table's CURRENT schema (schema
                 # evolution: an added column like `lang` must flow through)

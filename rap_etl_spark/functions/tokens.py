@@ -13,6 +13,8 @@ offsets (np.add.reduceat) rather than per-row Python loops.
 
 from __future__ import annotations
 
+from typing import Iterator  # noqa: UP035 - pyspark resolves UDF type hints
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -82,6 +84,35 @@ def clipped_token_sum_py(max_len: int):
         if flat.size:
             out[nz] = np.add.reduceat(flat, starts[nz])
         return pd.Series(out)
+
+    return _udf
+
+
+def remap_token_sum_iter(a: int, b: int, mod: int, table_size: int = 1 << 16):
+    """Factory: V2 ITERATOR pandas UDF (``Iterator[pd.Series] ->
+    Iterator[pd.Series]``, SURVEY.md §2.2 V2) computing
+    ``sum((a*t + b) % mod)`` over each row's token array.
+
+    The iterator form exists for AMORTIZED PER-BATCH SETUP: the remap
+    lookup table (the stand-in for any expensive per-worker init — loading
+    a vocab, compiling an automaton, opening a model) is built ONCE per
+    Python worker when the iterator starts, then reused across every Arrow
+    batch the executor streams through — a Series→Series UDF would pay the
+    setup on every batch. Requires token values < table_size."""
+
+    @pandas_udf(T.LongType())
+    def _udf(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        # one-time setup, amortized over all batches of this partition
+        table = (a * np.arange(table_size, dtype=np.int64) + b) % mod
+        for tokens in batches:
+            flat, lens, starts = _flatten(
+                tokens.map(lambda x: x if x is not None else [])
+            )
+            out = np.zeros(len(lens), dtype=np.int64)
+            nz = lens > 0
+            if flat.size:
+                out[nz] = np.add.reduceat(table[flat.astype(np.int64)], starts[nz])
+            yield pd.Series(out)
 
     return _udf
 

@@ -804,7 +804,22 @@ class IcebergTable(LakeTable):
     """Thin passthrough to a real Iceberg catalog (SQL MERGE INTO / ALTER
     TABLE). Activated only when spark.sql.catalog.* is configured on a real
     cluster — no Iceberg jar exists in this sandbox, so this class is
-    integration-only and deliberately minimal."""
+    integration-only (unit-tested against a recording stub session).
+
+    Exactly-once contract (documented honestly): the committed-batch
+    ledger rides Iceberg TABLE PROPERTIES (`rap-etl.batch.<id>`), written
+    right after the MERGE. The MERGE and the property write are two
+    catalog commits, not one atomic transaction — a crash between them can
+    re-run the MERGE on redelivery. That is safe because this MERGE is
+    row-level CONVERGENT: re-applying the same change set deletes
+    already-deleted keys (no-op), re-updates matched keys to identical
+    values, and "inserts" now-matched keys as identical updates — the
+    table state is unchanged. The ledger is therefore an optimization
+    (skip re-reading the batch) and a lineage record, while correctness
+    rests on merge convergence — the same layering ManifestParquetTable
+    uses (version-conditional merge + ledger)."""
+
+    _PROP_PREFIX = "rap-etl.batch."
 
     def __init__(self, spark: SparkSession, identifier: str, key: str = "doc_id"):
         self.spark = spark
@@ -824,7 +839,10 @@ class IcebergTable(LakeTable):
         return self.spark.table(self.identifier)
 
     def merge(self, changes: DataFrame, batch_id: int | None = None) -> CommitInfo:
+        if self.is_committed(batch_id):
+            return CommitInfo(self.snapshot_id(), batch_id, 0, skipped=True)
         changes.createOrReplaceTempView("_changes")
+        rows = int(changes.count())
         cols = [f.name for f in self.schema().fields]
         set_clause = ", ".join(f"t.{c} = s.{c}" for c in cols)
         insert_cols = ", ".join(cols)
@@ -838,7 +856,16 @@ class IcebergTable(LakeTable):
             WHEN NOT MATCHED AND s.op <> 'D' THEN INSERT ({insert_cols}) VALUES ({insert_vals})
             """
         )
-        return CommitInfo(self.snapshot_id(), batch_id, -1)
+        sid = self.snapshot_id()
+        if batch_id is not None:
+            entry = json.dumps({"snapshot_id": sid, "event_count": rows})
+            # single-quote escaping for the SQL string literal
+            entry_sql = entry.replace("'", "''")
+            self.spark.sql(
+                f"ALTER TABLE {self.identifier} SET TBLPROPERTIES "
+                f"('{self._PROP_PREFIX}{int(batch_id)}' = '{entry_sql}')"
+            )
+        return CommitInfo(sid, batch_id, rows)
 
     def evolve(self, new_schema: T.StructType) -> None:
         old = {f.name: f for f in self.schema().fields}
@@ -859,4 +886,13 @@ class IcebergTable(LakeTable):
         return str(row[0]) if row else "none"
 
     def committed_batches(self) -> dict[str, dict]:
-        return {}
+        """Ledger read-back from table properties (SHOW TBLPROPERTIES)."""
+        out: dict[str, dict] = {}
+        for r in self.spark.sql(f"SHOW TBLPROPERTIES {self.identifier}").collect():
+            k = r["key"]
+            if k.startswith(self._PROP_PREFIX):
+                try:
+                    out[k[len(self._PROP_PREFIX) :]] = json.loads(r["value"])
+                except (ValueError, TypeError):
+                    out[k[len(self._PROP_PREFIX) :]] = {"raw": r["value"]}
+        return out

@@ -117,78 +117,141 @@ def minhash_signatures(
 
     def sig_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         R = b_seeds.value
-        with np.errstate(over="ignore"):
-            pows = np.ones(k, dtype=np.uint64)
-            for t in range(1, k):
-                pows[t] = pows[t - 1] * _SHINGLE_C
-            for pdf in batches:
-                n = len(pdf)
-                if n == 0:
-                    continue
-                words = pdf[col].fillna("").str.split()
-                wlens = words.str.len().to_numpy(dtype=np.int64)
-                flat = [w for lst in words for w in lst]
-                # vocabulary-bounded Python: hash unique words only
-                codes, uniq = pd.factorize(np.asarray(flat, dtype=object))
-                uh = np.fromiter(
-                    (_word_hash(w) for w in uniq), dtype=np.uint64, count=len(uniq)
-                )
-                wh = uh[codes] if len(flat) else np.empty(0, np.uint64)
-                wstarts = np.zeros(n, dtype=np.int64)
-                if n > 1:
-                    np.cumsum(wlens[:-1], out=wstarts[1:])
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            words = pdf[col].fillna("").str.split()
+            wlens = words.str.len().to_numpy(dtype=np.int64)
+            flat = [w for lst in words for w in lst]
+            # vocabulary-bounded Python: hash unique words only
+            codes, uniq = pd.factorize(np.asarray(flat, dtype=object))
+            uh = np.fromiter(
+                (_word_hash(w) for w in uniq), dtype=np.uint64, count=len(uniq)
+            )
+            wh = uh[codes] if len(flat) else np.empty(0, np.uint64)
+            sig_i64 = _sigs_from_elem_hashes(wh, wlens, k, n_hashes, R)
+            yield pd.DataFrame(
+                {
+                    key: pdf[key].to_numpy(),
+                    "signature": [sig_i64[j] for j in range(n)],
+                }
+            )
 
-                # output shingle segments per doc
-                slens = np.where(wlens >= k, wlens - k + 1, 1)
-                sstarts = np.zeros(n, dtype=np.int64)
-                if n > 1:
-                    np.cumsum(slens[:-1], out=sstarts[1:])
-                shingles = np.empty(int(slens.sum()), dtype=np.uint64)
+    return df.select(key, col).mapInPandas(sig_batches, schema=out_schema)
 
-                total = len(flat)
-                is_long = wlens >= k
-                if total >= k and is_long.any():
-                    # rolling degree-k polynomial over the flat word hashes
-                    S = np.zeros(total - k + 1, dtype=np.uint64)
-                    for t in range(k):
-                        S += wh[t : total - k + 1 + t] * pows[t]
-                    # keep only windows fully inside one (long) doc
-                    doc_of = np.repeat(np.arange(n), wlens)
-                    valid = doc_of[: total - k + 1] == doc_of[k - 1 :]
-                    long_sh = _mix64(S[valid])
-                    shingles[np.repeat(is_long, slens)] = long_sh
-                is_short = (wlens > 0) & (wlens < k)
-                if is_short.any():
-                    # one whole-doc shingle: same polynomial, degree wlen-1
-                    occ_doc = np.repeat(np.arange(n), wlens)
-                    occ_pos = np.arange(total) - wstarts[occ_doc]
-                    short_occ = is_short[occ_doc]
-                    contrib = wh[short_occ] * pows[occ_pos[short_occ]]
-                    # start of each short doc's segment inside the compressed
-                    # `contrib` array = rank of its first occurrence among
-                    # all short-doc occurrences
-                    seg_starts = np.searchsorted(
-                        np.flatnonzero(short_occ), wstarts[np.flatnonzero(is_short)]
-                    )
-                    sums = np.add.reduceat(contrib, seg_starts)
-                    shingles[np.repeat(is_short, slens)] = _mix64(sums)
-                is_empty = wlens == 0
-                if is_empty.any():
-                    shingles[np.repeat(is_empty, slens)] = _mix64(
-                        np.full(int(is_empty.sum()), _EMPTY_SHINGLE)
-                    )
 
-                # n_hashes minima over each doc's shingle segment
-                sig = np.empty((n, n_hashes), dtype=np.uint64)
-                for i in range(n_hashes):
-                    sig[:, i] = np.minimum.reduceat(_mix64(shingles ^ R[i]), sstarts)
-                sig_i64 = sig.view(np.int64)
-                yield pd.DataFrame(
-                    {
-                        key: pdf[key].to_numpy(),
-                        "signature": [sig_i64[j] for j in range(n)],
-                    }
-                )
+def _sigs_from_elem_hashes(
+    wh: np.ndarray, wlens: np.ndarray, k: int, n_hashes: int, R: np.ndarray
+) -> np.ndarray:
+    """Shared vectorized minhash core: flat per-element 64-bit hashes `wh`
+    (word hashes for text, mixed token values for token arrays) segmented
+    by per-doc lengths `wlens` -> (n_docs, n_hashes) int64 signatures.
+    Degree-k rolling-polynomial shingles + splitmix64 xor family; see
+    minhash_signatures for the full spec."""
+    n = len(wlens)
+    with np.errstate(over="ignore"):
+        pows = np.ones(k, dtype=np.uint64)
+        for t in range(1, k):
+            pows[t] = pows[t - 1] * _SHINGLE_C
+        wstarts = np.zeros(n, dtype=np.int64)
+        if n > 1:
+            np.cumsum(wlens[:-1], out=wstarts[1:])
+
+        # output shingle segments per doc
+        slens = np.where(wlens >= k, wlens - k + 1, 1)
+        sstarts = np.zeros(n, dtype=np.int64)
+        if n > 1:
+            np.cumsum(slens[:-1], out=sstarts[1:])
+        shingles = np.empty(int(slens.sum()), dtype=np.uint64)
+
+        total = len(wh)
+        is_long = wlens >= k
+        if total >= k and is_long.any():
+            # rolling degree-k polynomial over the flat element hashes
+            S = np.zeros(total - k + 1, dtype=np.uint64)
+            for t in range(k):
+                S += wh[t : total - k + 1 + t] * pows[t]
+            # keep only windows fully inside one (long) doc
+            doc_of = np.repeat(np.arange(n), wlens)
+            valid = doc_of[: total - k + 1] == doc_of[k - 1 :]
+            long_sh = _mix64(S[valid])
+            shingles[np.repeat(is_long, slens)] = long_sh
+        is_short = (wlens > 0) & (wlens < k)
+        if is_short.any():
+            # one whole-doc shingle: same polynomial, degree wlen-1
+            occ_doc = np.repeat(np.arange(n), wlens)
+            occ_pos = np.arange(total) - wstarts[occ_doc]
+            short_occ = is_short[occ_doc]
+            contrib = wh[short_occ] * pows[occ_pos[short_occ]]
+            # start of each short doc's segment inside the compressed
+            # `contrib` array = rank of its first occurrence among
+            # all short-doc occurrences
+            seg_starts = np.searchsorted(
+                np.flatnonzero(short_occ), wstarts[np.flatnonzero(is_short)]
+            )
+            sums = np.add.reduceat(contrib, seg_starts)
+            shingles[np.repeat(is_short, slens)] = _mix64(sums)
+        is_empty = wlens == 0
+        if is_empty.any():
+            shingles[np.repeat(is_empty, slens)] = _mix64(
+                np.full(int(is_empty.sum()), _EMPTY_SHINGLE)
+            )
+
+        # n_hashes minima over each doc's shingle segment
+        sig = np.empty((n, n_hashes), dtype=np.uint64)
+        for i in range(n_hashes):
+            sig[:, i] = np.minimum.reduceat(_mix64(shingles ^ R[i]), sstarts)
+        return sig.view(np.int64)
+
+
+def minhash_signatures_tokens(
+    df: DataFrame,
+    col: str = "tokens",
+    key: str = "doc_id",
+    n_hashes: int = 64,
+    shingle_k: int = 5,
+    seed: int = 42,
+) -> DataFrame:
+    """(key, signature) — MinHash over k-TOKEN shingles of an array<int>
+    column. Same vectorized core as minhash_signatures, but the per-element
+    hash is just splitmix64 of the token value — no string hashing at all,
+    so the kernel is pure numpy end-to-end. This is the ingest-path variant:
+    the CDC payload IS the token array (BASELINE.json input_hint), so
+    near-dup detection on ingest never needs text."""
+    seeds = _hash_seeds(n_hashes, seed)
+    b_seeds = df.sparkSession.sparkContext.broadcast(seeds)
+    out_schema = T.StructType(
+        [
+            df.schema[key],
+            T.StructField("signature", T.ArrayType(T.LongType()), False),
+        ]
+    )
+    k = shingle_k
+
+    def sig_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        R = b_seeds.value
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            toks = pdf[col].map(
+                lambda a: np.asarray(a if a is not None else [], dtype=np.int64)
+            )
+            wlens = toks.map(len).to_numpy(dtype=np.int64)
+            flat = (
+                np.concatenate(toks.to_list())
+                if wlens.sum()
+                else np.empty(0, np.int64)
+            )
+            wh = _mix64(flat.view(np.uint64))
+            sig_i64 = _sigs_from_elem_hashes(wh, wlens, k, n_hashes, R)
+            yield pd.DataFrame(
+                {
+                    key: pdf[key].to_numpy(),
+                    "signature": [sig_i64[j] for j in range(n)],
+                }
+            )
 
     return df.select(key, col).mapInPandas(sig_batches, schema=out_schema)
 
@@ -353,6 +416,83 @@ def simhash_near_dups(
         .filter(F.col("hamming") <= max_hamming)
         .select("a", "b", "hamming")
     )
+
+
+# --------------------------------------------------------------------------
+# ingest-path dedup (wired into CdcEngine.apply_batch via dedup_policy)
+# --------------------------------------------------------------------------
+def dedup_batch_tokens(
+    df: DataFrame,
+    policy: str = "exact",
+    key: str = "doc_id",
+    col: str = "tokens",
+    n_hashes: int = 32,
+    n_bands: int = 8,
+    shingle_k: int = 5,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Drop non-representative (near-)duplicate rows from one ingest batch,
+    BEFORE they reach the table — the training-data-pipeline move of
+    deduplicating at ingest rather than as an offline sweep. Operates on
+    the token-array payload directly (no text needed).
+
+    - ``exact``: rows whose token arrays are identical keep only the min-key
+      representative. Grouping is on the ARRAY VALUE itself (no hash
+      collisions); the shuffle carries only the already-reduced winner
+      delta, not the raw batch.
+    - ``minhash``: token-shingle MinHash -> LSH banding -> estimated-Jaccard
+      verify -> connected components -> keep each cluster's min-key
+      representative (graph.keep_representatives).
+
+    Delete events (op='D') always pass through — a near-dup filter must
+    never swallow a delete. Scope is the BATCH (cross-batch near-dups are
+    an offline compaction concern; at ingest the delta is small enough
+    that per-batch LSH is cheap)."""
+    from pyspark.sql import Window
+
+    has_op = "op" in df.columns
+    live = df.filter(F.col("op") != F.lit("D")) if has_op else df
+    dels = df.filter(F.col("op") == F.lit("D")) if has_op else None
+
+    if policy == "exact":
+        w = Window.partitionBy(F.col(col)).orderBy(F.col(key))
+        kept = (
+            live.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+    elif policy == "minhash":
+        from rap_etl_spark.operators.graph import keep_representatives
+
+        sigs = minhash_signatures_tokens(
+            live, col=col, key=key, n_hashes=n_hashes, shingle_k=shingle_k
+        ).persist()
+        try:
+            pairs = lsh_candidate_pairs(sigs, key=key, n_bands=n_bands)
+            sa = sigs.select(F.col(key).alias("a"), F.col("signature").alias("sig_a"))
+            sb = sigs.select(F.col(key).alias("b"), F.col("signature").alias("sig_b"))
+            verified = (
+                pairs.join(sa, "a")
+                .join(sb, "b")
+                .withColumn(
+                    "est_jaccard",
+                    F.size(
+                        F.filter(
+                            F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+                            lambda m: m,
+                        )
+                    )
+                    / F.lit(n_hashes),
+                )
+                .filter(F.col("est_jaccard") >= threshold)
+                .select("a", "b")
+            )
+            kept = keep_representatives(live, verified, key=key)
+        finally:
+            sigs.unpersist()
+    else:
+        raise ValueError(f"unknown dedup policy: {policy!r}")
+    return kept.unionByName(dels) if dels is not None else kept
 
 
 # --------------------------------------------------------------------------

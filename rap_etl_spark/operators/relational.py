@@ -494,6 +494,18 @@ def q_token_clip(spark, sf):
     )
 
 
+def q_udf_iter_tokens(spark, sf):
+    """V2 iterator pandas UDF (Iterator[pd.Series] -> Iterator[pd.Series]):
+    remapped token sum with the remap table built once per worker and
+    amortized across Arrow batches (functions/tokens.remap_token_sum_iter).
+    Oracled by value — the remap is plain modular arithmetic in SQL."""
+    from rap_etl_spark.functions.tokens import remap_token_sum_iter
+
+    return _doc_tokens(spark, sf).select(
+        "doc_id", remap_token_sum_iter(7, 3, 64)(F.col("tokens")).alias("remap_sum")
+    )
+
+
 def q_udf_grouped_map(spark, sf):
     """V3 grouped-map applyInPandas: per-source document count + total chars
     computed inside the pandas group kernel. Oracled by value (exact
@@ -563,6 +575,7 @@ QUERIES = {
     "lineage_agg": q_lineage_agg,
     "token_recount": q_token_recount,
     "token_clip": q_token_clip,
+    "udf_iter_tokens": q_udf_iter_tokens,
     "udf_grouped_map": q_udf_grouped_map,
 }
 
@@ -761,6 +774,10 @@ ORACLES = {
     "token_clip": (
         "SELECT doc_id, CAST(list_sum(list_transform(string_split(text, ' ')[1:8],"
         " w -> length(w))) AS BIGINT) AS clip_sum FROM documents"
+    ),
+    "udf_iter_tokens": (
+        "SELECT doc_id, CAST(list_sum(list_transform(string_split(text, ' '),"
+        " w -> (7 * length(w) + 3) % 64)) AS BIGINT) AS remap_sum FROM documents"
     ),
     # rows-only (no oracle): agg_approx_distinct, agg_pandas_udaf,
     # udf_grouped_map
