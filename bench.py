@@ -53,6 +53,29 @@ LEVELS = tuple(
     int(x) for x in os.environ.get("SPARK_GRAFT_BENCH_LEVELS", "2,8,32").split(",")
 )
 ROUNDS = int(os.environ.get("SPARK_GRAFT_BENCH_ROUNDS", "3"))
+# Multi-process scaling proxy (the north rule's N vs 4N EXECUTORS, honestly):
+# Spark local-cluster[N, cores, mem] launches N SEPARATE executor JVMs —
+# own heaps, own GC, own Python workers — so the single-heap allocation
+# wall that caps local[8]->local[32] thread scaling does not apply. 1x8
+# vs 4x8 executors is the sandbox's truthful stand-in for an N->4N
+# cluster resize on identical input.
+RUN_LC = os.environ.get("SPARK_GRAFT_BENCH_LC", "1") == "1"
+# Default pair 1x2 vs 4x2 (N=1 -> 4N=4 executors, 2 cores each): the host's
+# 32 vCPUs are ~20 effective cores (hypervisor oversubscription, see
+# platform_calibration), so an 8->32-core pair has a measured platform
+# ceiling of ~0.64 efficiency NO MATTER WHAT the engine does. The 2->8-core
+# pair runs where the host still scales ~linearly (ceiling ~0.95), so it
+# isolates ENGINE scaling from host oversubscription. The 1x8,4x8 pair can
+# be selected via env to see the platform-capped picture.
+LC_PAIR = os.environ.get("SPARK_GRAFT_BENCH_LC_PAIR", "1x2,4x2")
+LC_ROUNDS = int(os.environ.get("SPARK_GRAFT_BENCH_LC_ROUNDS", str(ROUNDS)))
+LC_MEM_MB = int(os.environ.get("SPARK_GRAFT_BENCH_LC_MEM", "6144"))
+# The LC pair replays a LARGER log than the thread-scaling levels: scaling
+# efficiency is batch-size-dependent (per-batch driver/commit overhead is
+# the serial floor; the 10^10-event target implies >=10^8-row batches), so
+# the executor-scaling proxy uses a 10^8-row batch where that floor is the
+# same fraction it would be in production.
+LC_EVENTS = int(os.environ.get("SPARK_GRAFT_BENCH_LC_EVENTS", "256000000"))
 # Merge-heavy scenario: a second, smaller log over a ~10^6-key universe so
 # the winner delta (and therefore the bucket-CoW merge) carries real data
 # volume — the headline log's 5000-key universe makes the merge trivial.
@@ -140,6 +163,30 @@ def prepare_log(work: str) -> str:
     return log_dir
 
 
+def prepare_lc_log(work: str) -> str:
+    """Synthesize the (bigger) executor-scaling log once at local[32]."""
+    import shutil
+
+    from rap_etl_spark.session import get_spark
+    from rap_etl_spark.sources.synth import synthesize_events, write_event_log
+
+    spark = get_spark(app_name="bench-prep-lc", cpus=32)
+    log_dir = os.path.join(work, "log-lc")
+    staging = os.path.join(work, "stage-raw-lc")
+
+    def _run():
+        ev = synthesize_events(
+            spark, SF_DIR, LC_EVENTS, max_tok=MAX_TOK, packed=PACKED,
+            staging_dir=staging,
+        )
+        write_event_log(ev, log_dir, n_batches=1, n_events=LC_EVENTS)
+
+    _retry(_run)
+    shutil.rmtree(staging, ignore_errors=True)
+    spark.stop()
+    return log_dir
+
+
 def prepare_merge_log(work: str) -> str:
     import shutil
 
@@ -162,12 +209,17 @@ def prepare_merge_log(work: str) -> str:
     return log_dir
 
 
-def replay_worker(cpus: int, log_dir: str, work: str, n_buckets: int = 16) -> None:
-    """Subprocess entry: replay the log ONCE at local[cpus] into a fresh
-    table, print seconds. (Min-over-rounds happens in the parent, with
-    rounds interleaved across levels.) Bucket count is sized to the final
-    table's data volume — the same sizing rule a real deployment uses
-    (headline table ~5k rows -> 16; merge-heavy ~1M rows -> 64)."""
+def replay_worker(spec: str, log_dir: str, work: str, n_buckets: int = 16) -> None:
+    """Subprocess entry: replay the log ONCE into a fresh table, print
+    seconds. (Min-over-rounds happens in the parent, with rounds
+    interleaved across levels.) `spec` picks the execution topology:
+
+      local:N   one JVM, N threads           (thread-scaling proxy)
+      lc:NxC    N executor JVMs, C cores each (EXECUTOR-scaling proxy)
+
+    Bucket count is sized to the final table's data volume — the same
+    sizing rule a real deployment uses (headline table ~5k rows -> 16;
+    merge-heavy ~1M rows -> 64)."""
     import shutil
 
     from rap_etl_spark.engine import replay_log
@@ -175,10 +227,21 @@ def replay_worker(cpus: int, log_dir: str, work: str, n_buckets: int = 16) -> No
     from rap_etl_spark.schemas import DOCS_SCHEMA
     from rap_etl_spark.session import get_spark
 
-    spark = get_spark(app_name=f"bench-replay-{cpus}", cpus=cpus)
-    # warm the JVM/session outside the timed region
+    if spec.startswith("lc:"):
+        n_exec, cores = (int(x) for x in spec[3:].split("x"))
+        spark = get_spark(
+            app_name=f"bench-replay-{spec}",
+            n_executors=n_exec,
+            cpus=cores,
+            executor_mem_mb=LC_MEM_MB,
+        )
+    else:
+        cpus = int(spec.split(":", 1)[1])
+        spark = get_spark(app_name=f"bench-replay-{spec}", cpus=cpus)
+    # warm the JVM/session outside the timed region (also waits for
+    # local-cluster executors to register)
     spark.read.parquet(os.path.join(log_dir, "batch=0")).count()
-    tdir = os.path.join(work, f"table-{cpus}")
+    tdir = os.path.join(work, f"table-{spec.replace(':', '-').replace('x', '-')}")
     shutil.rmtree(tdir, ignore_errors=True)
     table = ManifestParquetTable.create(spark, tdir, DOCS_SCHEMA, n_buckets=n_buckets)
     t0 = time.monotonic()
@@ -207,10 +270,47 @@ def run_queries() -> dict[str, float]:
     return out
 
 
+def _median(xs: list[float]) -> float:
+    s = sorted(xs)
+    n = len(s)
+    return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
+
+
+def _run_replay(
+    spec: str, log_dir: str, work: str, n_buckets: int = 16, timing: bool = False
+) -> tuple[float | None, dict[str, float]]:
+    """Run one replay subprocess; returns (seconds, per-phase timings)."""
+    env = dict(os.environ)
+    if timing:
+        env["RAP_ETL_TIMING"] = "1"
+    proc = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--replay-worker",
+         spec, log_dir, work, str(n_buckets)],
+        capture_output=True, text=True, env=env, check=False,
+    )
+    line = [ln for ln in proc.stdout.splitlines() if ln.startswith("{")]
+    phases: dict[str, float] = {}
+    for ln in proc.stdout.splitlines():
+        if "[rap-etl-timing]" in ln:
+            try:
+                frag = ln.split("[rap-etl-timing]", 1)[1].strip()
+                name, secs = frag.rsplit(":", 1)
+                phases[name.strip()] = phases.get(name.strip(), 0.0) + float(
+                    secs.strip().rstrip("s")
+                )
+            except ValueError:
+                pass
+    if not line:
+        print(proc.stdout[-2000:], file=sys.stderr)
+        print(proc.stderr[-4000:], file=sys.stderr)
+        return None, phases
+    return json.loads(line[-1])["seconds"], phases
+
+
 def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "--replay-worker":
         nb = int(sys.argv[5]) if len(sys.argv) > 5 else 16
-        replay_worker(int(sys.argv[2]), sys.argv[3], sys.argv[4], n_buckets=nb)
+        replay_worker(sys.argv[2], sys.argv[3], sys.argv[4], n_buckets=nb)
         return
 
     # SPARK_GRAFT_BENCH_WORK: reuse a prepared work dir (log cached there) so
@@ -232,22 +332,74 @@ def main() -> None:
         return
 
     times: dict[int, list[float]] = {c: [] for c in LEVELS}
+    phase_times: dict[str, dict[str, float]] = {}
     for _round in range(ROUNDS):
         for cpus in LEVELS:
-            proc = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--replay-worker",
-                 str(cpus), log_dir, work],
-                capture_output=True, text=True, env=dict(os.environ), check=False,
+            # capture per-phase timings on the last round (cheap prints)
+            timing = _round == ROUNDS - 1
+            secs, phases = _run_replay(
+                f"local:{cpus}", log_dir, work, timing=timing
             )
-            line = [ln for ln in proc.stdout.splitlines() if ln.startswith("{")]
-            if not line:
-                print(proc.stdout[-2000:], file=sys.stderr)
-                print(proc.stderr[-4000:], file=sys.stderr)
+            if secs is None:
                 raise RuntimeError(f"replay worker local[{cpus}] failed")
-            times[cpus].append(json.loads(line[-1])["seconds"])
+            times[cpus].append(secs)
+            if timing and phases:
+                phase_times[f"local{cpus}"] = {
+                    k: round(v, 2) for k, v in phases.items()
+                }
 
     best = {c: min(ts) for c, ts in times.items()}
+    med = {c: _median(ts) for c, ts in times.items()}
     eps = {c: N_EVENTS / best[c] for c in LEVELS}
+
+    # multi-process executor scaling: N vs 4N separate executor JVMs
+    lc_section: dict = {}
+    lc_log = os.path.join(work, "log-lc")
+    if RUN_LC:
+        try:
+            if not os.path.exists(os.path.join(lc_log, "batch=0")):
+                lc_log = prepare_lc_log(work)
+        except Exception as e:  # noqa: BLE001 - degrade, don't kill the bench
+            print(f"lc log prep failed ({e}); skipping lc section", file=sys.stderr)
+            lc_log = None
+    if RUN_LC and lc_log:
+        lc_specs = [f"lc:{p.strip()}" for p in LC_PAIR.split(",")]
+        lc_times: dict[str, list[float]] = {s: [] for s in lc_specs}
+        for _round in range(LC_ROUNDS):
+            for s in lc_specs:
+                secs, phases = _run_replay(
+                    s, lc_log, work, timing=_round == LC_ROUNDS - 1
+                )
+                if secs is None:
+                    print(f"replay worker {s} failed (continuing)", file=sys.stderr)
+                    continue
+                lc_times[s].append(secs)
+                if phases:
+                    phase_times[s] = {k: round(v, 2) for k, v in phases.items()}
+        ok = [s for s in lc_specs if lc_times[s]]
+        lc_section = {
+            "pair": LC_PAIR,
+            "n_events": LC_EVENTS,
+            "executor_mem_mb": LC_MEM_MB,
+            "all_times_sec": {
+                s: [round(t, 2) for t in lc_times[s]] for s in lc_specs
+            },
+        }
+        for s in ok:
+            lc_section[f"{s}_best_sec"] = round(min(lc_times[s]), 3)
+            lc_section[f"{s}_median_sec"] = round(_median(lc_times[s]), 3)
+            lc_section[f"{s}_eps"] = round(LC_EVENTS / min(lc_times[s]), 1)
+        if len(ok) == 2:
+            lo, hi = ok[0], ok[1]
+            n_lo = int(lo[3:].split("x")[0])
+            n_hi = int(hi[3:].split("x")[0])
+            factor = n_hi / n_lo
+            lc_section["efficiency_best"] = round(
+                (min(lc_times[lo]) / min(lc_times[hi])) / factor, 3
+            )
+            lc_section["efficiency_median"] = round(
+                (_median(lc_times[lo]) / _median(lc_times[hi])) / factor, 3
+            )
 
     # merge-heavy scenario: 2 rounds at the top level, min
     merge_log = os.path.join(work, "log-merge")
@@ -255,17 +407,10 @@ def main() -> None:
         merge_log = prepare_merge_log(work)
     mtimes = []
     for _ in range(2):
-        proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--replay-worker",
-             str(max(LEVELS)), merge_log, work, "64"],
-            capture_output=True, text=True, env=dict(os.environ), check=False,
-        )
-        line = [ln for ln in proc.stdout.splitlines() if ln.startswith("{")]
-        if line:
-            mtimes.append(json.loads(line[-1])["seconds"])
+        secs, _ph = _run_replay(f"local:{max(LEVELS)}", merge_log, work, n_buckets=64)
+        if secs is not None:
+            mtimes.append(secs)
         else:
-            print(proc.stdout[-2000:], file=sys.stderr)
-            print(proc.stderr[-4000:], file=sys.stderr)
             print("merge-heavy replay worker failed (continuing)", file=sys.stderr)
     merge_heavy = {
         "n_events": MERGE_EVENTS,
@@ -284,6 +429,7 @@ def main() -> None:
         "n_batches": N_BATCHES,
         "wire_format": "packed" if PACKED else "array",
         "all_times_sec": {str(c): [round(t, 2) for t in ts] for c, ts in times.items()},
+        "median_sec": {str(c): round(med[c], 3) for c in LEVELS},
     }
     for c in LEVELS:
         scaling[f"local{c}_eps"] = round(eps[c], 1)
@@ -309,7 +455,9 @@ def main() -> None:
                 "queries": queries,
                 "sf": _sf_label(SF_DIR),
                 "scaling": scaling,
+                "scaling_multiprocess": lc_section,
                 "merge_heavy": merge_heavy,
+                "phase_times": phase_times,
                 "platform": platform,
             }
         )

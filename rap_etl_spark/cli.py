@@ -27,6 +27,7 @@ Subcommands::
     stream   --table PATH --log DIR --checkpoint DIR [--max-files N]
              [--metrics JSONL] [--continuous]
     compact  --table PATH [--tombstone-horizon LSN] [--keep-snapshots K]
+             [--ledger-horizon BATCH]
     status   --table PATH
     synth    --out DIR --events N [--sf DIR] [--batches K] [--packed]
              [--keys N] [--max-tok N]
@@ -147,6 +148,7 @@ def cmd_compact(args) -> int:
     info = t.compact(
         tombstone_horizon_lsn=args.tombstone_horizon,
         expire_snapshots_keep=args.keep_snapshots,
+        ledger_horizon_batch_id=args.ledger_horizon,
     )
     print(json.dumps({"snapshot": info.snapshot_id}))
     return 0
@@ -223,6 +225,7 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--table", required=True)
     sp.add_argument("--tombstone-horizon", type=int)
     sp.add_argument("--keep-snapshots", type=int)
+    sp.add_argument("--ledger-horizon", type=int)
     sp.set_defaults(fn=cmd_compact)
 
     sp = sub.add_parser("status")

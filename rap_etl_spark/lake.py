@@ -570,7 +570,13 @@ class ManifestParquetTable(LakeTable):
         ch = ch.persist()
         try:
             _t0 = time.monotonic()
-            affected_set = {r["_b"] for r in ch.select("_b").distinct().collect()}
+            # one job yields BOTH the affected-bucket set and the change-row
+            # count (16 tiny groups) — merging what used to be a distinct()
+            # job here plus a count() job after the write; on a real batch
+            # cadence these driver-side barriers are the serial floor
+            _stats = ch.groupBy("_b").agg(F.count(F.lit(1)).alias("_n")).collect()
+            affected_set = {r["_b"] for r in _stats}
+            rows = int(sum(r["_n"] for r in _stats))
             _tlog("merge.materialize_changes", _t0)
             old_entries = [fe for fe in m["files"] if fe["bucket"] in affected_set]
             keep_entries = [fe for fe in m["files"] if fe["bucket"] not in affected_set]
@@ -623,7 +629,6 @@ class ManifestParquetTable(LakeTable):
             )
             _tlog("merge.write_data_files", _t0)
             nxt["files"] = keep_entries + entries
-            rows = int(ch.count())
             if batch_id is not None:
                 nxt["committed"][str(batch_id)] = {
                     "snapshot_id": nxt["snapshot_id"],

@@ -19,6 +19,8 @@ def get_spark(
     cpus: int | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
+    n_executors: int | None = None,
+    executor_mem_mb: int = 6144,
 ) -> SparkSession:
     """Build (or fetch) a SparkSession.
 
@@ -27,14 +29,38 @@ def get_spark(
     enough to avoid tiny-task overhead locally, and AQE coalesces
     further at runtime. On a real cluster these would scale with
     executor count; nothing here is local-mode-only logic.
+
+    ``n_executors`` switches to Spark's ``local-cluster[N, cpus, mem]``
+    mode: N SEPARATE EXECUTOR JVMs (own heaps, own GC, own Python worker
+    pools) with ``cpus`` cores each — the honest single-machine proxy for
+    an N-executor cluster, and the mode the bench uses to demonstrate
+    N->4N scaling without the single-heap allocation wall local[N] has.
+    Requires SPARK_HOME (set from the bundled pyspark install if absent).
     """
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    if n_executors is not None:
+        total_cores = n_executors * cpus
+        master = f"local-cluster[{n_executors},{cpus},{executor_mem_mb}]"
+        if "SPARK_HOME" not in os.environ:
+            # executor launch needs spark-class; the pip pyspark package
+            # ships it — fall back to the full distribution if present
+            import pyspark
+
+            cand = os.path.join(os.path.dirname(pyspark.__file__))
+            os.environ["SPARK_HOME"] = (
+                "/opt/spark-4.1.2-bin-hadoop3"
+                if os.path.isdir("/opt/spark-4.1.2-bin-hadoop3")
+                else cand
+            )
+    else:
+        total_cores = cpus
+        master = f"local[{cpus}]"
     if shuffle_partitions is None:
-        shuffle_partitions = max(2 * cpus, 8)
+        shuffle_partitions = max(2 * total_cores, 8)
 
     builder = (
-        SparkSession.builder.master(f"local[{cpus}]")
+        SparkSession.builder.master(master)
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
@@ -67,6 +93,23 @@ def get_spark(
         .config("spark.sql.parquet.int96RebaseModeInRead", "CORRECTED")
         .config("spark.sql.parquet.datetimeRebaseModeInRead", "CORRECTED")
     )
+    if n_executors is not None:
+        builder = (
+            builder.config("spark.executor.memory", f"{executor_mem_mb - 512}m")
+            # G1 for multi-JVM executors, measured on the CDC replay: with
+            # several ParallelGC executors side-by-side the full-width scan
+            # collapsed into a GC storm (stage GC time ~8x CPU time, ~99%
+            # kernel time on this virtualized host) — 4x8 ran 3-5x SLOWER
+            # than 1x8. G1's incremental regions keep each heap's pause work
+            # bounded: 4x8 went 65s -> 17s. (Single-JVM local mode keeps
+            # ParallelGC — measured better there; see the driver config.)
+            .config(
+                "spark.executor.extraJavaOptions",
+                os.environ.get("SPARK_GRAFT_JAVA_OPTS_EXECUTOR", "-XX:+UseG1GC"),
+            )
+            # multi-JVM mode needs no 24g driver heap — executors hold the data
+            .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM_LC", "8g"))
+        )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

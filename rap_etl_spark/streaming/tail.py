@@ -34,6 +34,7 @@ def stream_tail(
     max_files_per_trigger: int | None = None,
     available_now: bool = True,
     schema=None,
+    prune_ledger_every: int | None = None,
 ) -> StreamingQuery:
     """Tail `src_dir` (parquet change-event files) into `table`.
 
@@ -41,6 +42,14 @@ def stream_tail(
     micro-batches then stops — bounded replay, the batch-mode twin. A
     long-running tail uses ``available_now=False`` (default processing
     trigger) and picks up new files as the WAL writer drops them.
+
+    ``prune_ledger_every=K`` truncates the table's committed-batch ledger
+    every K micro-batches, at horizon batch_id-1. That horizon is exactly
+    what the checkpoint guarantees: the micro-batch planner can redeliver
+    only the LATEST uncommitted epoch after a crash — every epoch below it
+    is in the checkpoint's commit log and never re-emitted — so entries at
+    or below batch_id-1 can never be consulted again, and commit metadata
+    stays O(K) over an unbounded run.
     """
     reader = spark.readStream.schema(schema or EVENTS_SCHEMA)
     if max_files_per_trigger is not None:
@@ -54,6 +63,13 @@ def stream_tail(
         # ledger + version-conditional merge turn that into exactly-once
         # table state (BASELINE.json north_star)
         engine.apply_batch(batch_df, batch_id=batch_id)
+        if (
+            prune_ledger_every
+            and batch_id > 0
+            and batch_id % prune_ledger_every == 0
+            and hasattr(table, "prune_ledger")
+        ):
+            table.prune_ledger(batch_id - 1)
 
     writer = (
         events.writeStream.foreachBatch(apply_batch)

@@ -50,3 +50,51 @@ def test_twenty_batch_soak_then_compact(spark, sf_small, tmp_path):
     # the batch ledger survives compaction: redelivery is still a no-op
     redo = eng.apply_batch(spark.read.parquet(f"{log}/batch=5"), batch_id=5)
     assert redo.skipped
+
+    # metadata stays O(live), not O(history): prune the ledger below the
+    # checkpoint-safe horizon and the manifest shrinks to live files +
+    # horizon marker while pruned batch ids still skip on redelivery
+    import json
+
+    def manifest_bytes():
+        sid = t.snapshot_id()
+        p = os.path.join(str(tmp_path / "t"), "manifests", f"manifest-{sid}.json")
+        return os.path.getsize(p)
+
+    size_with_ledger = manifest_bytes()
+    t.compact(ledger_horizon_batch_id=N_BATCHES - 1, expire_snapshots_keep=2)
+    assert t.committed_batches() == {}
+    assert manifest_bytes() < size_with_ledger
+    # manifest size is now a function of bucket count only, not batch count
+    m3 = json.load(
+        open(os.path.join(str(tmp_path / "t"), "manifests", f"manifest-{t.snapshot_id()}.json"))
+    )
+    assert len(m3["files"]) <= 8 and m3["committed"] == {}
+    redo2 = eng.apply_batch(spark.read.parquet(f"{log}/batch=7"), batch_id=7)
+    assert redo2.skipped
+    assert_frames_equal(t.read().toPandas(), want)
+
+
+def test_manifest_bounded_over_200_batch_ledger(spark, tmp_path):
+    """Metadata-level 200-commit soak (no data volume — this gates the
+    MANIFEST growth law): with periodic ledger pruning, manifest byte size
+    is bounded by O(live files + prune window), independent of how many
+    batches ever committed."""
+    import json
+
+    t = ManifestParquetTable.create(spark, str(tmp_path / "t"), DOCS_SCHEMA, n_buckets=4)
+    sizes = []
+    for b in range(200):
+        m = t._manifest()
+        nxt = t._next_manifest(m)
+        nxt["committed"][str(b)] = {"snapshot_id": nxt["snapshot_id"], "event_count": 1}
+        t._write_manifest(nxt)
+        if b % 20 == 19:
+            t.prune_ledger(horizon_batch_id=b - 5)
+            sid = t.snapshot_id()
+            p = os.path.join(str(tmp_path / "t"), "manifests", f"manifest-{sid}.json")
+            sizes.append(os.path.getsize(p))
+    # size after the first prune equals size after the tenth: no growth
+    assert max(sizes) - min(sizes) <= 64  # allow id-length jitter
+    assert len(t.committed_batches()) <= 6
+    assert t.is_committed(0) and t.is_committed(150)

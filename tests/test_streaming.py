@@ -116,3 +116,26 @@ def test_stream_packed_wal_tail(spark, sf_small, tmp_path):
     arr = synthesize_events(spark, sf_small, N_EVENTS, max_tok=8)
     want = naive_final_state(arr.toPandas())
     assert_frames_equal(t.read().toPandas(), want)
+
+
+def test_stream_prunes_ledger_at_checkpoint_horizon(spark, sf_small, tmp_path):
+    """prune_ledger_every keeps commit metadata O(window) during a long
+    tail: after the run the per-batch ledger holds only entries above the
+    horizon, yet every processed batch still answers is_committed (the
+    exactly-once guarantee is preserved through the horizon marker)."""
+    log = _mk_log(spark, sf_small, tmp_path, n_batches=5)
+    t = ManifestParquetTable.create(spark, str(tmp_path / "t"), DOCS_SCHEMA, n_buckets=8)
+    q = stream_tail(
+        spark, log, str(tmp_path / "cp"), t,
+        max_files_per_trigger=16, prune_ledger_every=2,
+    )
+    q.awaitTermination()
+    n_batches = latest_checkpointed_batch(str(tmp_path / "cp")) + 1
+    assert n_batches >= 3
+    assert t.ledger_horizon() is not None
+    assert len(t.committed_batches()) < n_batches
+    for b in range(n_batches):
+        assert t.is_committed(b)
+    # state still equals the oracle
+    want = naive_final_state(spark.read.parquet(log).toPandas())
+    assert_frames_equal(t.read().toPandas(), want)
