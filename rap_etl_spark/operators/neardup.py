@@ -351,16 +351,19 @@ def simhash(df: DataFrame, col: str = "text", key: str = "doc_id") -> DataFrame:
     words = df.select(
         F.col(key), F.explode(F.array_distinct(F.split(F.col(col), r"\s+"))).alias("w")
     ).withColumn("h", F.xxhash64("w"))
-    # per bit i: vote_i = sum over words of (+1 if bit set else -1)
+    # per bit i: vote_i = sum(+1 if bit set else -1) = 2*sum(bit_i) - n,
+    # computed branch-free: 64 fixed-width sums of (h>>i)&1 plus one count
     votes = words.groupBy(key).agg(
+        F.count(F.lit(1)).alias("_n"),
         *[
-            F.sum(
-                F.when(
-                    F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, F.lit(1)
-                ).otherwise(F.lit(-1))
-            ).alias(f"_v{i}")
+            F.sum(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1))).alias(f"_s{i}")
             for i in range(64)
-        ]
+        ],
+    )
+    votes = votes.select(
+        key,
+        "_n",
+        *[(F.col(f"_s{i}") * 2 - F.col("_n")).alias(f"_v{i}") for i in range(64)],
     )
     # bit i set iff vote_i > 0; distinct powers of two sum to the packed
     # signed-int64 value (bit 63 contributes the sign bit)

@@ -85,3 +85,80 @@ def stateful_lww(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def stateful_lww_tws(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """Spark 4.x transformWithStateInPandas form of stateful_lww — the
+    successor stateful API (StatefulProcessor + typed per-key ValueState on
+    the RocksDB state store, which Spark requires for this operator:
+    set spark.sql.streaming.stateStore.providerClass to
+    RocksDBStateStoreProvider on the session). Same semantics: emit a row
+    only when a key's max-LSN winner advances.
+
+    Environment note: pyspark's TWS wire protocol imports the `protobuf`
+    Python package at query start (StateMessage_pb2); this sandbox ships
+    no protobuf and forbids installs, so the in-repo test is skipped here
+    and runs wherever protobuf exists (pytest gates on the import). The
+    applyInPandasWithState form above is the fully-tested R6 operator."""
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    class _LwwProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "winner",
+                T.StructType(
+                    [
+                        T.StructField("lsn", T.LongType()),
+                        T.StructField("op", T.StringType()),
+                        T.StructField("n_tok", T.IntegerType()),
+                        T.StructField("source", T.StringType()),
+                    ]
+                ),
+            )
+
+        def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+            cur = self._state.get() if self._state.exists() else None
+            best = (
+                (int(cur[0]), str(cur[1]), cur[2], cur[3])
+                if cur is not None
+                else (-1, "", None, None)
+            )
+            changed = False
+            for pdf in rows:
+                if len(pdf) == 0:
+                    continue
+                idx = pdf["lsn"].idxmax()
+                row = pdf.loc[idx]
+                if int(row["lsn"]) > best[0]:
+                    best = (
+                        int(row["lsn"]),
+                        str(row["op"]),
+                        None if pd.isna(row["n_tok"]) else int(row["n_tok"]),
+                        None if row["source"] is None else str(row["source"]),
+                    )
+                    changed = True
+            if changed:
+                self._state.update(best)
+                yield pd.DataFrame(
+                    {
+                        "doc_id": [key[0]],
+                        "lsn": [best[0]],
+                        "op": [best[1]],
+                        "n_tok": [best[2]],
+                        "source": [best[3]],
+                    }
+                )
+
+        def close(self) -> None:
+            pass
+
+    return (
+        events.withWatermark("ingest_ts", watermark)
+        .groupBy("doc_id")
+        .transformWithStateInPandas(
+            _LwwProcessor(),
+            outputStructType=WINNER_SCHEMA,
+            outputMode="Append",
+            timeMode="None",
+        )
+    )

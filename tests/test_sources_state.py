@@ -77,3 +77,58 @@ def test_stateful_lww_stream(spark, sf_small, tmp_path):
     }
     # one availableNow pass: every key's final winner is emitted once
     assert got == want
+
+
+def test_stateful_lww_transform_with_state(spark, sf_small, tmp_path):
+    """V-surface: the Spark 4.x transformWithStateInPandas form of the
+    continuous per-key LWW (StatefulProcessor + ValueState on the RocksDB
+    state store) emits the same final winners as the classic
+    applyInPandasWithState form. Skipped where pyspark's TWS protocol
+    dependency (protobuf) is absent — this sandbox has no protobuf and
+    installs are forbidden (see stateful_lww_tws docstring)."""
+    import pytest
+
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError:
+        pytest.skip("pyspark transformWithState requires the protobuf package")
+    from rap_etl_spark.streaming.state import stateful_lww_tws
+
+    ev = synthesize_events(spark, sf_small, 2000, max_tok=4)
+    src_dir = str(tmp_path / "src")
+    ev.select("doc_id", "lsn", "op", "n_tok", "source", "ingest_ts").write.mode(
+        "overwrite"
+    ).parquet(src_dir)
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        schema = spark.read.parquet(src_dir).schema
+        stream = spark.readStream.schema(schema).parquet(src_dir)
+        out = stateful_lww_tws(stream)
+        q = (
+            out.writeStream.format("memory")
+            .queryName("lww_tws_out")
+            .option("checkpointLocation", str(tmp_path / "cp"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = {
+            r["doc_id"]: r["lsn"]
+            for r in spark.sql("select * from lww_tws_out").collect()
+        }
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+    want = {
+        r["doc_id"]: r["lsn"]
+        for r in ev.groupBy("doc_id").agg({"lsn": "max"})
+        .withColumnRenamed("max(lsn)", "lsn")
+        .collect()
+    }
+    assert got == want
