@@ -389,6 +389,92 @@ def q_agg_string(spark, sf):
     )
 
 
+# --------------------------------------------------------------------------
+# round 2: incremental CDC read (table_changes) driven end-to-end and oracled
+# --------------------------------------------------------------------------
+def q_cdc_table_changes(spark, sf):
+    """Incremental CDC read, oracled end-to-end: replay the same two-batch
+    interleaved-LSN workload as `cdc_merge`, then ask the LAKE itself what
+    changed between the batch-0 snapshot and the final snapshot
+    (lake.py table_changes — bucket-pruned snapshot diff). The oracle is
+    pure SQL: LWW state after batch 0 vs final LWW state, full-outer
+    joined and classified into insert/delete/update_pre/update_post."""
+    from pyspark.sql import types as T
+
+    from rap_etl_spark.lake import ManifestParquetTable
+    from rap_etl_spark.operators.cdc import lww_latest
+
+    ev = _t(spark, sf, "orders").select(
+        F.col("o_custkey").cast("string").alias("doc_id"),
+        F.col("o_orderkey").alias("lsn"),
+        F.col("o_totalprice").alias("price"),
+        F.when(F.col("o_orderkey") % 10 == 0, "D").otherwise("U").alias("op"),
+    )
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType()),
+            T.StructField("lsn", T.LongType()),
+            T.StructField("price", T.DoubleType()),
+        ]
+    )
+    out_schema = T.StructType(
+        list(schema.fields)
+        + [
+            T.StructField("_change_type", T.StringType(), False),
+            T.StructField("_change_lsn", T.LongType()),
+        ]
+    )
+    work = tempfile.mkdtemp(prefix="rap-etl-cdc-changes-")
+    try:
+        table = ManifestParquetTable.create(
+            spark, os.path.join(work, "t"), schema, n_buckets=8
+        )
+        sid1 = None
+        for batch_id in (0, 1):
+            batch = ev.filter(F.col("lsn") % 2 == batch_id)
+            table.merge(lww_latest(batch), batch_id=batch_id)
+            if batch_id == 0:
+                sid1 = table.snapshot_id()
+        rows = table.table_changes(sid1).collect()
+        return spark.createDataFrame(rows, out_schema)
+    finally:
+        import shutil
+
+        shutil.rmtree(work, ignore_errors=True)
+
+
+TPCH_QUERIES2["cdc_table_changes"] = q_cdc_table_changes
+
+TPCH_ORACLES2["cdc_table_changes"] = (
+    "WITH ev AS (SELECT CAST(o_custkey AS VARCHAR) AS doc_id,"
+    " o_orderkey AS lsn, o_totalprice AS price,"
+    " CASE WHEN o_orderkey % 10 = 0 THEN 'D' ELSE 'U' END AS op FROM orders),"
+    " w1 AS (SELECT * FROM (SELECT ev.*, row_number() OVER"
+    "   (PARTITION BY doc_id ORDER BY lsn DESC) AS rn FROM ev"
+    "   WHERE lsn % 2 = 0) t WHERE rn = 1),"
+    " w2 AS (SELECT * FROM (SELECT ev.*, row_number() OVER"
+    "   (PARTITION BY doc_id ORDER BY lsn DESC) AS rn FROM ev) t WHERE rn = 1),"
+    " l1 AS (SELECT doc_id, lsn, price FROM w1 WHERE op <> 'D'),"
+    " l2 AS (SELECT doc_id, lsn, price FROM w2 WHERE op <> 'D'),"
+    " j AS (SELECT l1.doc_id AS d1, l1.lsn AS lsn1, l1.price AS p1,"
+    "   l2.doc_id AS d2, l2.lsn AS lsn2, l2.price AS p2, w2.lsn AS wlsn2"
+    "   FROM l1 FULL OUTER JOIN l2 ON l1.doc_id = l2.doc_id"
+    "   LEFT JOIN w2 ON w2.doc_id = COALESCE(l1.doc_id, l2.doc_id))"
+    " SELECT d2 AS doc_id, lsn2 AS lsn, p2 AS price,"
+    "   'insert' AS _change_type, lsn2 AS _change_lsn FROM j"
+    "   WHERE d1 IS NULL AND d2 IS NOT NULL"
+    " UNION ALL"
+    " SELECT d1, lsn1, p1, 'delete', wlsn2 FROM j"
+    "   WHERE d1 IS NOT NULL AND d2 IS NULL"
+    " UNION ALL"
+    " SELECT d1, lsn1, p1, 'update_preimage', lsn2 FROM j"
+    "   WHERE d1 IS NOT NULL AND d2 IS NOT NULL AND lsn1 <> lsn2"
+    " UNION ALL"
+    " SELECT d1, lsn2, p2, 'update_postimage', lsn2 FROM j"
+    "   WHERE d1 IS NOT NULL AND d2 IS NOT NULL AND lsn1 <> lsn2"
+)
+
+
 TPCH_QUERIES2.update(
     {
         "agg_cube": q_agg_cube,
