@@ -443,7 +443,82 @@ def q_cdc_table_changes(spark, sf):
         shutil.rmtree(work, ignore_errors=True)
 
 
+def q_incr_agg_maintain(spark, sf):
+    """Incremental view maintenance end-to-end, oracled: maintain a
+    per-group (count, sum) aggregate of the lake table across a merge
+    batch by folding table_changes deltas into the batch-0 aggregate —
+    never re-scanning the table (operators/incremental.py). Money is
+    carried in exact integer cents so ⊕ is associative and the maintained
+    sum is bit-equal to the recomputed one. Oracle: aggregate of the
+    final LWW state."""
+    from pyspark.sql import types as T
+
+    from rap_etl_spark.lake import ManifestParquetTable
+    from rap_etl_spark.operators.cdc import lww_latest
+    from rap_etl_spark.operators.incremental import maintain
+
+    ev = _t(spark, sf, "orders").select(
+        F.col("o_custkey").cast("string").alias("doc_id"),
+        F.col("o_orderkey").alias("lsn"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("price_c"),
+        F.when(F.col("o_orderkey") % 10 == 0, "D").otherwise("U").alias("op"),
+    )
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType()),
+            T.StructField("lsn", T.LongType()),
+            T.StructField("price_c", T.LongType()),
+        ]
+    )
+    grp = (F.col("doc_id").cast("int") % 10).alias("grp")
+    out_schema = T.StructType(
+        [
+            T.StructField("grp", T.IntegerType()),
+            T.StructField("n_docs", T.LongType()),
+            T.StructField("sum_cents", T.LongType()),
+        ]
+    )
+    work = tempfile.mkdtemp(prefix="rap-etl-ivm-")
+    try:
+        table = ManifestParquetTable.create(
+            spark, os.path.join(work, "t"), schema, n_buckets=8
+        )
+        table.merge(lww_latest(ev.filter(F.col("lsn") % 2 == 0)), batch_id=0)
+        sid1 = table.snapshot_id()
+        base = (
+            table.read()
+            .groupBy(grp)
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("price_c").alias("price_c"),
+            )
+        )
+        table.merge(lww_latest(ev.filter(F.col("lsn") % 2 == 1)), batch_id=1)
+        changes = table.table_changes(sid1).select(grp, "_change_type", "price_c")
+        maintained = maintain(
+            base, changes, ["grp"], ["price_c"], count_col="n_docs"
+        ).select("grp", "n_docs", F.col("price_c").alias("sum_cents"))
+        rows = maintained.collect()
+        return spark.createDataFrame(rows, out_schema)
+    finally:
+        import shutil
+
+        shutil.rmtree(work, ignore_errors=True)
+
+
 TPCH_QUERIES2["cdc_table_changes"] = q_cdc_table_changes
+TPCH_QUERIES2["incr_agg_maintain"] = q_incr_agg_maintain
+
+TPCH_ORACLES2["incr_agg_maintain"] = (
+    "WITH ev AS (SELECT CAST(o_custkey AS VARCHAR) AS doc_id,"
+    " o_orderkey AS lsn, CAST(round(o_totalprice * 100) AS BIGINT) AS price_c,"
+    " CASE WHEN o_orderkey % 10 = 0 THEN 'D' ELSE 'U' END AS op FROM orders),"
+    " w AS (SELECT *, row_number() OVER"
+    "   (PARTITION BY doc_id ORDER BY lsn DESC) AS rn FROM ev),"
+    " live AS (SELECT * FROM w WHERE rn = 1 AND op <> 'D')"
+    " SELECT CAST(doc_id AS INT) % 10 AS grp, count(*) AS n_docs,"
+    " CAST(sum(price_c) AS BIGINT) AS sum_cents FROM live GROUP BY grp"
+)
 
 TPCH_ORACLES2["cdc_table_changes"] = (
     "WITH ev AS (SELECT CAST(o_custkey AS VARCHAR) AS doc_id,"
@@ -472,6 +547,153 @@ TPCH_ORACLES2["cdc_table_changes"] = (
     " UNION ALL"
     " SELECT d1, lsn2, p2, 'update_postimage', lsn2 FROM j"
     "   WHERE d1 IS NOT NULL AND d2 IS NOT NULL AND lsn1 <> lsn2"
+)
+
+
+# --------------------------------------------------------------------------
+# wave 6 (round 2): pivot/unpivot, regexp, higher-order lambdas, exact
+# percentiles, RANGE window frames
+# --------------------------------------------------------------------------
+def q_agg_pivot(spark, sf):
+    """A4+ pivot: linestatus columns per returnflag. Pivot values are
+    pinned so the output schema is static (a scan-independent plan — at
+    scale an unpinned pivot needs an extra distinct pass)."""
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(F.round(F.sum("l_quantity"), 2))
+        .select(
+            "l_returnflag",
+            F.col("F").alias("qty_f"),
+            F.col("O").alias("qty_o"),
+        )
+    )
+
+
+def q_unpivot_melt(spark, sf):
+    """Unpivot/melt: wide part metrics to long (p_partkey, metric, value)."""
+    p = _t(spark, sf, "part")
+    return p.select(
+        "p_partkey",
+        F.col("p_size").cast("double").alias("size"),
+        F.col("p_retailprice").alias("retail"),
+    ).unpivot("p_partkey", ["size", "retail"], "metric", "value")
+
+
+def q_fn_regexp(spark, sf):
+    """F1+ regexp functions: extract, global replace, match test. Patterns
+    stay in the Java∩RE2 common subset so engines agree."""
+    d = _t(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        F.regexp_extract("text", "([A-Za-z]{4,})", 1).alias("first_long_word"),
+        F.regexp_replace("text", "[aeiou]", "_").alias("devowel"),
+        F.col("text").rlike("ing").cast("int").alias("has_ing"),
+    )
+
+
+def q_fn_higher_order(spark, sf):
+    """F6+ higher-order lambdas over array columns: transform / filter /
+    aggregate fold — all JVM codegen, the Spark-native way to compute on
+    embeddings without a UDF. Elements are cast float→double BEFORE the
+    fold on both engines so the left-to-right summation is bit-identical."""
+    e = _t(spark, sf, "embeddings")
+    as_double = F.transform("embedding", lambda x: x.cast("double"))
+    return e.select(
+        "vec_id",
+        F.round(
+            F.aggregate(as_double, F.lit(0.0), lambda acc, x: acc + x), 4
+        ).alias("vsum"),
+        F.size(F.filter("embedding", lambda x: x > 0)).cast("long").alias("n_pos"),
+        F.round(F.element_at(as_double, 1) * 2.0, 5).alias("first2x"),
+    )
+
+
+def q_agg_percentile(spark, sf):
+    """A1+ exact percentiles (linear interpolation) per group."""
+    li = _t(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_quantity", F.lit(0.25)), 6).alias("q25"),
+        F.round(F.percentile("l_quantity", F.lit(0.5)), 6).alias("median"),
+        F.round(F.percentile("l_quantity", F.lit(0.75)), 6).alias("q75"),
+    )
+
+
+def q_win_range_frame(spark, sf):
+    """W3+ RANGE frame (value-based, not row-based): per customer, the sum
+    of order totals within 1000.0 below each order's total. (SQL form:
+    pyspark's Window.rangeBetween only accepts integer offsets, but a
+    RANGE frame over a DOUBLE ordering needs a fractional offset.)"""
+    _t(spark, sf, "orders").createOrReplaceTempView("v_orders_rf")
+    return spark.sql(
+        "SELECT o_orderkey, o_custkey,"
+        " round(sum(o_totalprice) OVER (PARTITION BY o_custkey"
+        "   ORDER BY o_totalprice"
+        "   RANGE BETWEEN 1000.0 PRECEDING AND CURRENT ROW), 2) AS near_sum"
+        " FROM v_orders_rf"
+    )
+
+
+TPCH_QUERIES2.update(
+    {
+        "agg_pivot": q_agg_pivot,
+        "unpivot_melt": q_unpivot_melt,
+        "fn_regexp": q_fn_regexp,
+        "fn_higher_order": q_fn_higher_order,
+        "agg_percentile": q_agg_percentile,
+        "win_range_frame": q_win_range_frame,
+    }
+)
+
+TPCH_ORACLES2.update(
+    {
+        "agg_pivot": (
+            "SELECT l_returnflag,"
+            " round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2)"
+            " AS qty_f,"
+            " round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2)"
+            " AS qty_o"
+            " FROM lineitem GROUP BY l_returnflag"
+        ),
+        "unpivot_melt": (
+            "SELECT p_partkey, 'size' AS metric, CAST(p_size AS DOUBLE) AS value"
+            " FROM part"
+            " UNION ALL"
+            " SELECT p_partkey, 'retail' AS metric, p_retailprice AS value"
+            " FROM part"
+        ),
+        "fn_regexp": (
+            "SELECT doc_id,"
+            " regexp_extract(text, '([A-Za-z]{4,})', 1) AS first_long_word,"
+            " regexp_replace(text, '[aeiou]', '_', 'g') AS devowel,"
+            " CAST(regexp_matches(text, 'ing') AS INT) AS has_ing"
+            " FROM documents"
+        ),
+        "fn_higher_order": (
+            "SELECT vec_id,"
+            " round(list_sum(list_transform(embedding,"
+            "   x -> CAST(x AS DOUBLE))), 4) AS vsum,"
+            " CAST(length(list_filter(embedding, x -> x > 0)) AS BIGINT)"
+            " AS n_pos,"
+            " round(CAST(embedding[1] AS DOUBLE) * 2.0, 5) AS first2x"
+            " FROM embeddings"
+        ),
+        "agg_percentile": (
+            "SELECT l_returnflag,"
+            " round(quantile_cont(l_quantity, 0.25), 6) AS q25,"
+            " round(quantile_cont(l_quantity, 0.5), 6) AS median,"
+            " round(quantile_cont(l_quantity, 0.75), 6) AS q75"
+            " FROM lineitem GROUP BY l_returnflag"
+        ),
+        "win_range_frame": (
+            "SELECT o_orderkey, o_custkey,"
+            " round(sum(o_totalprice) OVER (PARTITION BY o_custkey"
+            "   ORDER BY o_totalprice"
+            "   RANGE BETWEEN 1000.0 PRECEDING AND CURRENT ROW), 2) AS near_sum"
+            " FROM orders"
+        ),
+    }
 )
 
 
