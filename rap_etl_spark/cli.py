@@ -29,6 +29,7 @@ Subcommands::
     compact  --table PATH [--tombstone-horizon LSN] [--keep-snapshots K]
              [--ledger-horizon BATCH]
     status   --table PATH
+    changes  --table PATH (--batch ID | --from SID [--to SID]) [--out DIR]
     synth    --out DIR --events N [--sf DIR] [--batches K] [--packed]
              [--keys N] [--max-tok N]
 """
@@ -176,6 +177,33 @@ def cmd_status(args) -> int:
     return 0
 
 
+def cmd_changes(args) -> int:
+    """Incremental CDC read: emit row-level changes for one committed
+    batch (--batch) or between two snapshots (--from/--to). Writes parquet
+    to --out, else prints a row-count + per-type summary."""
+    from pyspark.sql import functions as F
+
+    from rap_etl_spark.lake import ManifestParquetTable
+
+    t = ManifestParquetTable(_spark("rap-etl-changes"), args.table)
+    if args.batch is not None:
+        ch = t.changes_for_batch(args.batch)
+    else:
+        ch = t.table_changes(args.from_snapshot, args.to_snapshot)
+    if args.out:
+        ch.write.mode("overwrite").parquet(args.out)
+        print(json.dumps({"out": args.out}))
+    else:
+        counts = {
+            r["_change_type"]: r["n"]
+            for r in ch.groupBy("_change_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        print(json.dumps({"changes": counts, "total": sum(counts.values())}))
+    return 0
+
+
 def cmd_synth(args) -> int:
     from rap_etl_spark.sources.synth import synthesize_events, write_event_log
 
@@ -231,6 +259,14 @@ def build_parser() -> argparse.ArgumentParser:
     sp = sub.add_parser("status")
     sp.add_argument("--table", required=True)
     sp.set_defaults(fn=cmd_status)
+
+    sp = sub.add_parser("changes")
+    sp.add_argument("--table", required=True)
+    sp.add_argument("--batch", type=int)
+    sp.add_argument("--from", dest="from_snapshot")
+    sp.add_argument("--to", dest="to_snapshot")
+    sp.add_argument("--out")
+    sp.set_defaults(fn=cmd_changes)
 
     sp = sub.add_parser("synth")
     sp.add_argument("--out", required=True)

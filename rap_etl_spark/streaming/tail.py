@@ -144,6 +144,41 @@ def late_event_counter(events: DataFrame, watermark_delay: str = "10 minutes"):
     )
 
 
+def stream_static_enrich(
+    events: DataFrame, dim: DataFrame, on: str = "source", how: str = "left"
+) -> DataFrame:
+    """R9: stream–static join — enrich the change-event stream with a
+    static dimension table. The static side is broadcast (it is re-read
+    per micro-batch by Spark, so a small hot dim is the supported shape;
+    a table-sized static side belongs on the batch path). Works on batch
+    frames too, which is how the oracle exercises it."""
+    return events.join(F.broadcast(dim), on=on, how=how)
+
+
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "doc_id",
+    window: str = "10 minutes",
+) -> DataFrame:
+    """R10: stream–stream inner join with watermarks on both sides and a
+    time-range condition, so Spark can bound both join states (without
+    the range the state grows forever). Emits matches where the right
+    event lands within `window` after the left."""
+    lw = left.withWatermark("ingest_ts", window)
+    rw = right.withWatermark("ingest_ts", window)
+    # prefix the whole right side: joined rows keep unique column names so
+    # any downstream sink/agg can consume them
+    rw = rw.select([F.col(c).alias(f"r_{c}") for c in rw.columns])
+    return lw.join(
+        rw,
+        (F.col(key) == F.col(f"r_{key}"))
+        & (F.col("r_ingest_ts") >= F.col("ingest_ts"))
+        & (F.col("r_ingest_ts") <= F.col("ingest_ts") + F.expr(f"INTERVAL {window}")),
+        "inner",
+    )
+
+
 def latest_checkpointed_batch(checkpoint_dir: str) -> int | None:
     """Highest committed micro-batch id in a checkpoint (for tests/ops)."""
     commits = os.path.join(checkpoint_dir, "commits")

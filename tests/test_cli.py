@@ -38,6 +38,14 @@ def test_cli_full_lifecycle(spark, sf_small, tmp_path, capsys):
     assert st["rows"] > 0
     assert "array<int>" in st["schema"]  # packed WAL expanded to array table
 
+    # incremental CDC read surface: per-batch changes + snapshot-pair diff
+    rec = _run(capsys, "changes", "--table", table, "--batch", "1")
+    assert rec[-1]["total"] > 0 and "changes" in rec[-1]
+    out_dir = str(tmp_path / "ch")
+    rec = _run(capsys, "changes", "--table", table, "--batch", "1",
+               "--out", out_dir)
+    assert spark.read.parquet(out_dir).count() > 0
+
     rec = _run(capsys, "compact", "--table", table)
     assert rec[-1]["snapshot"]
 

@@ -94,6 +94,65 @@ def test_stream_dedup_within_watermark(spark, sf_small, tmp_path):
     assert got == distinct
 
 
+def test_stream_static_enrich(spark, sf_small, tmp_path):
+    """R9: stream-static broadcast join enriches every micro-batch; result
+    equals the batch join of the same frames."""
+    from rap_etl_spark.streaming.tail import stream_static_enrich
+
+    log = _mk_log(spark, sf_small, tmp_path)
+    batch_ev = spark.read.parquet(log).drop("batch")
+    dim = batch_ev.select("source").distinct().withColumn(
+        "tier", F.when(F.length("source") > 4, "long").otherwise("short")
+    )
+    src = spark.readStream.schema(batch_ev.schema).parquet(log)
+    q = (
+        stream_static_enrich(src, dim)
+        .writeStream.format("memory")
+        .queryName("enrich_out")
+        .option("checkpointLocation", str(tmp_path / "cp_en"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.sql(
+        "select tier, count(*) c from enrich_out group by tier order by tier"
+    ).collect()
+    want = (
+        stream_static_enrich(batch_ev, dim)
+        .groupBy("tier")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy("tier")
+        .collect()
+    )
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    assert sum(r["c"] for r in got) == batch_ev.count()  # left join keeps all
+
+
+def test_stream_stream_join(spark, sf_small, tmp_path):
+    """R10: watermarked stream-stream self-join within a time range matches
+    the identical batch join (nothing is late under a generous watermark)."""
+    from rap_etl_spark.streaming.tail import stream_stream_join
+
+    log = _mk_log(spark, sf_small, tmp_path, n_batches=2)
+    batch_ev = spark.read.parquet(log).drop("batch")
+    schema = batch_ev.schema
+    l_src = spark.readStream.schema(schema).parquet(log)
+    r_src = spark.readStream.schema(schema).parquet(log)
+    q = (
+        stream_stream_join(l_src, r_src, window="1 hour")
+        .selectExpr("doc_id", "lsn", "r_lsn")
+        .writeStream.format("memory")
+        .queryName("ssj_out")
+        .option("checkpointLocation", str(tmp_path / "cp_ssj"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.sql("select count(*) c from ssj_out").first()["c"]
+    want = stream_stream_join(batch_ev, batch_ev, window="1 hour").count()
+    assert got == want and got > 0
+
+
 def test_stream_packed_wal_tail(spark, sf_small, tmp_path):
     """C8 over the packed wire format: a streaming tail of EVENTS_SCHEMA_PACKED
     files converges to the same final state as the array-format batch replay
