@@ -188,7 +188,72 @@ def q_neardup_components(spark, sf):
     return connected_components(e).select("node", "comp")
 
 
+# --------------------------------------------------------------------------
+# round 2: sequence packing + sampling/ordering
+# --------------------------------------------------------------------------
+def _hash_tokens(d):
+    """documents.text -> deterministic pseudo token ids (JVM-only)."""
+    return d.select(
+        "doc_id",
+        F.transform(
+            F.split("text", " "),
+            lambda w: F.pmod(F.xxhash64(w), F.lit(50021)).cast("int"),
+        ).alias("tokens"),
+    )
+
+
+def q_pack_sequences(spark, sf):
+    """Rows-only: per-partition next-fit packing (operators/packing.py) —
+    sequence composition depends on partitioning, so the invariants
+    (length bound, token conservation, determinism) are pytest-gated and
+    the conservation total is separately oracled (pack_conservation)."""
+    from rap_etl_spark.operators.packing import pack_sequences
+
+    packed = pack_sequences(_hash_tokens(_t(spark, sf, "documents")), 256,
+                            num_partitions=8)
+    return packed.select("seq_id", "n_tok", "n_docs", "fill_ratio")
+
+
+def q_pack_conservation(spark, sf):
+    """Oracled invariant: packing preserves every token — total packed
+    tokens equal the corpus word count regardless of partitioning."""
+    from rap_etl_spark.operators.packing import pack_sequences, packing_stats
+
+    packed = pack_sequences(_hash_tokens(_t(spark, sf, "documents")), 256,
+                            num_partitions=8)
+    return packing_stats(packed, 256).select(
+        F.col("total_tokens").cast("long").alias("total_tokens")
+    )
+
+
+def q_sample_stratified(spark, sf):
+    """Deterministic stratified sampling: the keep/drop decision is a pure
+    function of (doc_id, source) — reproducible cross-engine, hence
+    exactly oracle-able (unlike RNG sampling)."""
+    from rap_etl_spark.operators.sampling import stratified_sample_deterministic
+
+    d = _t(spark, sf, "documents")
+    return stratified_sample_deterministic(
+        d, "doc_id", "source", {"src0": 80, "src1": 50, "src2": 20},
+        default_pct=10,
+    ).select("doc_id", "source")
+
+
+def q_train_shuffle(spark, sf):
+    """Deterministic corpus shuffle (hash-order sort). The oracle checks
+    content equality (the compare is order-insensitive); the ORDER itself —
+    stability across runs, seed-dependence — is pytest-gated."""
+    from rap_etl_spark.operators.sampling import deterministic_shuffle
+
+    d = _t(spark, sf, "documents").select("doc_id", "source")
+    return deterministic_shuffle(d, "doc_id", seed=3)
+
+
 QUERIES2 = {
+    "pack_sequences": q_pack_sequences,
+    "pack_conservation": q_pack_conservation,
+    "sample_stratified": q_sample_stratified,
+    "train_shuffle": q_train_shuffle,
     "neardup_components": q_neardup_components,
     "text_quality": q_text_quality,
     "text_token_count": q_text_token_count,
@@ -208,6 +273,17 @@ QUERIES2 = {
 }
 
 ORACLES2 = {
+    "pack_conservation": (
+        "SELECT CAST(sum(len(string_split(text, ' '))) AS BIGINT)"
+        " AS total_tokens FROM documents"
+    ),
+    "sample_stratified": (
+        "SELECT doc_id, source FROM documents"
+        " WHERE doc_id % 100 < CASE source"
+        "   WHEN 'src0' THEN 80 WHEN 'src1' THEN 50 WHEN 'src2' THEN 20"
+        "   ELSE 10 END"
+    ),
+    "train_shuffle": "SELECT doc_id, source FROM documents",
     "neardup_components": (
         "WITH RECURSIVE"
         " e AS (SELECT d.doc_id AS a, d.doc_id + 1 AS b FROM documents d"

@@ -330,6 +330,158 @@ TPCH_ORACLES2 = {
 
 
 # --------------------------------------------------------------------------
+# wave 7 (round 2): cross join, statistical aggs, rank-family windows,
+# multiset ops, argmin/argmax + boolean aggs, bitwise functions
+# --------------------------------------------------------------------------
+def q_join_cross(spark, sf):
+    """J9 cross join (explicit cartesian, tiny dims only — at scale an
+    unintended cross join is a bug, so the operator exists but broadcast
+    keeps it sane)."""
+    r1 = _t(spark, sf, "region").select(F.col("r_name").alias("a"))
+    r2 = _t(spark, sf, "region").select(F.col("r_name").alias("b"))
+    return r1.crossJoin(F.broadcast(r2)).filter(F.col("a") < F.col("b"))
+
+
+def q_agg_stats(spark, sf):
+    """A7 statistical aggregates: stddev/variance/corr/covariance per
+    group (rounded: both engines sum FP in different orders)."""
+    li = _t(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
+        F.round(F.var_pop("l_quantity"), 4).alias("var_qty"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qp"),
+        F.round(F.covar_samp("l_quantity", "l_discount"), 4).alias("cov_qd"),
+    )
+
+
+def q_win_dense_cume(spark, sf):
+    """W1+ rank family: dense_rank + cume_dist per customer order value."""
+    o = _t(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice"))
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.dense_rank().over(w).alias("drnk"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+def q_set_intersect_all(spark, sf):
+    """U2+ INTERSECT ALL (multiset semantics — duplicates preserved)."""
+    a = _t(spark, sf, "lineitem").select("l_quantity")
+    b = _t(spark, sf, "lineitem").filter(F.col("l_discount") > 0.03).select(
+        "l_quantity"
+    )
+    return a.intersectAll(b)
+
+
+def q_set_except_all(spark, sf):
+    """U3+ EXCEPT ALL (multiset difference)."""
+    a = _t(spark, sf, "lineitem").select("l_quantity")
+    b = _t(spark, sf, "lineitem").filter(F.col("l_discount") > 0.03).select(
+        "l_quantity"
+    )
+    return a.exceptAll(b)
+
+
+def q_agg_argminmax(spark, sf):
+    """A8 argmin/argmax + boolean aggregates: per segment, the name of the
+    customer with the highest/lowest balance, and balance-sign tests.
+    The ordering value is exact cents with the unique custkey as a tie
+    break, so argmin/argmax is deterministic across engines."""
+    c = _t(spark, sf, "customer")
+    val = (
+        F.round(F.col("c_acctbal") * 100).cast("long") * 100000
+        + F.col("c_custkey")
+    )
+    return c.groupBy("c_mktsegment").agg(
+        F.max_by("c_name", val).alias("richest"),
+        F.min_by("c_name", val).alias("poorest"),
+        F.bool_and(F.col("c_acctbal") > -1000.0).alias("all_above"),
+        F.bool_or(F.col("c_acctbal") < 0.0).alias("any_negative"),
+    )
+
+
+def q_fn_bitwise(spark, sf):
+    """F9 bitwise functions: and/or/xor/shift/count over integer keys."""
+    o = _t(spark, sf, "orders")
+    return o.select(
+        "o_orderkey",
+        (F.col("o_orderkey").bitwiseAND(F.lit(255))).alias("low8"),
+        (F.col("o_orderkey").bitwiseOR(F.lit(1))).alias("odd1"),
+        (F.col("o_orderkey").bitwiseXOR(F.col("o_custkey"))).alias("x"),
+        F.shiftleft("o_orderkey", 2).alias("shl2"),
+        F.bit_count("o_orderkey").alias("popcnt"),
+    )
+
+
+TPCH_QUERIES2.update(
+    {
+        "join_cross": q_join_cross,
+        "agg_stats": q_agg_stats,
+        "win_dense_cume": q_win_dense_cume,
+        "set_intersect_all": q_set_intersect_all,
+        "set_except_all": q_set_except_all,
+        "agg_argminmax": q_agg_argminmax,
+        "fn_bitwise": q_fn_bitwise,
+    }
+)
+
+TPCH_ORACLES2.update(
+    {
+        "join_cross": (
+            "SELECT r1.r_name AS a, r2.r_name AS b"
+            " FROM region r1 CROSS JOIN region r2 WHERE r1.r_name < r2.r_name"
+        ),
+        "agg_stats": (
+            "SELECT l_returnflag,"
+            " round(stddev_samp(l_quantity), 4) AS sd_qty,"
+            " round(var_pop(l_quantity), 4) AS var_qty,"
+            " round(corr(l_quantity, l_extendedprice), 4) AS corr_qp,"
+            " round(covar_samp(l_quantity, l_discount), 4) AS cov_qd"
+            " FROM lineitem GROUP BY l_returnflag"
+        ),
+        "win_dense_cume": (
+            "SELECT o_orderkey, o_custkey,"
+            " dense_rank() OVER w AS drnk,"
+            " round(cume_dist() OVER w, 6) AS cume"
+            " FROM orders"
+            " WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice)"
+        ),
+        "set_intersect_all": (
+            "SELECT l_quantity FROM lineitem"
+            " INTERSECT ALL"
+            " SELECT l_quantity FROM lineitem WHERE l_discount > 0.03"
+        ),
+        "set_except_all": (
+            "SELECT l_quantity FROM lineitem"
+            " EXCEPT ALL"
+            " SELECT l_quantity FROM lineitem WHERE l_discount > 0.03"
+        ),
+        "agg_argminmax": (
+            "SELECT c_mktsegment,"
+            " max_by(c_name, CAST(round(c_acctbal * 100) AS BIGINT) * 100000"
+            "   + c_custkey) AS richest,"
+            " min_by(c_name, CAST(round(c_acctbal * 100) AS BIGINT) * 100000"
+            "   + c_custkey) AS poorest,"
+            " bool_and(c_acctbal > -1000.0) AS all_above,"
+            " bool_or(c_acctbal < 0.0) AS any_negative"
+            " FROM customer GROUP BY c_mktsegment"
+        ),
+        "fn_bitwise": (
+            "SELECT o_orderkey,"
+            " o_orderkey & 255 AS low8,"
+            " o_orderkey | 1 AS odd1,"
+            " xor(o_orderkey, o_custkey) AS x,"
+            " o_orderkey << 2 AS shl2,"
+            " bit_count(o_orderkey) AS popcnt"
+            " FROM orders"
+        ),
+    }
+)
+
+
+# --------------------------------------------------------------------------
 # wave 5: remaining aggregate/window/sort shapes
 # --------------------------------------------------------------------------
 def q_agg_cube(spark, sf):

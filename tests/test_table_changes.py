@@ -142,6 +142,42 @@ def test_changes_for_batch_and_schema_evolution(spark, tmp_path):
         t.changes_for_batch(99)
 
 
+def test_ivm_tracks_full_replay(spark, sf_small, tmp_path):
+    """End-to-end invariant: folding every batch's changes_for_batch deltas
+    into a maintained aggregate equals recomputing the aggregate from the
+    final table — across inserts, updates, AND deletes of a real replayed
+    log (the composition of table_changes + operators/incremental)."""
+    from pyspark.sql import functions as F
+
+    from rap_etl_spark.engine import CdcEngine
+    from rap_etl_spark.operators.incremental import maintain
+    from rap_etl_spark.schemas import DOCS_SCHEMA
+    from rap_etl_spark.sources.synth import synthesize_events, write_event_log
+
+    ev = synthesize_events(spark, sf_small, 4000, max_tok=8)
+    write_event_log(ev, str(tmp_path / "log"), n_batches=4, n_events=4000)
+    t = ManifestParquetTable.create(spark, str(tmp_path / "t"), DOCS_SCHEMA, n_buckets=8)
+    eng = CdcEngine(spark, t)
+
+    agg = spark.createDataFrame([], "source string, n long, n_tok long")
+    for b in range(4):
+        eng.apply_batch(
+            spark.read.parquet(str(tmp_path / "log" / f"batch={b}")), batch_id=b
+        )
+        ch = t.changes_for_batch(b).select(
+            "source", "_change_type", F.col("n_tok").cast("long").alias("n_tok")
+        )
+        agg = maintain(agg, ch, ["source"], ["n_tok"])
+        agg = spark.createDataFrame(agg.collect(), agg.schema)  # pin each step
+
+    want = (
+        t.read()
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("n_tok").alias("n_tok"))
+    )
+    assert sorted(map(tuple, agg.collect())) == sorted(map(tuple, want.collect()))
+
+
 def test_expired_snapshot_raises(spark, tmp_path):
     t = ManifestParquetTable.create(spark, str(tmp_path / "t"), DOCS_SCHEMA, n_buckets=2)
     for i in range(5):
