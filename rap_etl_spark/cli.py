@@ -27,7 +27,8 @@ Subcommands::
     stream   --table PATH --log DIR --checkpoint DIR [--max-files N]
              [--metrics JSONL] [--continuous]
     compact  --table PATH [--tombstone-horizon LSN] [--keep-snapshots K]
-             [--ledger-horizon BATCH]
+             [--ledger-horizon BATCH] [--sort COL,COL]
+    rebucket --table PATH --buckets N
     status   --table PATH
     changes  --table PATH (--batch ID | --from SID [--to SID]) [--out DIR]
     synth    --out DIR --events N [--sf DIR] [--batches K] [--packed]
@@ -150,8 +151,26 @@ def cmd_compact(args) -> int:
         tombstone_horizon_lsn=args.tombstone_horizon,
         expire_snapshots_keep=args.keep_snapshots,
         ledger_horizon_batch_id=args.ledger_horizon,
+        sort_cols=args.sort.split(",") if args.sort else None,
     )
     print(json.dumps({"snapshot": info.snapshot_id}))
+    return 0
+
+
+def cmd_rebucket(args) -> int:
+    from rap_etl_spark.lake import ManifestParquetTable
+
+    t = ManifestParquetTable(_spark("rap-etl-rebucket"), args.table)
+    info = t.rebucket(args.buckets)
+    print(
+        json.dumps(
+            {
+                "snapshot": info.snapshot_id,
+                "n_buckets": t.n_buckets(),
+                "skipped": info.skipped,
+            }
+        )
+    )
     return 0
 
 
@@ -254,7 +273,13 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--tombstone-horizon", type=int)
     sp.add_argument("--keep-snapshots", type=int)
     sp.add_argument("--ledger-horizon", type=int)
+    sp.add_argument("--sort")
     sp.set_defaults(fn=cmd_compact)
+
+    sp = sub.add_parser("rebucket")
+    sp.add_argument("--table", required=True)
+    sp.add_argument("--buckets", type=int, required=True)
+    sp.set_defaults(fn=cmd_rebucket)
 
     sp = sub.add_parser("status")
     sp.add_argument("--table", required=True)

@@ -544,11 +544,17 @@ class ManifestParquetTable(LakeTable):
         return self.table_changes(parent, sid)
 
     # ---------- write path ----------
-    def _bucket_expr(self, col: str):
-        return F.pmod(F.xxhash64(F.col(col)), F.lit(self.n_buckets())).cast("int")
+    def _bucket_expr(self, col: str, n_buckets: int | None = None):
+        n = n_buckets if n_buckets is not None else self.n_buckets()
+        return F.pmod(F.xxhash64(F.col(col)), F.lit(n)).cast("int")
 
     def _write_data_files(
-        self, df: DataFrame, sid: str, schema_version: int
+        self,
+        df: DataFrame,
+        sid: str,
+        schema_version: int,
+        n_buckets: int | None = None,
+        sort_cols: list[str] | None = None,
     ) -> list[dict]:
         """Write df (must contain a `_b` bucket column) as one-or-more parquet
         files per bucket; returns manifest file entries. Files are written via
@@ -559,9 +565,15 @@ class ManifestParquetTable(LakeTable):
         # cluster by bucket before the write: one file per bucket instead of
         # (tasks x buckets) small files — same move as Iceberg's hash
         # write-distribution mode; keeps later bucket-pruned reads one-file
+        nb = n_buckets if n_buckets is not None else self.n_buckets()
+        clustered = df.repartition(nb, F.col("_b"))
+        if sort_cols:
+            # sorted-within-bucket layout: rows land in the parquet file in
+            # sort order, so row-group min/max statistics become selective
+            # for point/range predicates on the sort columns
+            clustered = clustered.sortWithinPartitions("_b", *sort_cols)
         (
-            df.repartition(self.n_buckets(), F.col("_b"))
-            .write.mode("overwrite")
+            clustered.write.mode("overwrite")
             .partitionBy("_b")
             .parquet(staging)
         )
@@ -810,6 +822,7 @@ class ManifestParquetTable(LakeTable):
         tombstone_horizon_lsn: int | None = None,
         expire_snapshots_keep: int | None = None,
         ledger_horizon_batch_id: int | None = None,
+        sort_cols: list[str] | None = None,
     ) -> CommitInfo:
         """Table maintenance, Iceberg rewrite_data_files-style:
 
@@ -822,7 +835,11 @@ class ManifestParquetTable(LakeTable):
           `ledger_horizon_batch_id` (same redelivery-safety rule — see
           prune_ledger) so commit metadata stays O(live), not O(history);
         - optionally expire old snapshot manifests (keep the newest K),
-          freeing their exclusive data files and sweeping orphans.
+          freeing their exclusive data files and sweeping orphans;
+        - optionally lay rows out sorted by `sort_cols` within each bucket
+          (Iceberg rewrite_data_files sort-strategy analogue): parquet
+          row-group min/max stats on the sort columns become selective, so
+          point/range scans inside a bucket skip row groups.
 
         Runs as one normal commit: readers flip atomically with the pointer.
         """
@@ -838,7 +855,10 @@ class ManifestParquetTable(LakeTable):
             )
         data = df.withColumn("_b", self._bucket_expr(self.key))
         nxt = self._next_manifest(m)
-        entries = self._write_data_files(data, nxt["snapshot_id"], m["current_schema_version"])
+        entries = self._write_data_files(
+            data, nxt["snapshot_id"], m["current_schema_version"],
+            sort_cols=sort_cols,
+        )
         nxt["files"] = entries
         if ledger_horizon_batch_id is not None:
             nxt["committed"] = {
@@ -855,6 +875,35 @@ class ManifestParquetTable(LakeTable):
         self._write_manifest(nxt)
         if expire_snapshots_keep is not None:
             self.expire_snapshots(keep=expire_snapshots_keep)
+        return CommitInfo(nxt["snapshot_id"], None, -1)
+
+    def rebucket(self, new_n_buckets: int) -> CommitInfo:
+        """Bucket evolution (Iceberg partition-evolution analogue for the
+        hash layout): rewrite the table once under a new bucket count and
+        commit atomically. The one full rewrite is the price of admission —
+        afterwards every merge/lookup/diff prunes against the new layout.
+        Grow buckets when per-bucket data outgrows a single task's
+        comfortable write (the same sizing rule as at create time); the
+        change is invisible to readers (bucketing is internal layout, not
+        logical schema)."""
+        if new_n_buckets <= 0:
+            raise ValueError("new_n_buckets must be positive")
+        m = self._manifest()
+        if new_n_buckets == int(m["n_buckets"]):
+            return CommitInfo(m["snapshot_id"], None, 0, skipped=True)
+        schema = self.schema()
+        df = self._read_files(m["files"], schema, with_meta=True)
+        data = df.withColumn(
+            "_b", self._bucket_expr(self.key, n_buckets=new_n_buckets)
+        )
+        nxt = self._next_manifest(m)
+        nxt["n_buckets"] = new_n_buckets
+        entries = self._write_data_files(
+            data, nxt["snapshot_id"], m["current_schema_version"],
+            n_buckets=new_n_buckets,
+        )
+        nxt["files"] = entries
+        self._write_manifest(nxt)
         return CommitInfo(nxt["snapshot_id"], None, -1)
 
     def expire_snapshots(

@@ -46,8 +46,11 @@ def test_cli_full_lifecycle(spark, sf_small, tmp_path, capsys):
                "--out", out_dir)
     assert spark.read.parquet(out_dir).count() > 0
 
-    rec = _run(capsys, "compact", "--table", table)
+    rec = _run(capsys, "compact", "--table", table, "--sort", "doc_id")
     assert rec[-1]["snapshot"]
 
+    rec = _run(capsys, "rebucket", "--table", table, "--buckets", "16")
+    assert rec[-1]["n_buckets"] == 16 and not rec[-1]["skipped"]
+
     rec = _run(capsys, "status", "--table", table)
-    assert rec[-1]["rows"] == st["rows"]  # compaction preserves state
+    assert rec[-1]["rows"] == st["rows"]  # maintenance preserves state

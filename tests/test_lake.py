@@ -186,6 +186,55 @@ def test_ledger_pruning_keeps_idempotency(spark, tmp_path):
     assert t.is_committed(4) and t.is_committed(9) and not t.is_committed(10)
 
 
+def test_rebucket_evolution(spark, tmp_path):
+    """Bucket-count evolution: one rewrite, state preserved, new layout
+    used by subsequent merges/lookups/diffs, old snapshots still readable."""
+    t = ManifestParquetTable.create(spark, str(tmp_path / "t"), DOCS_SCHEMA, n_buckets=4)
+    t.append(
+        mk_docs(spark, [(f"doc-{i}", [i], 1, "s") for i in range(40)]), batch_id=0
+    )
+    sid_before = t.snapshot_id()
+    before = sorted(r["doc_id"] for r in t.read().collect())
+
+    info = t.rebucket(16)
+    assert not info.skipped
+    assert t.n_buckets() == 16
+    assert sorted(r["doc_id"] for r in t.read().collect()) == before
+    assert {fe["bucket"] for fe in t._manifest()["files"]} <= set(range(16))
+    # old snapshot still readable under its own layout
+    assert t.read(snapshot_id=sid_before).count() == 40
+    # rebucket is layout-only: no logical change rows
+    assert t.table_changes(sid_before).count() == 0
+    # merges keep working against the new layout
+    t.merge(mk_changes(spark, [("U", "doc-3", [99], 1, "s")]), batch_id=1)
+    assert t.lookup(["doc-3"]).first()["tokens"] == [99]
+    # no-op when the count is unchanged
+    assert t.rebucket(16).skipped
+
+
+def test_compact_sorted_layout(spark, tmp_path):
+    """compact(sort_cols=...) preserves state and lays each bucket's file
+    out in sort order (row-group stats become selective)."""
+    import os
+
+    t = ManifestParquetTable.create(spark, str(tmp_path / "t"), DOCS_SCHEMA, n_buckets=2)
+    t.append(
+        mk_docs(spark, [(f"doc-{i:03d}", [i], 1, "s") for i in range(50)]),
+        batch_id=0,
+    )
+    before = sorted(map(tuple, t.read().collect()))
+    t.compact(sort_cols=["doc_id"])
+    assert sorted(map(tuple, t.read().collect())) == before
+    for fe in t._manifest()["files"]:
+        ids = [
+            r["doc_id"]
+            for r in spark.read.parquet(
+                os.path.join(str(tmp_path / "t"), fe["path"])
+            ).collect()
+        ]
+        assert ids == sorted(ids)
+
+
 def test_expire_snapshots_sweeps_orphans(spark, tmp_path):
     """Data files from crashed/conflicted commits (referenced by no
     manifest) are garbage-collected by expire_snapshots once past the
