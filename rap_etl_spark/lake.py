@@ -1081,6 +1081,18 @@ class IcebergTable(LakeTable):
         ).first()
         return str(row[0]) if row else "none"
 
+    def table_changes(self, from_snapshot, to_snapshot=None):
+        """Not implemented on the passthrough backend: a real Iceberg
+        deployment reads row-level diffs via the engine's own changelog —
+        `spark.read.format("iceberg").option("start-snapshot-id", ...)` or
+        the create_changelog_view procedure — rather than re-deriving them
+        here. ManifestParquetTable.table_changes is this repo's reference
+        implementation of the semantics."""
+        raise NotImplementedError(
+            "IcebergTable: use Iceberg's incremental read / changelog view; "
+            "table_changes is implemented on ManifestParquetTable"
+        )
+
     def committed_batches(self) -> dict[str, dict]:
         """Ledger read-back from table properties (SHOW TBLPROPERTIES)."""
         out: dict[str, dict] = {}

@@ -249,7 +249,58 @@ def q_train_shuffle(spark, sf):
     return deterministic_shuffle(d, "doc_id", seed=3)
 
 
+# --------------------------------------------------------------------------
+# round 2: corpus statistics (inverted index, vocabulary, histograms)
+# --------------------------------------------------------------------------
+def q_posting_list(spark, sf):
+    """Inverted index over the corpus: word -> sorted posting list of doc
+    ids + document frequency. One explode + one groupBy — the n-gram/token
+    statistics pass every curation pipeline runs; posting lists are capped
+    in the SELECT (slice) so a stop-word's row stays bounded."""
+    d = _t(spark, sf, "documents")
+    return (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+        .distinct()
+        .groupBy("word")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.slice(F.sort_array(F.collect_list("doc_id")), 1, 20).alias(
+                "postings"
+            ),
+        )
+        .filter(F.col("df") >= 5)
+    )
+
+
+def q_vocab_topk(spark, sf):
+    """Top-40 vocabulary by total term frequency (ties broken by word)."""
+    d = _t(spark, sf, "documents")
+    return (
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .orderBy(F.col("tf").desc(), F.col("word"))
+        .limit(40)
+    )
+
+
+def q_histogram_fixed(spark, sf):
+    """Fixed-width histogram of document lengths (width_bucket)."""
+    d = _t(spark, sf, "documents")
+    return (
+        d.select(
+            F.width_bucket(F.col("n_chars"), F.lit(0), F.lit(4000), F.lit(20))
+            .alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
 QUERIES2 = {
+    "posting_list": q_posting_list,
+    "vocab_topk": q_vocab_topk,
+    "histogram_fixed": q_histogram_fixed,
     "pack_sequences": q_pack_sequences,
     "pack_conservation": q_pack_conservation,
     "sample_stratified": q_sample_stratified,
@@ -273,6 +324,24 @@ QUERIES2 = {
 }
 
 ORACLES2 = {
+    "posting_list": (
+        "WITH wd AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' '))"
+        "   AS word FROM documents)"
+        " SELECT word, count(*) AS df,"
+        " (list_sort(list(doc_id)))[1:20] AS postings"
+        " FROM wd GROUP BY word HAVING count(*) >= 5"
+    ),
+    "vocab_topk": (
+        "SELECT word, count(*) AS tf FROM"
+        " (SELECT unnest(string_split(text, ' ')) AS word FROM documents)"
+        " GROUP BY word ORDER BY tf DESC, word LIMIT 40"
+    ),
+    "histogram_fixed": (
+        # width_bucket(x, 0, 4000, 20) spelled arithmetically (DuckDB has
+        # no width_bucket): width 200, underflow->0, overflow->21
+        "SELECT LEAST(GREATEST(CAST(floor(n_chars / 200.0) + 1 AS INT), 0),"
+        " 21) AS bucket, count(*) AS cnt FROM documents GROUP BY bucket"
+    ),
     "pack_conservation": (
         "SELECT CAST(sum(len(string_split(text, ' '))) AS BIGINT)"
         " AS total_tokens FROM documents"
