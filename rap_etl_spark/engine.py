@@ -191,7 +191,43 @@ class CdcEngine:
                     changes = latest
 
                 payload = changes.select(KEY, "op", "lsn", *payload_cols)
-                info: CommitInfo = self.table.merge(payload, batch_id=batch_id)
+                # Bucket-discovery hint: a column-pruned scan of the staged
+                # delta (KEY only — no dedup shuffle, no unpack Python
+                # stage) yields the affected-bucket set and the exact
+                # post-dedup row count (winner rows per key are
+                # byte-identical duplicates, so countDistinct(KEY) == rows
+                # after dropDuplicates). With the hint, merge consumes the
+                # change frame exactly once — the persist/materialize pass
+                # disappears from the per-batch serial floor. Skipped when
+                # diff_first/dedup_policy shrink the key set (the hint must
+                # never miss a changed bucket; a superset would merely
+                # rewrite an unchanged bucket, but the default path is
+                # exact).
+                use_hint = (
+                    delta_path is not None
+                    and not self.diff_first
+                    and self.dedup_policy is None
+                    and isinstance(self.table, ManifestParquetTable)
+                )
+                if use_hint:
+                    _t = time.monotonic()
+                    staged_keys = self.spark.read.parquet(delta_path).select(KEY)
+                    stats = (
+                        staged_keys.groupBy(
+                            self.table._bucket_expr(KEY).alias("_b")
+                        )
+                        .agg(F.countDistinct(KEY).alias("_n"))
+                        .collect()
+                    )
+                    _tlog("engine.bucket_discovery", _t)
+                    info: CommitInfo = self.table.merge(
+                        payload,
+                        batch_id=batch_id,
+                        affected_buckets={r["_b"] for r in stats},
+                        n_rows=int(sum(r["_n"] for r in stats)),
+                    )
+                else:
+                    info = self.table.merge(payload, batch_id=batch_id)
             finally:
                 if delta_path is not None:
                     # delete through the same filesystem abstraction the

@@ -693,7 +693,13 @@ class ManifestParquetTable(LakeTable):
         self._write_manifest(nxt)
         return CommitInfo(nxt["snapshot_id"], batch_id, rows)
 
-    def merge(self, changes: DataFrame, batch_id: int | None = None) -> CommitInfo:
+    def merge(
+        self,
+        changes: DataFrame,
+        batch_id: int | None = None,
+        affected_buckets: set[int] | None = None,
+        n_rows: int | None = None,
+    ) -> CommitInfo:
         """Bucket-granular copy-on-write MERGE, conditional on row version.
 
         ``changes``: at most one row per key; columns = table schema + ``op``
@@ -711,6 +717,15 @@ class ManifestParquetTable(LakeTable):
           late-arriving older event cannot resurrect a deleted key.
         - Survivor rows (keys untouched in affected buckets) are carried via
           a left-anti join; matched old rows join the LWW reduction.
+
+        ``affected_buckets``/``n_rows``: caller-supplied discovery hints
+        (the engine derives them from a column-pruned scan of the staged
+        delta — no dedup/unpack Python stage runs for discovery). With a
+        hint the change frame is consumed EXACTLY ONCE, by the join+write
+        job, so the persist/materialize pass disappears entirely. A
+        superset bucket hint is safe (an unchanged bucket is rewritten
+        byte-equal via the full-outer join); a MISSING bucket would lose
+        changes, so hints must cover every change key's bucket.
         """
         m = self._manifest()
         if self.is_committed(batch_id):
@@ -719,19 +734,23 @@ class ManifestParquetTable(LakeTable):
 
         schema = self.schema()
         ch = self._with_meta(changes, schema).withColumn("_b", self._bucket_expr(self.key))
-        # Persist: used for (a) affected-bucket discovery, (b) join keys,
-        # (c) the LWW union. One materialization, three uses.
-        ch = ch.persist()
-        try:
+        persisted = False
+        if affected_buckets is not None:
+            affected_set = {int(b) for b in affected_buckets}
+            rows = int(n_rows) if n_rows is not None else -1
+        else:
+            # no hint: materialize once, then one job yields BOTH the
+            # affected-bucket set and the change-row count (n_buckets tiny
+            # groups) — these driver-side barriers are the serial floor on
+            # a real batch cadence, which is why the hinted path exists
+            ch = ch.persist()
+            persisted = True
             _t0 = time.monotonic()
-            # one job yields BOTH the affected-bucket set and the change-row
-            # count (16 tiny groups) — merging what used to be a distinct()
-            # job here plus a count() job after the write; on a real batch
-            # cadence these driver-side barriers are the serial floor
             _stats = ch.groupBy("_b").agg(F.count(F.lit(1)).alias("_n")).collect()
             affected_set = {r["_b"] for r in _stats}
             rows = int(sum(r["_n"] for r in _stats))
             _tlog("merge.materialize_changes", _t0)
+        try:
             old_entries = [fe for fe in m["files"] if fe["bucket"] in affected_set]
             keep_entries = [fe for fe in m["files"] if fe["bucket"] not in affected_set]
 
@@ -791,7 +810,8 @@ class ManifestParquetTable(LakeTable):
             self._write_manifest(nxt)
             return CommitInfo(nxt["snapshot_id"], batch_id, rows)
         finally:
-            ch.unpersist()
+            if persisted:
+                ch.unpersist()
 
     def lookup(self, keys: list[str]) -> DataFrame:
         """Point lookup by key, bucket-pruned: hashes the requested keys to
