@@ -891,3 +891,66 @@ TPCH_ORACLES2.update(
         ),
     }
 )
+
+
+# --------------------------------------------------------------------------
+# custom binlog source (round 2): binary segment format round-trip, oracled
+# --------------------------------------------------------------------------
+def q_binlog_roundtrip(spark, sf):
+    """S-source: the custom .rapwal binary segment format driven through its
+    Spark Python DataSource (sources/binlog.py) and oracled BY VALUE —
+    derive change events deterministically from `events`, write them as
+    lsn-range segments from executors, read them back with
+    spark.read.format("rap-etl-binlog"), return every row. The oracle is
+    the same derivation in plain SQL: any framing/offset/encoding bug in
+    the wire format breaks the value hash. Deletes carry empty (not null)
+    token lists on the wire — the derivation builds them that way."""
+    from rap_etl_spark.sources.binlog import register, write_binlog_segments
+
+    ev = _t(spark, sf, "events").select(
+        F.when(F.col("event_id") % 10 == 0, "D")
+        .when(F.col("event_id") % 10 == 1, "I")
+        .otherwise("U")
+        .alias("op"),
+        F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("doc_id"),
+        F.col("event_id").alias("lsn"),
+        F.when(
+            F.col("event_id") % 10 == 0,
+            F.array().cast("array<int>"),
+        )
+        .otherwise(
+            F.sequence(F.lit(1), (F.col("event_id") % 7 + 1).cast("int"))
+        )
+        .alias("tokens"),
+        F.col("event_type").alias("source"),
+    )
+    work = tempfile.mkdtemp(prefix="rap-etl-binlog-")
+    try:
+        register(spark)
+        write_binlog_segments(ev, os.path.join(work, "wal"), n_segments=4)
+        got = (
+            spark.read.format("rap-etl-binlog")
+            .option("path", os.path.join(work, "wal"))
+            .load()
+        )
+        # materialize before the tempdir disappears (same as cdc_merge)
+        rows = got.collect()
+        return spark.createDataFrame(rows, got.schema)
+    finally:
+        import shutil
+
+        shutil.rmtree(work, ignore_errors=True)
+
+
+TPCH_QUERIES2["binlog_roundtrip"] = q_binlog_roundtrip
+TPCH_ORACLES2["binlog_roundtrip"] = (
+    "SELECT CASE WHEN event_id % 10 = 0 THEN 'D'"
+    " WHEN event_id % 10 = 1 THEN 'I' ELSE 'U' END AS op,"
+    " 'u' || CAST(user_id AS VARCHAR) AS doc_id,"
+    " event_id AS lsn,"
+    " CASE WHEN event_id % 10 = 0 THEN CAST([] AS INTEGER[])"
+    " ELSE CAST(range(1, CAST(event_id % 7 AS INTEGER) + 2) AS INTEGER[])"
+    " END AS tokens,"
+    " event_type AS source"
+    " FROM events"
+)
