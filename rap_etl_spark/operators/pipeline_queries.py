@@ -134,6 +134,31 @@ def q_embed_lsh_topk(spark, sf):
     return lsh_topk(e, q, dim=dim, k=10, n_planes=10, probe_hamming=1)
 
 
+def q_embed_neardup(spark, sf):
+    """Embedding-cosine near-dup, oracled BY VALUE: plant duplicate-direction
+    vectors (every 10th vec_id re-emitted under id+1e6), find all pairs with
+    cosine >= 0.9 via banded-LSH candidates + exact verify. Deterministic
+    because (a) the testdata's max NATURAL pairwise cosine is ~0.6 at every
+    sf (measured 0.48/0.51/0.60 at sf0.001/0.01/0.1), so only planted pairs
+    clear 0.9, and (b) identical vectors collide in EVERY LSH band — recall
+    1 by construction, precision exact from the verify stage. The oracle is
+    the brute-force all-pairs statement of the same threshold. Perturbed
+    (not identical) near-dup recall is pytest-gated instead
+    (tests/test_pipeline_ops.py)."""
+    from rap_etl_spark.operators.similarity import embed_neardup_pairs
+
+    e = _t(spark, sf, "embeddings").select("vec_id", "embedding")
+    planted = e.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+    )
+    corpus = e.unionByName(planted)
+    dim = len(e.first()["embedding"])
+    pairs = embed_neardup_pairs(
+        corpus, dim=dim, threshold=0.9, n_planes=8, n_bands=4
+    )
+    return pairs.select("a", "b", F.round("cosine", 4).alias("cosine"))
+
+
 def q_embed_ivf_topk(spark, sf):
     """Rows-only: IVF coarse-quantized ANN (recall asserted in pytest)."""
     e = _t(spark, sf, "embeddings")
@@ -315,6 +340,7 @@ QUERIES2 = {
     "minhash_neardup": q_minhash_neardup,
     "simhash_sig": q_simhash_sig,
     "embed_cosine": q_embed_cosine,
+    "embed_neardup": q_embed_neardup,
     "embed_topk": q_embed_topk,
     "embed_lsh_topk": q_embed_lsh_topk,
     "embed_ivf_topk": q_embed_ivf_topk,
@@ -409,6 +435,18 @@ ORACLES2 = {
         "   / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))"
         "      * sqrt(list_dot_product(q.qv, q.qv))), 5) AS cos_sim"
         " FROM embeddings, q"
+    ),
+    "embed_neardup": (
+        "WITH u AS (SELECT vec_id, embedding FROM embeddings"
+        " UNION ALL SELECT vec_id + 1000000, embedding FROM embeddings"
+        "   WHERE vec_id % 10 = 0),"
+        " e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM u),"
+        " p AS (SELECT a.vec_id AS a, b.vec_id AS b,"
+        "   list_dot_product(a.v, b.v)"
+        "   / (sqrt(list_dot_product(a.v, a.v))"
+        "      * sqrt(list_dot_product(b.v, b.v))) AS c"
+        "   FROM e a JOIN e b ON a.vec_id < b.vec_id)"
+        " SELECT a, b, round(c, 4) AS cosine FROM p WHERE c >= 0.9"
     ),
     "embed_topk": (
         "WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)"

@@ -183,6 +183,108 @@ def ivf_assign(
     return df.mapInPandas(assign_batches, schema=out_schema), cent
 
 
+def banded_lsh_signatures(
+    df: DataFrame,
+    dim: int,
+    n_planes: int = 8,
+    n_bands: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+) -> DataFrame:
+    """n_bands independent hyperplane signatures per vector in ONE matmul
+    pass: (n, n_bands*n_planes) signs, split into per-band bucket ids.
+    Output is exploded long form (id, band, bucket) — the shuffle key for
+    candidate generation is (band, bucket), never the raw vector."""
+    rng = np.random.RandomState(seed)
+    planes = rng.normal(size=(n_bands * n_planes, dim)).astype(np.float64)
+    b_planes = df.sparkSession.sparkContext.broadcast(planes)
+    out_schema = T.StructType(
+        [
+            df.schema[id_col],
+            T.StructField("band", T.IntegerType(), False),
+            T.StructField("bucket", T.LongType(), False),
+        ]
+    )
+    weights = 1 << np.arange(n_planes, dtype=np.int64)
+
+    def sig(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        P = b_planes.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            M = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            signs = (M @ P.T) > 0  # (n, n_bands*n_planes)
+            buckets = signs.reshape(len(pdf), n_bands, n_planes) @ weights
+            ids = np.repeat(pdf[id_col].to_numpy(), n_bands)
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "band": np.tile(
+                        np.arange(n_bands, dtype=np.int32), len(pdf)
+                    ),
+                    "bucket": buckets.reshape(-1).astype(np.int64),
+                }
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(sig, schema=out_schema)
+
+
+def embed_neardup_pairs(
+    df: DataFrame,
+    dim: int,
+    threshold: float = 0.9,
+    n_planes: int = 8,
+    n_bands: int = 4,
+    max_bucket: int = 10_000,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (a < b, cosine >= threshold).
+
+    Scale shape (never all-pairs): banded hyperplane LSH → candidates are
+    pairs colliding in ANY band, generated by a self-join on (band, bucket)
+    — a sort-merge join keyed on small ints, with oversized buckets
+    (degenerate regions, e.g. the all-zeros region) dropped at `max_bucket`
+    like the super-node drop in graph.connected_components; pair dedup
+    across bands is one distinct on (a, b); only then are the two vectors
+    fetched and the EXACT cosine verified JVM-side. Precision is therefore
+    exact; recall is the LSH collision probability (pytest-gated — at
+    threshold ~1 a near-dup collides in every band)."""
+    sigs = banded_lsh_signatures(
+        df, dim, n_planes, n_bands, vec_col, id_col, seed
+    )
+    ok_buckets = (
+        sigs.groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter((F.col("n") >= 2) & (F.col("n") <= max_bucket))
+        .select("band", "bucket")
+    )
+    sigs = sigs.join(ok_buckets, ["band", "bucket"])
+    left = sigs.select("band", "bucket", F.col(id_col).alias("a"))
+    right = sigs.select("band", "bucket", F.col(id_col).alias("b"))
+    cand = (
+        left.join(right, ["band", "bucket"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    va = df.select(F.col(id_col).alias("a"), F.col(vec_col).alias("_va"))
+    vb = df.select(F.col(id_col).alias("b"), F.col(vec_col).alias("_vb"))
+    return (
+        cand.join(va, "a")
+        .join(vb, "b")
+        .withColumn(
+            "cosine",
+            _dot(F.col("_va"), F.col("_vb"))
+            / (_norm(F.col("_va")) * _norm(F.col("_vb"))),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("a", "b", F.round("cosine", 6).alias("cosine"))
+    )
+
+
 def ivf_topk(
     df: DataFrame,
     query: list[float],

@@ -107,6 +107,49 @@ def test_ann_recall_vs_brute_force(spark, sf_small):
     assert len(exact & ivf) >= 6  # IVF recovers most of the planted cluster
 
 
+def test_embed_neardup_pairs(spark, sf_small):
+    """Embedding-cosine near-dup (similarity.embed_neardup_pairs): exact
+    precision always; recall 1 on identical-direction plants; recall >= .8
+    on noise-perturbed plants (these CAN flip an LSH sign, so the gate is
+    statistical like the minhash one)."""
+    import pandas as pd
+
+    from rap_etl_spark.operators.similarity import embed_neardup_pairs
+
+    e = _embeddings(spark, sf_small).select("vec_id", "embedding")
+    dim = len(e.first()["embedding"])
+    rng = np.random.RandomState(11)
+    base = {r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+            for r in e.filter(F.col("vec_id") % 10 == 0).collect()}
+    perturbed = pd.DataFrame(
+        {
+            "vec_id": [vid + 1_000_000 for vid in base],
+            "embedding": [
+                (v + rng.normal(scale=0.02 * np.abs(v).mean(), size=dim))
+                .astype(np.float32).tolist()
+                for v in base.values()
+            ],
+        }
+    )
+    corpus = e.unionByName(
+        spark.createDataFrame(perturbed, schema=e.select("vec_id", "embedding").schema)
+    )
+    pairs = embed_neardup_pairs(corpus, dim=dim, threshold=0.9,
+                                n_planes=8, n_bands=4)
+    rows = pairs.collect()
+    # precision is exact: every returned pair truly clears the threshold
+    assert all(r["cosine"] >= 0.9 for r in rows)
+    hits = {(r["a"], r["b"]) for r in rows}
+    planted = {(vid, vid + 1_000_000) for vid in base}
+    assert len(hits & planted) >= 0.8 * len(planted)
+    # no natural pair clears 0.9 in this corpus (measured max ~0.6)
+    assert hits <= planted
+    # deterministic across runs (fixed LSH seed)
+    again = {(r["a"], r["b"]) for r in embed_neardup_pairs(
+        corpus, dim=dim, threshold=0.9, n_planes=8, n_bands=4).collect()}
+    assert hits == again
+
+
 def test_lang_id_mechanics(spark, sf_small):
     """The testdata text is random words — lang labels carry no textual
     signal, so accuracy ≈ chance BY CONSTRUCTION. Assert the operator's
