@@ -24,15 +24,16 @@ Subcommands::
 
     init     --table PATH [--buckets N] [--schema v1|v2]
     replay   --table PATH --log DIR [--lineage DIR] [--batches a,b,...]
+             [--format parquet|binlog]
     stream   --table PATH --log DIR --checkpoint DIR [--max-files N]
-             [--metrics JSONL] [--continuous]
+             [--metrics JSONL] [--continuous] [--format parquet|binlog]
     compact  --table PATH [--tombstone-horizon LSN] [--keep-snapshots K]
              [--ledger-horizon BATCH] [--sort COL,COL]
     rebucket --table PATH --buckets N
     status   --table PATH
     changes  --table PATH (--batch ID | --from SID [--to SID]) [--out DIR]
     synth    --out DIR --events N [--sf DIR] [--batches K] [--packed]
-             [--keys N] [--max-tok N]
+             [--keys N] [--max-tok N] [--format parquet|binlog]
 """
 
 from __future__ import annotations
@@ -74,17 +75,36 @@ def cmd_replay(args) -> int:
     spark = _spark("rap-etl-replay")
     t = ManifestParquetTable(spark, args.table)
     engine = CdcEngine(spark, t, lineage_dir=args.lineage)
-    if args.batches:
-        batch_ids = [int(b) for b in args.batches.split(",")]
+    if args.format == "binlog":
+        from rap_etl_spark.sources.binlog import _list_segments, as_events, register
+
+        register(spark)
+        segments = dict(enumerate(_list_segments(args.log)))
+
+        def load(b):
+            return as_events(
+                spark.read.format("rap-etl-binlog")
+                .option("path", segments[b])
+                .load()
+            )
+
+        discovered = sorted(segments)
     else:
-        batch_ids = sorted(
+
+        def load(b):
+            return spark.read.parquet(os.path.join(args.log, f"batch={b}"))
+
+        discovered = sorted(
             int(d.split("=", 1)[1])
             for d in os.listdir(args.log)
             if d.startswith("batch=")
         )
+    if args.batches:
+        batch_ids = [int(b) for b in args.batches.split(",")]
+    else:
+        batch_ids = discovered
     for b in batch_ids:
-        df = spark.read.parquet(os.path.join(args.log, f"batch={b}"))
-        m = engine.apply_batch(df, batch_id=b)
+        m = engine.apply_batch(load(b), batch_id=b)
         print(
             json.dumps(
                 {
@@ -117,6 +137,7 @@ def cmd_stream(args) -> int:
         max_files_per_trigger=args.max_files,
         available_now=not args.continuous,
         schema=EVENTS_SCHEMA_PACKED if args.packed else EVENTS_SCHEMA,
+        source=args.format,
     )
     q.awaitTermination()
     if listener is not None:
@@ -226,6 +247,10 @@ def cmd_changes(args) -> int:
 def cmd_synth(args) -> int:
     from rap_etl_spark.sources.synth import synthesize_events, write_event_log
 
+    if args.format == "binlog" and args.packed:
+        print("--packed is a parquet-WAL option; binlog has its own wire format",
+              file=sys.stderr)
+        return 2
     spark = _spark("rap-etl-synth")
     ev = synthesize_events(
         spark,
@@ -235,6 +260,16 @@ def cmd_synth(args) -> int:
         packed=args.packed,
         n_keys=args.keys,
     )
+    if args.format == "binlog":
+        from rap_etl_spark.sources.binlog import write_binlog_segments
+
+        n = write_binlog_segments(
+            ev.select("op", "doc_id", "lsn", "tokens", "source"),
+            args.out,
+            n_segments=args.batches,
+        )
+        print(json.dumps({"log": args.out, "events": args.events, "segments": n}))
+        return 0
     write_event_log(ev, args.out, n_batches=args.batches, n_events=args.events)
     print(json.dumps({"log": args.out, "events": args.events}))
     return 0
@@ -255,6 +290,7 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--log", required=True)
     sp.add_argument("--lineage")
     sp.add_argument("--batches")
+    sp.add_argument("--format", choices=["parquet", "binlog"], default="parquet")
     sp.set_defaults(fn=cmd_replay)
 
     sp = sub.add_parser("stream")
@@ -266,6 +302,7 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--metrics")
     sp.add_argument("--packed", action="store_true")
     sp.add_argument("--continuous", action="store_true")
+    sp.add_argument("--format", choices=["parquet", "binlog"], default="parquet")
     sp.set_defaults(fn=cmd_stream)
 
     sp = sub.add_parser("compact")
@@ -301,6 +338,7 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--packed", action="store_true")
     sp.add_argument("--keys", type=int)
     sp.add_argument("--max-tok", type=int, default=32)
+    sp.add_argument("--format", choices=["parquet", "binlog"], default="parquet")
     sp.set_defaults(fn=cmd_synth)
     return p
 

@@ -209,10 +209,33 @@ class SegmentPartition(InputPartition):
 
 
 def _list_segments(path: str) -> list[str]:
+    if os.path.isfile(path):  # single-segment read (CLI per-batch replay)
+        return [path]
     return sorted(
         os.path.join(path, f)
         for f in os.listdir(path)
         if f.endswith(".rapwal")
+    )
+
+
+def as_events(df: DataFrame) -> DataFrame:
+    """Binlog wire frame -> EVENTS_SCHEMA shape for the CDC engine: the
+    wire carries only facts (op, doc_id, lsn, tokens, source); deletes'
+    empty on-wire token lists become NULL, and the derived columns
+    (n_tok, ingest_ts) are computed here, JVM-side."""
+    from pyspark.sql import functions as F
+
+    is_del = F.col("op") == "D"
+    return df.select(
+        "op",
+        "doc_id",
+        "lsn",
+        F.when(is_del, F.lit(None).cast("array<int>"))
+        .otherwise(F.col("tokens"))
+        .alias("tokens"),
+        F.when(~is_del, F.size("tokens")).cast("int").alias("n_tok"),
+        "source",
+        F.current_timestamp().alias("ingest_ts"),
     )
 
 

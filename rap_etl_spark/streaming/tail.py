@@ -35,8 +35,10 @@ def stream_tail(
     available_now: bool = True,
     schema=None,
     prune_ledger_every: int | None = None,
+    source: str = "parquet",
 ) -> StreamingQuery:
-    """Tail `src_dir` (parquet change-event files) into `table`.
+    """Tail `src_dir` (parquet change-event files, or `.rapwal` binlog
+    segments with ``source="binlog"``) into `table`.
 
     ``available_now=True`` processes the current backlog in rate-limited
     micro-batches then stops — bounded replay, the batch-mode twin. A
@@ -51,10 +53,20 @@ def stream_tail(
     or below batch_id-1 can never be consulted again, and commit metadata
     stays O(K) over an unbounded run.
     """
-    reader = spark.readStream.schema(schema or EVENTS_SCHEMA)
-    if max_files_per_trigger is not None:
-        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    events = reader.parquet(src_dir)
+    if source == "binlog":
+        from rap_etl_spark.sources.binlog import as_events, register
+
+        register(spark)
+        events = as_events(
+            spark.readStream.format("rap-etl-binlog")
+            .option("path", src_dir)
+            .load()
+        )
+    else:
+        reader = spark.readStream.schema(schema or EVENTS_SCHEMA)
+        if max_files_per_trigger is not None:
+            reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+        events = reader.parquet(src_dir)
 
     engine = CdcEngine(spark, table, lineage_dir=lineage_dir)
 
