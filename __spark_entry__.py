@@ -59,8 +59,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from rap_etl_spark.operators.relational import QUERIES
     from rap_etl_spark.operators.tpch_queries import TPCH_QUERIES
     from rap_etl_spark.operators.tpch_queries2 import TPCH_QUERIES2
+    from rap_etl_spark.operators.tpch_queries3 import TPCH_QUERIES3
 
-    return {**QUERIES, **QUERIES2, **TPCH_QUERIES, **TPCH_QUERIES2}
+    return {
+        **QUERIES,
+        **QUERIES2,
+        **TPCH_QUERIES,
+        **TPCH_QUERIES2,
+        **TPCH_QUERIES3,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
@@ -69,5 +76,12 @@ def oracle_sql() -> dict[str, str]:
     from rap_etl_spark.operators.relational import ORACLES
     from rap_etl_spark.operators.tpch_queries import TPCH_ORACLES
     from rap_etl_spark.operators.tpch_queries2 import TPCH_ORACLES2
+    from rap_etl_spark.operators.tpch_queries3 import TPCH_ORACLES3
 
-    return {**ORACLES, **ORACLES2, **TPCH_ORACLES, **TPCH_ORACLES2}
+    return {
+        **ORACLES,
+        **ORACLES2,
+        **TPCH_ORACLES,
+        **TPCH_ORACLES2,
+        **TPCH_ORACLES3,
+    }
