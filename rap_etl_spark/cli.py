@@ -24,7 +24,7 @@ Subcommands::
 
     init     --table PATH [--buckets N] [--schema v1|v2]
     replay   --table PATH --log DIR [--lineage DIR] [--batches a,b,...]
-             [--format parquet|binlog]
+             [--format parquet|binlog]   (binlog --batches = segment indices)
     stream   --table PATH --log DIR --checkpoint DIR [--max-files N]
              [--metrics JSONL] [--continuous] [--format parquet|binlog]
     compact  --table PATH [--tombstone-horizon LSN] [--keep-snapshots K]
@@ -101,6 +101,18 @@ def cmd_replay(args) -> int:
         )
     if args.batches:
         batch_ids = [int(b) for b in args.batches.split(",")]
+        unknown = [b for b in batch_ids if b not in set(discovered)]
+        if unknown:
+            kind = (
+                "segment indices 0..%d" % (len(discovered) - 1)
+                if args.format == "binlog" and discovered
+                else "batch ids %s" % discovered
+            )
+            print(
+                f"unknown --batches {unknown}; this log has {kind}",
+                file=sys.stderr,
+            )
+            return 2
     else:
         batch_ids = discovered
     for b in batch_ids:
@@ -125,6 +137,12 @@ def cmd_stream(args) -> int:
     from rap_etl_spark.streaming import metrics as m
     from rap_etl_spark.streaming.tail import stream_tail
 
+    if args.format == "binlog" and args.packed:
+        print(
+            "--packed is a parquet-WAL option; binlog has its own wire format",
+            file=sys.stderr,
+        )
+        return 2
     spark = _spark("rap-etl-stream")
     t = ManifestParquetTable(spark, args.table)
     listener = m.attach(spark, args.metrics) if args.metrics else None

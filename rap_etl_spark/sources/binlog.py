@@ -21,10 +21,13 @@ bulk `np.frombuffer` slicing rather than per-record parsing:
              , i64 lsn[n]
              , u8  op[n]                     (ASCII I/U/D)
              , u32 id_len[n] , u32 src_len[n] , u32 tok_len[n]
+             , u8  src_valid[n]              (0 = source IS NULL)
              , id_bytes , src_bytes , i32 tokens
 
 Delete events carry zero-length token lists (their payload is never
-surfaced: the merge tombstones the row and read() filters it).
+surfaced: the merge tombstones the row and read() filters it). NULL
+source values are preserved through the validity array — a parquet-WAL
+replay and a binlog replay of the same events produce identical tables.
 """
 
 from __future__ import annotations
@@ -73,13 +76,21 @@ def encode_block(pdf) -> bytes:
     """pandas frame (op, doc_id, lsn, tokens, source) -> one framed block.
     String encoding is the only per-row step (CPython requirement); all
     numeric columns are single astype/tobytes calls."""
+    import pandas as pd
+
     n = len(pdf)
     lsn = np.asarray(pdf["lsn"], dtype="<i8").tobytes()
     op = np.frombuffer("".join(pdf["op"]).encode("ascii"), dtype=np.uint8)
     if len(op) != n:
         raise ValueError("op must be single ASCII characters")
     ids = [s.encode("utf-8") for s in pdf["doc_id"]]
-    srcs = [(s or "").encode("utf-8") for s in pdf["source"]]
+    src_valid = np.array(
+        [0 if pd.isna(s) else 1 for s in pdf["source"]], dtype=np.uint8
+    )
+    srcs = [
+        b"" if not v else s.encode("utf-8")
+        for v, s in zip(src_valid, pdf["source"])
+    ]
     toks = [
         np.asarray(a if a is not None else [], dtype="<i4") for a in pdf["tokens"]
     ]
@@ -95,6 +106,7 @@ def encode_block(pdf) -> bytes:
             id_len.tobytes(),
             src_len.tobytes(),
             tok_len.tobytes(),
+            src_valid.tobytes(),
             b"".join(ids),
             b"".join(srcs),
             tok_flat.astype("<i4").tobytes(),
@@ -103,12 +115,29 @@ def encode_block(pdf) -> bytes:
     return struct.pack("<I", len(payload)) + payload
 
 
-def _string_array(lens: np.ndarray, data: bytes) -> pa.Array:
-    """Zero-copy Arrow StringArray from (lengths, concatenated utf8)."""
+def _string_array(
+    lens: np.ndarray, data: bytes, valid: np.ndarray | None = None
+) -> pa.Array:
+    """Zero-copy Arrow StringArray from (lengths, concatenated utf8) plus
+    an optional validity array (uint8 per row, 0 = null)."""
     offsets = np.zeros(len(lens) + 1, dtype=np.int32)
     np.cumsum(lens, out=offsets[1:])
+    bitmap = None
+    null_count = 0
+    if valid is not None:
+        null_count = int(len(valid) - valid.sum())
+        if null_count:
+            bitmap = pa.py_buffer(
+                np.packbits(
+                    valid.astype(bool), bitorder="little"
+                ).tobytes()
+            )
     return pa.StringArray.from_buffers(
-        len(lens), pa.py_buffer(offsets.tobytes()), pa.py_buffer(data)
+        len(lens),
+        pa.py_buffer(offsets.tobytes()),
+        pa.py_buffer(data),
+        bitmap,
+        null_count if bitmap is not None else 0,
     )
 
 
@@ -130,6 +159,7 @@ def decode_blocks(buf: bytes) -> list[pa.RecordBatch]:
         id_len = np.frombuffer(buf, "<u4", n, p); p += 4 * n
         src_len = np.frombuffer(buf, "<u4", n, p); p += 4 * n
         tok_len = np.frombuffer(buf, "<u4", n, p); p += 4 * n
+        src_valid = np.frombuffer(buf, np.uint8, n, p); p += n
         id_total = int(id_len.sum()); src_total = int(src_len.sum())
         id_bytes = buf[p : p + id_total]; p += id_total
         src_bytes = buf[p : p + src_total]; p += src_total
@@ -151,7 +181,9 @@ def decode_blocks(buf: bytes) -> list[pa.RecordBatch]:
                 _string_array(id_len.astype(np.int32), id_bytes),
                 pa.array(lsn, type=pa.int64()),
                 tokens,
-                _string_array(src_len.astype(np.int32), src_bytes),
+                _string_array(
+                    src_len.astype(np.int32), src_bytes, src_valid
+                ),
             ],
             schema=ARROW_SCHEMA,
         )
@@ -165,22 +197,31 @@ def decode_blocks(buf: bytes) -> list[pa.RecordBatch]:
 def write_binlog_segments(
     events: DataFrame, out_dir: str, n_segments: int, start_seq: int = 0
 ) -> int:
-    """Write events as `n_segments` segment files, ordered by lsn so each
-    segment is a contiguous LSN range (what a real binlog rotation
-    produces). Executors write directly (the dir must be shared storage on
-    a cluster). Returns segments written."""
-    import pandas as pd  # noqa: F401 (mapInPandas contract)
+    """Write events as segment files, ordered by lsn so each segment is a
+    contiguous LSN range (what a real binlog rotation produces).
 
+    Publish protocol (what makes the streaming reader's offset sound):
+    executors write each partition to an ATTEMPT-UNIQUE temp file — a
+    retried or speculative task can never interleave writes into a
+    published segment — and the DRIVER then os.replace-renames the
+    successful attempts' temps to their final names in ascending partition
+    order with contiguous numbering. Segments therefore become visible in
+    name order with no gaps (empty partitions publish nothing), which is
+    exactly the premise BinlogStreamReader's consumed-count offset needs.
+    Requires `out_dir` on storage shared by driver and executors; one
+    writer per directory at a time (the binlog-rotation model). Returns
+    segments published."""
     os.makedirs(out_dir, exist_ok=True)
     cols = ["op", "doc_id", "lsn", "tokens", "source"]
     src = events.select(*cols).repartitionByRange(n_segments, "lsn")
 
     def write_part(batches):
+        import pandas as pd
         from pyspark import TaskContext
 
-        pid = TaskContext.get().partitionId()
-        path = os.path.join(out_dir, f"segment-{start_seq + pid:06d}.rapwal")
-        tmp = path + ".tmp"
+        tc = TaskContext.get()
+        pid, att = tc.partitionId(), tc.attemptNumber()
+        tmp = os.path.join(out_dir, f".part-{pid:06d}-a{att}.tmp")
         wrote = 0
         with open(tmp, "wb") as f:
             f.write(MAGIC)
@@ -188,16 +229,32 @@ def write_binlog_segments(
                 if len(pdf):
                     f.write(encode_block(pdf))
                     wrote += len(pdf)
-        if wrote:
-            os.replace(tmp, path)  # atomic: tailers never see half a segment
-        else:
+        if not wrote:
             os.remove(tmp)
-        import pandas as pd
+            tmp = None
+        yield pd.DataFrame({"pid": [pid], "tmp": [tmp], "rows": [wrote]})
 
-        yield pd.DataFrame({"segment": [path if wrote else None], "rows": [wrote]})
-
-    res = src.mapInPandas(write_part, "segment string, rows long").collect()
-    return sum(1 for r in res if r["segment"] is not None)
+    res = sorted(
+        src.mapInPandas(write_part, "pid int, tmp string, rows long").collect(),
+        key=lambda r: r["pid"],
+    )
+    published = 0
+    for r in res:
+        if r["tmp"] is not None:
+            final = os.path.join(
+                out_dir, f"segment-{start_seq + published:06d}.rapwal"
+            )
+            os.replace(r["tmp"], final)  # atomic, in name order
+            published += 1
+    # losers of task retries leave orphan temps; sweep them (readers list
+    # only *.rapwal, so this is cosmetic)
+    for f in os.listdir(out_dir):
+        if f.endswith(".tmp"):
+            try:
+                os.remove(os.path.join(out_dir, f))
+            except OSError:
+                pass
+    return published
 
 
 # ---------------------------------------------------------------------------
@@ -258,29 +315,47 @@ class BinlogBatchReader(DataSourceReader):
 
 
 class BinlogStreamReader(DataSourceStreamReader):
-    """Offset = count of consumed segments (files are named monotonically
-    and appear atomically via os.replace). Each micro-batch reads the new
-    segments, one partition per segment — executor-side, no driver data."""
+    """Offset = count of consumed segments. Sound because
+    write_binlog_segments publishes segments atomically IN name order with
+    contiguous numbering (driver-side ordered rename) — a listed segment
+    can never be preceded by a not-yet-visible lower-numbered one. Each
+    micro-batch reads the new segments, one Arrow-decoded partition per
+    segment — executor-side, no driver data.
+
+    Option ``maxSegmentsPerTrigger`` bounds micro-batch size: latestOffset
+    advances at most that many segments past the last planned/committed
+    offset (the first trigger after a driver restart may exceed the cap —
+    the reader instance learns its position when partitions() is first
+    called)."""
 
     def __init__(self, options):
         self.path = options["path"]
+        self.max_per_trigger = (
+            int(options.get("maxsegmentspertrigger", 0)) or None
+        )
+        self._last_end: int | None = None
 
     def initialOffset(self):
         return {"n": 0}
 
     def latestOffset(self):
-        return {"n": len(_list_segments(self.path))}
+        n = len(_list_segments(self.path))
+        if self.max_per_trigger is not None and self._last_end is not None:
+            n = min(n, self._last_end + self.max_per_trigger)
+        return {"n": n}
 
     def partitions(self, start, end):
+        self._last_end = end["n"]
         segs = _list_segments(self.path)[start["n"] : end["n"]]
         return [SegmentPartition(p) for p in segs]
 
     def read(self, partition):
-        for batch in _read_segment(partition.path):
-            yield from (tuple(r) for r in zip(*[c.to_pylist() for c in batch.columns]))
+        # same zero-copy Arrow batches as the batch reader (the Python
+        # DataSource stream API accepts RecordBatch iterators)
+        yield from _read_segment(partition.path)
 
     def commit(self, end):
-        pass
+        self._last_end = end["n"]
 
 
 class BinlogDataSource(DataSource):

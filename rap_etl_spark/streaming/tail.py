@@ -57,11 +57,14 @@ def stream_tail(
         from rap_etl_spark.sources.binlog import as_events, register
 
         register(spark)
-        events = as_events(
-            spark.readStream.format("rap-etl-binlog")
-            .option("path", src_dir)
-            .load()
+        reader = spark.readStream.format("rap-etl-binlog").option(
+            "path", src_dir
         )
+        if max_files_per_trigger is not None:
+            reader = reader.option(
+                "maxSegmentsPerTrigger", max_files_per_trigger
+            )
+        events = as_events(reader.load())
     else:
         reader = spark.readStream.schema(schema or EVENTS_SCHEMA)
         if max_files_per_trigger is not None:

@@ -44,7 +44,7 @@ def test_encode_decode_roundtrip_unit():
     assert t["tokens"][0] == [1, 2, 3]
     assert t["tokens"][1] == []  # deletes carry empty token lists
     assert t["op"] == ["I", "D", "U"] * 2
-    assert t["source"][1] == ""
+    assert t["source"] == ["s0", None, "s2"] * 2  # NULL survives the wire
 
 
 def test_batch_source_roundtrip(spark, sf_small, tmp_path):
@@ -134,3 +134,37 @@ def test_corrupt_segment_rejected(tmp_path):
     p.write_bytes(b"NOTMAGIC" + b"\x00" * 16)
     with pytest.raises(ValueError, match="magic"):
         decode_blocks(p.read_bytes())
+
+
+def test_segment_numbering_contiguous_with_empty_partitions(
+    spark, sf_small, tmp_path
+):
+    """Empty range partitions must not leave numbering gaps: the driver
+    renumbers at publish time, so the stream reader's consumed-count
+    offset always addresses a contiguous prefix."""
+    ev = _events(spark, sf_small, n=3000).limit(3)
+    n = write_binlog_segments(ev, str(tmp_path / "wal"), n_segments=8)
+    names = sorted(p.name for p in (tmp_path / "wal").glob("*.rapwal"))
+    assert n == len(names)
+    assert names == [f"segment-{i:06d}.rapwal" for i in range(n)]
+    assert not list((tmp_path / "wal").glob("*.tmp"))  # temps swept
+
+
+def test_stream_reader_rate_limit(spark, sf_small, tmp_path):
+    """maxSegmentsPerTrigger bounds latestOffset growth once the reader
+    knows its position (unit-level: drive offsets directly)."""
+    from rap_etl_spark.sources.binlog import BinlogStreamReader
+
+    ev = _events(spark, sf_small, n=2000)
+    write_binlog_segments(ev, str(tmp_path / "wal"), n_segments=5)
+    r = BinlogStreamReader(
+        {"path": str(tmp_path / "wal"), "maxsegmentspertrigger": "2"}
+    )
+    assert r.initialOffset() == {"n": 0}
+    first = r.latestOffset()["n"]  # restart edge: cap not yet known
+    parts = r.partitions({"n": 0}, {"n": min(first, 2) or first})
+    assert len(parts) >= 1
+    r.commit({"n": 2})
+    assert r.latestOffset()["n"] == 4  # 2 committed + maxSegmentsPerTrigger
+    uncapped = BinlogStreamReader({"path": str(tmp_path / "wal")})
+    assert uncapped.latestOffset()["n"] == 5

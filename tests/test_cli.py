@@ -95,6 +95,12 @@ def test_cli_binlog_lifecycle(spark, sf_small, tmp_path, capsys):
         ManifestParquetTable(spark, table2).read(),
     )
 
-    # --packed is parquet-only
+    # --packed is parquet-only, for synth AND stream
     assert main(["synth", "--out", log, "--events", "10", "--sf", sf_small,
                  "--format", "binlog", "--packed"]) == 2
+    assert main(["stream", "--table", table, "--log", log,
+                 "--checkpoint", str(tmp_path / "cp2"),
+                 "--format", "binlog", "--packed"]) == 2
+    # out-of-range segment index -> usable error, not a traceback
+    assert main(["replay", "--table", table, "--log", log,
+                 "--format", "binlog", "--batches", "99"]) == 2
