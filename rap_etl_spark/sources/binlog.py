@@ -34,15 +34,19 @@ from __future__ import annotations
 
 import os
 import struct
+from dataclasses import dataclass
 
 import numpy as np
 import pyarrow as pa
 from pyspark.sql import DataFrame
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
+    DataSourceStreamArrowWriter,
     DataSourceStreamReader,
     InputPartition,
+    WriterCommitMessage,
 )
 from pyspark.sql import types as T
 
@@ -192,69 +196,170 @@ def decode_blocks(buf: bytes) -> list[pa.RecordBatch]:
 
 
 # ---------------------------------------------------------------------------
-# writer (executor-side: one segment per partition)
+# writer (Spark DataSource commit protocol)
+#
+# Publish protocol (what makes the streaming reader's offset sound):
+# executors write each partition to an ATTEMPT-UNIQUE temp file — a retried
+# or speculative task can never interleave writes into a published segment —
+# and the DRIVER's commit() os.replace-renames the successful attempts'
+# temps to their final names in ascending partition order with contiguous
+# numbering. Segments therefore become visible in name order with no gaps
+# (empty partitions publish nothing), which is exactly the premise
+# BinlogStreamReader's consumed-count offset needs. abort() deletes the
+# temps. Requires the directory on storage shared by driver and executors;
+# one writer per directory at a time (the binlog-rotation model).
 # ---------------------------------------------------------------------------
-def write_binlog_segments(
-    events: DataFrame, out_dir: str, n_segments: int, start_seq: int = 0
-) -> int:
-    """Write events as segment files, ordered by lsn so each segment is a
-    contiguous LSN range (what a real binlog rotation produces).
+@dataclass
+class SegmentCommit(WriterCommitMessage):
+    pid: int
+    tmp: str | None
+    rows: int
 
-    Publish protocol (what makes the streaming reader's offset sound):
-    executors write each partition to an ATTEMPT-UNIQUE temp file — a
-    retried or speculative task can never interleave writes into a
-    published segment — and the DRIVER then os.replace-renames the
-    successful attempts' temps to their final names in ascending partition
-    order with contiguous numbering. Segments therefore become visible in
-    name order with no gaps (empty partitions publish nothing), which is
-    exactly the premise BinlogStreamReader's consumed-count offset needs.
-    Requires `out_dir` on storage shared by driver and executors; one
-    writer per directory at a time (the binlog-rotation model). Returns
-    segments published."""
+
+def _write_task_tmp(out_dir: str, arrow_batches) -> SegmentCommit:
+    """Executor side: encode this task's Arrow batches into one
+    attempt-unique temp file; never touches a published name."""
+    from pyspark import TaskContext
+
+    tc = TaskContext.get()
+    pid, att = tc.partitionId(), tc.attemptNumber()
     os.makedirs(out_dir, exist_ok=True)
-    cols = ["op", "doc_id", "lsn", "tokens", "source"]
-    src = events.select(*cols).repartitionByRange(n_segments, "lsn")
+    tmp = os.path.join(out_dir, f".part-{pid:06d}-a{att}.tmp")
+    wrote = 0
+    with open(tmp, "wb") as f:
+        f.write(MAGIC)
+        for batch in arrow_batches:
+            pdf = batch.to_pandas()
+            if len(pdf):
+                f.write(encode_block(pdf))
+                wrote += len(pdf)
+    if not wrote:
+        os.remove(tmp)
+        return SegmentCommit(pid, None, 0)
+    return SegmentCommit(pid, tmp, wrote)
 
-    def write_part(batches):
-        import pandas as pd
-        from pyspark import TaskContext
 
-        tc = TaskContext.get()
-        pid, att = tc.partitionId(), tc.attemptNumber()
-        tmp = os.path.join(out_dir, f".part-{pid:06d}-a{att}.tmp")
-        wrote = 0
-        with open(tmp, "wb") as f:
-            f.write(MAGIC)
-            for pdf in batches:
-                if len(pdf):
-                    f.write(encode_block(pdf))
-                    wrote += len(pdf)
-        if not wrote:
-            os.remove(tmp)
-            tmp = None
-        yield pd.DataFrame({"pid": [pid], "tmp": [tmp], "rows": [wrote]})
+def _segment_index(path: str) -> int:
+    return int(os.path.basename(path)[len("segment-") : -len(".rapwal")])
 
-    res = sorted(
-        src.mapInPandas(write_part, "pid int, tmp string, rows long").collect(),
-        key=lambda r: r["pid"],
-    )
-    published = 0
-    for r in res:
-        if r["tmp"] is not None:
-            final = os.path.join(
-                out_dir, f"segment-{start_seq + published:06d}.rapwal"
-            )
-            os.replace(r["tmp"], final)  # atomic, in name order
-            published += 1
-    # losers of task retries leave orphan temps; sweep them (readers list
-    # only *.rapwal, so this is cosmetic)
+
+def _sweep_tmps(out_dir: str) -> None:
+    # losers of task retries leave orphan temps; readers list only
+    # *.rapwal, so this is cosmetic
+    if not os.path.isdir(out_dir):
+        return
     for f in os.listdir(out_dir):
         if f.endswith(".tmp"):
             try:
                 os.remove(os.path.join(out_dir, f))
             except OSError:
                 pass
+
+
+def _publish(out_dir: str, messages, start_seq: int | None = None) -> int:
+    """Driver side: ordered atomic rename, numbering continuing after any
+    existing segments (unless start_seq pins the base). Shared by the
+    batch commit, the per-micro-batch stream commit, and abort-free
+    callers."""
+    os.makedirs(out_dir, exist_ok=True)
+    if start_seq is None:
+        existing = [_segment_index(p) for p in _list_segments(out_dir)]
+        start_seq = (max(existing) + 1) if existing else 0
+    published = 0
+    todo = sorted(
+        (m for m in messages if m is not None and m.tmp is not None),
+        key=lambda m: m.pid,
+    )
+    for m in todo:
+        final = os.path.join(
+            out_dir, f"segment-{start_seq + published:06d}.rapwal"
+        )
+        os.replace(m.tmp, final)  # atomic, in name order
+        published += 1
+    _sweep_tmps(out_dir)
     return published
+
+
+def _drop_tmps(messages) -> None:
+    for m in messages:
+        if m is not None and m.tmp is not None:
+            try:
+                os.remove(m.tmp)
+            except OSError:
+                pass
+
+
+class BinlogBatchWriter(DataSourceArrowWriter):
+    """df.write.format("rap-etl-binlog"): mode("append") continues the
+    segment numbering; mode("overwrite") clears published segments at
+    commit time (readers keep a consistent view until then)."""
+
+    def __init__(self, options, overwrite: bool):
+        self.path = options["path"]
+        self.start_seq = options.get("startseq")
+        self.overwrite = overwrite
+
+    def write(self, iterator) -> SegmentCommit:
+        return _write_task_tmp(self.path, iterator)
+
+    def commit(self, messages) -> None:
+        if self.overwrite:
+            for p in _list_segments(self.path):
+                os.remove(p)
+        _publish(
+            self.path,
+            messages,
+            int(self.start_seq) if self.start_seq is not None else None,
+        )
+
+    def abort(self, messages) -> None:
+        _drop_tmps(messages)
+        _sweep_tmps(self.path)
+
+
+class BinlogStreamSegmentWriter(DataSourceStreamArrowWriter):
+    """Streaming SINK: each micro-batch's partitions publish as new
+    segments after the existing ones — binlog rotation driven by a stream
+    (change-event fan-out). Structured Streaming skips commit() for batch
+    ids already in the sink checkpoint, so a restart does not re-publish a
+    completed micro-batch; a batch that failed BEFORE commit leaves only
+    temps, which the next commit sweeps."""
+
+    def __init__(self, options):
+        self.path = options["path"]
+
+    def write(self, iterator) -> SegmentCommit:
+        return _write_task_tmp(self.path, iterator)
+
+    def commit(self, messages, batchId: int) -> None:
+        _publish(self.path, messages)
+
+    def abort(self, messages, batchId: int) -> None:
+        _drop_tmps(messages)
+        _sweep_tmps(self.path)
+
+
+def write_binlog_segments(
+    events: DataFrame, out_dir: str, n_segments: int, start_seq: int = 0
+) -> int:
+    """Write events as segment files through the DataSource commit
+    protocol, range-partitioned by lsn so each segment is a contiguous LSN
+    range (what a real binlog rotation produces). Returns segments
+    published (empty range partitions publish nothing)."""
+    register(events.sparkSession)
+    before = set(_list_segments(out_dir)) if os.path.isdir(out_dir) else set()
+    cols = ["op", "doc_id", "lsn", "tokens", "source"]
+    writer = (
+        events.select(*cols)
+        .repartitionByRange(n_segments, "lsn")
+        .write.format("rap-etl-binlog")
+        .option("path", out_dir)
+        .mode("append")
+    )
+    if start_seq:
+        writer = writer.option("startSeq", start_seq)
+    writer.save()
+    return len(set(_list_segments(out_dir)) - before)
 
 
 # ---------------------------------------------------------------------------
@@ -359,7 +464,13 @@ class BinlogStreamReader(DataSourceStreamReader):
 
 
 class BinlogDataSource(DataSource):
-    """spark.read.format("rap-etl-binlog").option("path", dir).load()"""
+    """Batch + streaming, read + write:
+
+    - spark.read.format("rap-etl-binlog").option("path", dir).load()
+    - spark.readStream.format("rap-etl-binlog").option("path", dir).load()
+    - df.write.format("rap-etl-binlog").option("path", dir).save()
+    - df.writeStream.format("rap-etl-binlog").option("path", dir)...
+    """
 
     @classmethod
     def name(cls):
@@ -373,6 +484,24 @@ class BinlogDataSource(DataSource):
 
     def streamReader(self, schema):
         return BinlogStreamReader(self.options)
+
+    def writer(self, schema, overwrite: bool):
+        _check_writable_schema(schema)
+        return BinlogBatchWriter(self.options, overwrite)
+
+    def streamWriter(self, schema, overwrite: bool):
+        _check_writable_schema(schema)
+        return BinlogStreamSegmentWriter(self.options)
+
+
+def _check_writable_schema(schema) -> None:
+    want = {f.name: f.dataType.simpleString() for f in BINLOG_SCHEMA.fields}
+    got = {f.name: f.dataType.simpleString() for f in schema.fields}
+    if got != want:
+        raise ValueError(
+            f"binlog writer needs columns {want}, got {got} — "
+            "select (op, doc_id, lsn, tokens, source) first"
+        )
 
 
 def register(spark) -> None:

@@ -136,6 +136,93 @@ def test_corrupt_segment_rejected(tmp_path):
         decode_blocks(p.read_bytes())
 
 
+def test_datasource_writer_modes(spark, sf_small, tmp_path):
+    """df.write.format("rap-etl-binlog"): append continues numbering,
+    overwrite replaces, wrong schemas are rejected at plan time."""
+    import pyspark.sql.utils  # noqa: F401
+
+    ev = _events(spark, sf_small, n=1500)
+    register(spark)
+    out = str(tmp_path / "w")
+    (
+        ev.repartitionByRange(3, "lsn")
+        .write.format("rap-etl-binlog")
+        .option("path", out)
+        .mode("append")
+        .save()
+    )
+    got = spark.read.format("rap-etl-binlog").option("path", out).load()
+    n_first = got.count()
+    assert n_first == ev.count()
+    first_segs = sorted(p.name for p in (tmp_path / "w").glob("*.rapwal"))
+
+    # append: numbering continues after the existing segments
+    (
+        ev.limit(10).repartition(1)
+        .write.format("rap-etl-binlog")
+        .option("path", out)
+        .mode("append")
+        .save()
+    )
+    segs = sorted(p.name for p in (tmp_path / "w").glob("*.rapwal"))
+    assert segs[: len(first_segs)] == first_segs
+    assert len(segs) == len(first_segs) + 1
+    assert segs == [f"segment-{i:06d}.rapwal" for i in range(len(segs))]
+
+    # overwrite: old segments gone, fresh numbering
+    (
+        ev.limit(5).repartition(1)
+        .write.format("rap-etl-binlog")
+        .option("path", out)
+        .mode("overwrite")
+        .save()
+    )
+    segs = sorted(p.name for p in (tmp_path / "w").glob("*.rapwal"))
+    assert segs == ["segment-000000.rapwal"]
+    assert (
+        spark.read.format("rap-etl-binlog").option("path", out).load().count()
+        == 5
+    )
+
+    # wrong shape rejected before any task runs
+    with pytest.raises(Exception, match="binlog writer needs"):
+        (
+            ev.select("op", "doc_id", "lsn")
+            .write.format("rap-etl-binlog")
+            .option("path", str(tmp_path / "bad"))
+            .mode("append")
+            .save()
+        )
+
+
+def test_stream_sink_relay(spark, sf_small, tmp_path):
+    """Streaming sink: readStream binlog -> writeStream binlog relays a
+    WAL with identical content (rotation/fan-out shape), exactly-once via
+    the sink checkpoint."""
+    ev = _events(spark, sf_small, n=1200)
+    write_binlog_segments(ev, str(tmp_path / "src"), n_segments=3)
+    register(spark)
+    q = (
+        spark.readStream.format("rap-etl-binlog")
+        .option("path", str(tmp_path / "src"))
+        .load()
+        .writeStream.format("rap-etl-binlog")
+        .option("path", str(tmp_path / "dst"))
+        .option("checkpointLocation", str(tmp_path / "cp"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    src = spark.read.format("rap-etl-binlog").option(
+        "path", str(tmp_path / "src")
+    ).load()
+    dst = spark.read.format("rap-etl-binlog").option(
+        "path", str(tmp_path / "dst")
+    ).load()
+    assert dst.count() == src.count()
+    assert src.exceptAll(dst).count() == 0
+
+
 def test_segment_numbering_contiguous_with_empty_partitions(
     spark, sf_small, tmp_path
 ):
