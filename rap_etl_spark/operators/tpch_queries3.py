@@ -407,7 +407,55 @@ def q21_waiting_supplier(spark, sf):
     )
 
 
+def q_time_travel(spark, sf):
+    """S2 snapshot read, oracled BY VALUE: drive the lake table through two
+    version-conditional merges (same derivation as cdc_merge), then read
+    AS OF the FIRST snapshot — the result must be the LWW of batch 0
+    alone, proving historical reads are immutable under later commits.
+    The oracle is that earlier state's plain window statement."""
+    import os
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from rap_etl_spark.lake import ManifestParquetTable
+    from rap_etl_spark.operators.cdc import lww_latest
+
+    ev = _t(spark, sf, "orders").select(
+        F.col("o_custkey").cast("string").alias("doc_id"),
+        F.col("o_orderkey").alias("lsn"),
+        F.col("o_totalprice").alias("price"),
+        F.when(F.col("o_orderkey") % 10 == 0, "D").otherwise("U").alias("op"),
+    )
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType()),
+            T.StructField("lsn", T.LongType()),
+            T.StructField("price", T.DoubleType()),
+        ]
+    )
+    work = tempfile.mkdtemp(prefix="rap-etl-time-travel-")
+    try:
+        table = ManifestParquetTable.create(
+            spark, os.path.join(work, "t"), schema, n_buckets=8
+        )
+        table.merge(lww_latest(ev.filter(F.col("lsn") % 2 == 0)), batch_id=0)
+        snap0 = table.snapshot_id()
+        table.merge(lww_latest(ev.filter(F.col("lsn") % 2 == 1)), batch_id=1)
+        rows = (
+            table.read(snapshot_id=snap0)
+            .select("doc_id", "lsn", "price")
+            .collect()
+        )
+        return spark.createDataFrame(rows, schema)
+    finally:
+        import shutil
+
+        shutil.rmtree(work, ignore_errors=True)
+
+
 TPCH_QUERIES3 = {
+    "time_travel_read": q_time_travel,
     "q2_min_supplier": q2_min_acctbal_supplier,
     "q8_market_share": q8_market_share,
     "q9_profit": q9_profit,
@@ -421,6 +469,15 @@ TPCH_QUERIES3 = {
 }
 
 TPCH_ORACLES3 = {
+    "time_travel_read": (
+        "WITH ev AS (SELECT CAST(o_custkey AS VARCHAR) AS doc_id,"
+        " o_orderkey AS lsn, o_totalprice AS price,"
+        " CASE WHEN o_orderkey % 10 = 0 THEN 'D' ELSE 'U' END AS op"
+        " FROM orders WHERE o_orderkey % 2 = 0),"
+        " w AS (SELECT *, row_number() OVER"
+        " (PARTITION BY doc_id ORDER BY lsn DESC) AS rn FROM ev)"
+        " SELECT doc_id, lsn, price FROM w WHERE rn = 1 AND op <> 'D'"
+    ),
     "q2_min_supplier": (
         "WITH cand AS (SELECT DISTINCT p_partkey, p_name, s_name, s_acctbal,"
         " n_name FROM lineitem"
@@ -537,3 +594,16 @@ TPCH_ORACLES3 = {
         " GROUP BY s_name"
     ),
 }
+
+
+def _alias_q1() -> None:
+    """q1 has always been implemented as agg_pricing_summary (wave 1, the
+    literal Q1 shape); register it under its TPC-H name too so the q1..q22
+    set is visible by name."""
+    from rap_etl_spark.operators.relational import ORACLES, QUERIES
+
+    TPCH_QUERIES3["q1_pricing_summary"] = QUERIES["agg_pricing_summary"]
+    TPCH_ORACLES3["q1_pricing_summary"] = ORACLES["agg_pricing_summary"]
+
+
+_alias_q1()
