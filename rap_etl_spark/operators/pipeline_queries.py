@@ -55,6 +55,17 @@ def q_doc_fingerprint(spark, sf):
     return fingerprint(d).select("doc_id", "fp_md5")
 
 
+def q_text_lm_score(spark, sf):
+    """Unigram-LM quality score (CCNet-style perplexity filter), oracled:
+    the LM is fitted on the corpus inside the query (top-1000 vocab,
+    lexicographic tie-break), so Spark and DuckDB compute the identical
+    deterministic model and scores."""
+    from rap_etl_spark.operators.text import unigram_lm_scores
+
+    d = _t(spark, sf, "documents")
+    return unigram_lm_scores(d, vocab_size=1000)
+
+
 def q_lang_id(spark, sf):
     """Rows-only: heuristic n-gram language ID (pandas UDF); accuracy is
     asserted in pytest, not against a SQL oracle."""
@@ -196,6 +207,17 @@ def q_token_assembly(spark, sf):
 
 
 
+def q_bpe_train(spark, sf):
+    """Rows-only: distributed BPE merge training (operators/bpe.py) — the
+    merge list is deterministic (lexicographic tie-break) and equals a
+    pure-Python reference implementation merge-for-merge
+    (tests/test_bpe.py), but is not SQL-expressible."""
+    from rap_etl_spark.operators.bpe import merges_df, train_bpe
+
+    d = _t(spark, sf, "documents")
+    return merges_df(spark, train_bpe(d, n_merges=10))
+
+
 def q_neardup_components(spark, sf):
     """Near-dup clustering (graph.py): deterministic chain edges over
     documents (i -> i+1 when i%10 < 3, both endpoints existing) yield
@@ -331,7 +353,9 @@ QUERIES2 = {
     "sample_stratified": q_sample_stratified,
     "train_shuffle": q_train_shuffle,
     "neardup_components": q_neardup_components,
+    "bpe_train": q_bpe_train,
     "text_quality": q_text_quality,
+    "text_lm_score": q_text_lm_score,
     "text_token_count": q_text_token_count,
     "doc_fingerprint": q_doc_fingerprint,
     "lang_id": q_lang_id,
@@ -406,6 +430,21 @@ ORACLES2 = {
         "  + CASE WHEN length(regexp_replace(text, '[^A-Za-z]', '', 'g'))"
         "       / length(text) >= 0.5 THEN 1 ELSE 0 END) AS quality_score"
         " FROM documents"
+    ),
+    "text_lm_score": (
+        "WITH words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w"
+        "   FROM documents),"
+        " counts AS (SELECT w, count(*) AS cnt FROM words GROUP BY w),"
+        " total AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM counts),"
+        " vocab AS (SELECT w, ln(cnt / total) AS logprob FROM counts, total"
+        "   ORDER BY cnt DESC, w LIMIT 1000),"
+        " flr AS (SELECT ln(0.5 / total) AS floor_lp FROM total)"
+        " SELECT doc_id, count(*) AS n_words,"
+        " round(avg(coalesce(logprob, floor_lp)), 6) AS mean_logprob,"
+        " CAST(sum(CASE WHEN logprob IS NULL THEN 1 ELSE 0 END) AS BIGINT)"
+        " AS n_oov"
+        " FROM words LEFT JOIN vocab USING (w), flr"
+        " GROUP BY doc_id"
     ),
     "text_token_count": (
         "SELECT doc_id,"

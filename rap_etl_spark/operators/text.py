@@ -168,3 +168,50 @@ def fingerprint(df: DataFrame, col: str = "text") -> DataFrame:
     return df.withColumn("fp_md5", F.md5(F.col(col))).withColumn(
         "fp_norm", F.xxhash64(norm)
     )
+
+
+def unigram_lm_scores(
+    df: DataFrame,
+    col: str = "text",
+    id_col: str = "doc_id",
+    vocab_size: int = 1000,
+) -> DataFrame:
+    """Unigram language-model quality score (the CCNet-style perplexity
+    filter, reduced to its distributive core): fit a unigram LM on the
+    corpus itself — top `vocab_size` words by frequency, logprob =
+    ln(cnt/total) — and score each document by the mean logprob of its
+    words, out-of-vocabulary words floored at ln(0.5/total). Higher =
+    closer to the corpus distribution; gibberish and boilerplate-heavy
+    docs land in the tails.
+
+    Entirely JVM DataFrame ops, no fitted driver state: one explode +
+    count for the LM (the vocab frame is tiny and broadcasts into the
+    scoring join), one explode + broadcast join + avg for the scores.
+    Deterministic at any scale: vocabulary ties break lexicographically.
+    """
+    words = df.select(
+        F.col(id_col), F.explode(F.split(F.col(col), " ")).alias("w")
+    )
+    counts = words.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
+    total = counts.agg(F.sum("cnt").alias("total"))
+    vocab = (
+        counts.crossJoin(F.broadcast(total))
+        .orderBy(F.col("cnt").desc(), F.col("w"))
+        .limit(vocab_size)
+        .select("w", (F.log(F.col("cnt") / F.col("total"))).alias("logprob"))
+    )
+    floor = total.select(F.log(F.lit(0.5) / F.col("total")).alias("floor"))
+    return (
+        words.join(F.broadcast(vocab), "w", "left_outer")
+        .crossJoin(F.broadcast(floor))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.round(
+                F.avg(F.coalesce(F.col("logprob"), F.col("floor"))), 6
+            ).alias("mean_logprob"),
+            F.sum(
+                F.when(F.col("logprob").isNull(), 1).otherwise(0)
+            ).alias("n_oov"),
+        )
+    )
