@@ -596,6 +596,54 @@ TPCH_ORACLES3 = {
 }
 
 
+def q_sessionize(spark, sf):
+    """Batch sessionization of the event stream (the analytics twin of the
+    R4 streaming session window): a new session starts when a user's
+    inter-event gap exceeds 30 minutes — lag + running-sum-of-flags, the
+    canonical two-window composition — then per-session count and
+    duration. One shuffle on user_id; both windows share the same
+    partitioning so the second is sort-only. Ordering ties break on
+    event_id, making the result deterministic and exactly oracle-able."""
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # integral MICROSECOND epochs on both engines (the ts column carries
+    # sub-second precision; seconds-truncating unix_timestamp vs DuckDB's
+    # fractional epoch() would disagree); session tz pinned UTC
+    epoch = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap_flag = F.when(
+        epoch - F.lag(epoch).over(w) > 1_800_000_000, 1
+    ).otherwise(0)
+    with_sess = ev.select(
+        "user_id", "ts", "event_id", gap_flag.alias("new_sess")
+    ).withColumn("session_id", F.sum("new_sess").over(w))
+    return with_sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (
+            F.max(F.unix_micros(F.col("ts").cast("timestamp")))
+            - F.min(F.unix_micros(F.col("ts").cast("timestamp")))
+        ).alias("duration_us"),
+    )
+
+
+TPCH_QUERIES3["sessionize"] = q_sessionize
+TPCH_ORACLES3["sessionize"] = (
+    "WITH flagged AS (SELECT user_id, ts, event_id,"
+    " CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000"
+    " THEN 1 ELSE 0 END"
+    " AS new_sess FROM events WINDOW w AS"
+    " (PARTITION BY user_id ORDER BY ts, event_id)),"
+    " sess AS (SELECT user_id, ts, CAST(sum(new_sess) OVER"
+    " (PARTITION BY user_id ORDER BY ts, event_id"
+    "  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)"
+    " AS session_id FROM flagged)"
+    " SELECT user_id, session_id, count(*) AS n_events,"
+    " max(epoch_us(ts)) - min(epoch_us(ts)) AS duration_us"
+    " FROM sess GROUP BY user_id, session_id"
+)
+
+
 def _alias_q1() -> None:
     """q1 has always been implemented as agg_pricing_summary (wave 1, the
     literal Q1 shape); register it under its TPC-H name too so the q1..q22
