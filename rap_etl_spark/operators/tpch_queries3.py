@@ -644,6 +644,34 @@ TPCH_ORACLES3["sessionize"] = (
 )
 
 
+def q_fn_zorder(spark, sf):
+    """Z-order clustering key (functions/zorder.py), oracled: the Spark
+    bit-interleave expression and the DuckDB SQL are generated from the
+    same loop, so any bit-position error breaks the value hash. Key domain
+    quantized to 16 bits per dimension via pmod."""
+    from rap_etl_spark.functions.zorder import zorder_key
+
+    o = _t(spark, sf, "orders")
+    return o.select(
+        "o_orderkey",
+        zorder_key(
+            F.pmod(F.col("o_custkey"), F.lit(65536)),
+            F.pmod(F.col("o_orderkey"), F.lit(65536)),
+        ).alias("zkey"),
+    )
+
+
+def _zorder_oracle() -> str:
+    from rap_etl_spark.functions.zorder import zorder_sql
+
+    expr = zorder_sql("(o_custkey % 65536)", "(o_orderkey % 65536)")
+    return f"SELECT o_orderkey, {expr} AS zkey FROM orders"
+
+
+TPCH_QUERIES3["fn_zorder"] = q_fn_zorder
+TPCH_ORACLES3["fn_zorder"] = _zorder_oracle()
+
+
 def _alias_q1() -> None:
     """q1 has always been implemented as agg_pricing_summary (wave 1, the
     literal Q1 shape); register it under its TPC-H name too so the q1..q22
