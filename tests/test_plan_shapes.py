@@ -14,6 +14,7 @@ from rap_etl_spark.operators.relational import (
 )
 from rap_etl_spark.plans.explain import (
     agg_kinds,
+    count_exchanges,
     formatted_plan,
     has_pushed_filter,
     join_kinds,
@@ -131,3 +132,36 @@ def test_packed_winner_probe_broadcasts_winners(spark, sf_small):
     # and the winner side reaches the join via a broadcast exchange
     assert "xxhash64" in plan
     assert "BroadcastExchange" in plan
+
+
+def test_embed_neardup_no_cartesian(spark, sf_oracle):
+    """Near-dup candidate generation must never plan an all-pairs product:
+    candidates come from the (band, bucket) equi-join."""
+    from rap_etl_spark.operators.pipeline_queries import q_embed_neardup
+
+    df = q_embed_neardup(spark, sf_oracle)
+    kinds = join_kinds(df)
+    assert kinds, "expected joins in the near-dup plan"
+    assert all("Cartesian" not in k and "NestedLoop" not in k for k in kinds)
+
+
+def test_lm_score_vocab_broadcasts(spark, sf_oracle):
+    """The unigram-LM scoring join must broadcast the tiny vocab frame,
+    not shuffle the exploded word table against it."""
+    from rap_etl_spark.operators.pipeline_queries import q_text_lm_score
+
+    df = q_text_lm_score(spark, sf_oracle)
+    kinds = join_kinds(df)
+    assert "BroadcastHashJoin" in kinds
+    assert "SortMergeJoin" not in kinds
+
+
+def test_zorder_key_is_jvm_only(spark, sf_oracle):
+    """The Morton key is one codegen'd expression: no Python eval, no
+    exchange — a pure scan+project."""
+    from rap_etl_spark.operators.tpch_queries3 import q_fn_zorder
+
+    df = q_fn_zorder(spark, sf_oracle)
+    plan = formatted_plan(df)
+    assert "Python" not in plan and "BatchEval" not in plan
+    assert count_exchanges(df) == 0
