@@ -128,3 +128,43 @@ def frame_sample(media: DataFrame, every_ms: int = 1000) -> DataFrame:
             F.sequence(F.lit(0), F.col("duration_ms"), F.lit(every_ms))
         ).alias("frame_ts_ms"),
     )
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType(), False),
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
+        T.StructField("payload", T.BinaryType(), False),
+    ]
+)
+
+
+def resize(media: DataFrame, out_w: int, out_h: int) -> DataFrame:
+    """Image resize plumbing: decode (fake) -> nearest-neighbor resample
+    to (out_h, out_w) -> re-encode payload. The resample itself is REAL
+    numpy index math (it operates on whatever array the decoder yields, so
+    swapping fake_decode for a codec changes nothing else); output payload
+    is the raw pixel buffer with updated metadata. Payloads never shuffle:
+    mapInPandas rewrites them in place within the scan stage."""
+
+    def do_resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            outs = []
+            for payload, w, h in zip(pdf["payload"], pdf["width"], pdf["height"]):
+                img = fake_decode(bytes(payload), int(w) or 32, int(h) or 32)
+                ys = (np.arange(out_h) * img.shape[0] // out_h)
+                xs = (np.arange(out_w) * img.shape[1] // out_w)
+                outs.append(img[np.ix_(ys, xs)].tobytes())
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "width": np.full(len(pdf), out_w, dtype=np.int32),
+                    "height": np.full(len(pdf), out_h, dtype=np.int32),
+                    "payload": outs,
+                }
+            )
+
+    return media.mapInPandas(do_resize, schema=RESIZED_SCHEMA)

@@ -194,6 +194,19 @@ def q_media_frame_sample(spark, sf):
     return frame_sample(synth_media(d, kind="video"), every_ms=1000)
 
 
+def q_media_resize(spark, sf):
+    """Rows-only: image-resize plumbing — nearest-neighbor resample over
+    the (stub-)decoded array, payload rewritten in place, metadata
+    updated; sizes pytest-gated (tests/test_pipeline_ops.py)."""
+    from rap_etl_spark.operators.multimodal import resize
+
+    d = _t(spark, sf, "documents").limit(100)
+    out = resize(synth_media(d, kind="image"), out_w=16, out_h=8)
+    return out.select(
+        "media_id", "width", "height", F.length("payload").alias("n_bytes")
+    )
+
+
 def q_token_assembly(spark, sf):
     """V3 applyInPandas: per-source ordered token concatenation; total
     length oracled as the SQL sum of per-doc word counts."""
@@ -370,6 +383,7 @@ QUERIES2 = {
     "embed_ivf_topk": q_embed_ivf_topk,
     "media_features": q_media_features,
     "media_frame_sample": q_media_frame_sample,
+    "media_resize": q_media_resize,
     "token_assembly": q_token_assembly,
 }
 

