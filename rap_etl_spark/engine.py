@@ -73,7 +73,11 @@ class CdcEngine:
     # Ingest-path curation: drop non-representative (near-)duplicate payloads
     # from each batch's winner delta BEFORE the merge, so planted near-dups
     # never reach the table. None (default) = off; "exact" | "minhash" =
-    # neardup.dedup_batch_tokens policies over the token arrays. Runs on the
+    # neardup.dedup_batch_tokens policies over the token arrays (WITHIN the
+    # batch); "exact-global" additionally probes the TABLE for payloads that
+    # already exist under another key (neardup.drop_existing_payloads —
+    # cross-batch incremental dedup; the probe is a column-pruned
+    # fingerprint scan with both joins broadcast-small). Runs on the
     # already-reduced winner delta (small), never on the raw event scan.
     dedup_policy: str | None = None
     metrics: list[BatchMetrics] = field(default_factory=list)
@@ -170,11 +174,23 @@ class CdcEngine:
                     latest = unpack_tokens(latest)
 
                 if self.dedup_policy is not None and "tokens" in latest.columns:
-                    from rap_etl_spark.operators.neardup import dedup_batch_tokens
-
-                    latest = dedup_batch_tokens(
-                        latest, policy=self.dedup_policy, key=KEY
+                    from rap_etl_spark.operators.neardup import (
+                        dedup_batch_tokens,
+                        drop_existing_payloads,
                     )
+
+                    batch_policy = (
+                        "exact"
+                        if self.dedup_policy == "exact-global"
+                        else self.dedup_policy
+                    )
+                    latest = dedup_batch_tokens(
+                        latest, policy=batch_policy, key=KEY
+                    )
+                    if self.dedup_policy == "exact-global":
+                        latest = drop_existing_payloads(
+                            latest, self.table.read(), key=KEY
+                        )
 
                 # payload columns follow the table's CURRENT schema (schema
                 # evolution: an added column like `lang` must flow through)

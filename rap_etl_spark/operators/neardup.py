@@ -523,3 +523,52 @@ def jaccard_pairs(
         )
         .select("a", "b", "jaccard")
     )
+
+
+def drop_existing_payloads(
+    delta: DataFrame,
+    corpus: DataFrame,
+    key: str = "doc_id",
+    col: str = "tokens",
+) -> DataFrame:
+    """Cross-batch incremental dedup: drop delta rows whose token payload
+    ALREADY EXISTS in the corpus under a different key. The within-batch
+    policies (dedup_batch_tokens) can't see history; this is the
+    ingest-time probe against it.
+
+    Scale shape — the corpus is the big side, so nothing wide ever moves:
+    (1) fingerprint the delta (tiny) and BROADCAST its fp set into a
+    column-pruned scan of the corpus fingerprints, keeping only the fps
+    that collide (result is at most |delta| rows); (2) broadcast that tiny
+    collision set back into an anti-join on the delta. Two narrow passes,
+    only 8-byte fingerprints shuffle, never the corpus payloads. (In a
+    production table the fp would be a materialized column so step (1)
+    scans one parquet column; here it is derived on read, which parquet
+    column pruning already limits to the token column.)
+
+    Same-key rows always pass (an UPDATE whose payload equals its own
+    stored payload is not a duplicate); delete events always pass."""
+    fp = lambda c: F.xxhash64(c)  # noqa: E731 - array-value hash, no text
+
+    has_op = "op" in delta.columns
+    live = delta.filter(F.col("op") != F.lit("D")) if has_op else delta
+    dels = delta.filter(F.col("op") == F.lit("D")) if has_op else None
+
+    d = live.withColumn("_fp", fp(F.col(col)))
+    corpus_fp = corpus.select(
+        F.col(key).alias("_ck"), fp(F.col(col)).alias("_fp")
+    )
+    delta_fps = d.select("_fp").distinct()
+    # (1) collision set: corpus fps that appear in the delta (broadcast
+    # the DELTA side — it is the small one)
+    collisions = corpus_fp.join(F.broadcast(delta_fps), "_fp").select(
+        "_fp", "_ck"
+    )
+    # (2) anti-join the delta against the tiny collision set, keyed on
+    # (fp, different key)
+    kept = d.join(
+        F.broadcast(collisions),
+        (d["_fp"] == collisions["_fp"]) & (d[key] != collisions["_ck"]),
+        "left_anti",
+    ).drop("_fp")
+    return kept.unionByName(dels) if dels is not None else kept

@@ -220,6 +220,36 @@ def q_token_assembly(spark, sf):
 
 
 
+def q_incr_dedup_probe(spark, sf):
+    """Cross-batch incremental dedup (neardup.drop_existing_payloads),
+    oracled BY VALUE: a delta of planted already-in-corpus payloads (every
+    10th doc re-keyed) plus genuinely new payloads (every 5th-ending doc
+    with one appended token) probed against the corpus — only the new
+    payloads survive. Tokens are word lengths so DuckDB derives the
+    identical arrays; the oracle is the NOT EXISTS statement of the same
+    rule (the operator's xxhash64 fingerprint stands in for array
+    equality)."""
+    from rap_etl_spark.operators.neardup import drop_existing_payloads
+
+    d = _t(spark, sf, "documents")
+    corpus = d.select(
+        "doc_id",
+        F.transform(F.split("text", " "), lambda w: F.length(w)).alias(
+            "tokens"
+        ),
+    )
+    planted = corpus.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "tokens"
+    )
+    fresh = corpus.filter(F.col("doc_id") % 10 == 5).select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"),
+        F.concat("tokens", F.array(F.lit(999))).alias("tokens"),
+    )
+    delta = planted.unionByName(fresh)
+    kept = drop_existing_payloads(delta, corpus)
+    return kept.select("doc_id", F.size("tokens").alias("n_tok"))
+
+
 def q_bpe_train(spark, sf):
     """Rows-only: distributed BPE merge training (operators/bpe.py) — the
     merge list is deterministic (lexicographic tie-break) and equals a
@@ -366,6 +396,7 @@ QUERIES2 = {
     "sample_stratified": q_sample_stratified,
     "train_shuffle": q_train_shuffle,
     "neardup_components": q_neardup_components,
+    "incr_dedup_probe": q_incr_dedup_probe,
     "bpe_train": q_bpe_train,
     "text_quality": q_text_quality,
     "text_lm_score": q_text_lm_score,
@@ -444,6 +475,21 @@ ORACLES2 = {
         "  + CASE WHEN length(regexp_replace(text, '[^A-Za-z]', '', 'g'))"
         "       / length(text) >= 0.5 THEN 1 ELSE 0 END) AS quality_score"
         " FROM documents"
+    ),
+    "incr_dedup_probe": (
+        "WITH corpus AS (SELECT doc_id,"
+        " list_transform(string_split(text, ' '),"
+        "   x -> CAST(length(x) AS INTEGER)) AS tokens FROM documents),"
+        " delta AS ("
+        "   SELECT doc_id + 1000000 AS doc_id, tokens FROM corpus"
+        "   WHERE doc_id % 10 = 0"
+        "   UNION ALL"
+        "   SELECT doc_id + 2000000 AS doc_id,"
+        "   list_append(tokens, 999) AS tokens FROM corpus"
+        "   WHERE doc_id % 10 = 5)"
+        " SELECT d.doc_id, CAST(len(d.tokens) AS INTEGER) AS n_tok"
+        " FROM delta d WHERE NOT EXISTS (SELECT 1 FROM corpus c"
+        "   WHERE c.tokens = d.tokens AND c.doc_id <> d.doc_id)"
     ),
     "text_lm_score": (
         "WITH words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w"

@@ -167,3 +167,46 @@ def test_lineage_unaffected_by_dedup(spark, tmp_path):
     ).first()
     assert (lin["lo"], lin["hi"], lin["n"]) == (100, 101, 2)
     assert t.read().count() == 1
+
+
+def test_drop_existing_payloads_unit(spark):
+    from rap_etl_spark.operators.neardup import drop_existing_payloads
+
+    corpus = spark.createDataFrame(
+        [("x", [1, 2, 3]), ("y", [4, 5])], "doc_id string, tokens array<int>"
+    )
+    delta = _events(
+        spark,
+        [
+            ("I", "a", 1, [1, 2, 3], "s"),  # exists under x -> dropped
+            ("I", "b", 2, [6, 7], "s"),     # new payload -> kept
+            ("U", "x", 3, [1, 2, 3], "s"),  # SAME key re-sends payload -> kept
+            ("D", "y", 4, None, None),       # delete always passes
+        ],
+    )
+    out = drop_existing_payloads(delta, corpus)
+    assert {r["doc_id"] for r in out.collect()} == {"b", "x", "y"}
+
+
+def test_engine_exact_global_keeps_cross_batch_dups_out(spark, tmp_path):
+    """Batch 0 lands payload P under key a; batch 1 re-sends P under a NEW
+    key -> with dedup_policy="exact-global" it never reaches the table,
+    while genuinely new payloads and same-key updates do."""
+    t = ManifestParquetTable.create(
+        spark, str(tmp_path / "t"), DOCS_SCHEMA, n_buckets=4
+    )
+    eng = CdcEngine(spark, t, dedup_policy="exact-global")
+    eng.apply_batch(
+        _events(spark, [("I", "a", 1, [1, 2, 3], "s"),
+                        ("I", "b", 2, [4, 5], "s")]),
+        batch_id=0,
+    )
+    eng.apply_batch(
+        _events(spark, [("I", "c", 3, [1, 2, 3], "s"),   # cross-batch dup
+                        ("I", "d", 4, [6, 7, 8], "s"),   # new payload
+                        ("U", "a", 5, [1, 2, 3], "s")]), # same-key resend
+        batch_id=1,
+    )
+    got = {r["doc_id"]: list(r["tokens"]) for r in t.read().collect()}
+    assert set(got) == {"a", "b", "d"}
+    assert got["a"] == [1, 2, 3] and got["d"] == [6, 7, 8]
