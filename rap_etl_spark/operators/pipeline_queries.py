@@ -220,6 +220,64 @@ def q_token_assembly(spark, sf):
 
 
 
+def q_tfidf_top_terms(spark, sf):
+    """TF-IDF term weighting, oracled: per document, the weight of each
+    distinct term = tf * ln(N/df), keeping terms with df >= 2 and weight
+    rounded; top term per doc by (weight desc, word asc). One explode +
+    two joins (the df table broadcasts); the canonical corpus-statistics
+    feature every retrieval/curation pipeline derives."""
+    d = _t(spark, sf, "documents")
+    n_docs = d.count()
+    words = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    ).filter(F.length("w") > 0)
+    tf = words.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = (
+        tf.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= 2)
+    )
+    weighted = tf.join(F.broadcast(dfreq), "w").select(
+        "doc_id",
+        "w",
+        F.round(
+            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
+        ).alias("tfidf"),
+    )
+    from pyspark.sql.window import Window
+
+    win = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("w")
+    )
+    return (
+        weighted.withColumn("rn", F.row_number().over(win))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("w").alias("top_term"), "tfidf")
+    )
+
+
+def q_text_redact(spark, sf):
+    """PII-style pattern scrubbing, oracled: redact email-shaped and
+    long-digit-run spans, report per-doc hit counts — the mandatory
+    pre-training scrub stage, all JVM regexp (patterns in the Java∩RE2
+    common subset)."""
+    d = _t(spark, sf, "documents")
+    email = "[A-Za-z0-9]+@[A-Za-z0-9]+\\.[A-Za-z]+"
+    digits = "[0-9]{6,}"
+    return d.select(
+        "doc_id",
+        F.regexp_replace(
+            F.regexp_replace("text", email, "<EMAIL>"), digits, "<NUM>"
+        ).alias("scrubbed"),
+        F.size(F.regexp_extract_all("text", F.lit(email), F.lit(0))).alias(
+            "n_emails"
+        ),
+        F.size(F.regexp_extract_all("text", F.lit(digits), F.lit(0))).alias(
+            "n_numbers"
+        ),
+    )
+
+
 def q_incr_dedup_probe(spark, sf):
     """Cross-batch incremental dedup (neardup.drop_existing_payloads),
     oracled BY VALUE: a delta of planted already-in-corpus payloads (every
@@ -397,6 +455,8 @@ QUERIES2 = {
     "train_shuffle": q_train_shuffle,
     "neardup_components": q_neardup_components,
     "incr_dedup_probe": q_incr_dedup_probe,
+    "tfidf_top_terms": q_tfidf_top_terms,
+    "text_redact": q_text_redact,
     "bpe_train": q_bpe_train,
     "text_quality": q_text_quality,
     "text_lm_score": q_text_lm_score,
@@ -474,6 +534,33 @@ ORACLES2 = {
         "       / len(string_split(text,' ')) >= 0.2 THEN 1 ELSE 0 END"
         "  + CASE WHEN length(regexp_replace(text, '[^A-Za-z]', '', 'g'))"
         "       / length(text) >= 0.5 THEN 1 ELSE 0 END) AS quality_score"
+        " FROM documents"
+    ),
+    "tfidf_top_terms": (
+        "WITH words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w"
+        "   FROM documents),"
+        " tf AS (SELECT doc_id, w, count(*) AS tf FROM words"
+        "   WHERE length(w) > 0 GROUP BY doc_id, w),"
+        " dfq AS (SELECT w, count(*) AS df FROM tf GROUP BY w"
+        "   HAVING count(*) >= 2),"
+        " n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),"
+        " weighted AS (SELECT doc_id, w,"
+        "   round(tf * ln(n / df), 6) AS tfidf"
+        "   FROM tf JOIN dfq USING (w), n),"
+        " r AS (SELECT *, row_number() OVER (PARTITION BY doc_id"
+        "   ORDER BY tfidf DESC, w) AS rn FROM weighted)"
+        " SELECT doc_id, w AS top_term, tfidf FROM r WHERE rn = 1"
+    ),
+    "text_redact": (
+        "SELECT doc_id,"
+        " regexp_replace(regexp_replace(text,"
+        "   '[A-Za-z0-9]+@[A-Za-z0-9]+\\.[A-Za-z]+', '<EMAIL>', 'g'),"
+        "   '[0-9]{6,}', '<NUM>', 'g') AS scrubbed,"
+        " CAST(len(regexp_extract_all(text,"
+        "   '[A-Za-z0-9]+@[A-Za-z0-9]+\\.[A-Za-z]+')) AS INTEGER)"
+        " AS n_emails,"
+        " CAST(len(regexp_extract_all(text, '[0-9]{6,}')) AS INTEGER)"
+        " AS n_numbers"
         " FROM documents"
     ),
     "incr_dedup_probe": (
