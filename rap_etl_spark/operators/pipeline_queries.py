@@ -387,6 +387,19 @@ def q_sample_stratified(spark, sf):
     ).select("doc_id", "source")
 
 
+def q_mix_sources(spark, sf):
+    """Deterministic weighted source mixing (sampling.mix_sources),
+    oracled: src0 x2.0 (two epochs), src1 x1.5 (one full epoch + half by
+    key bucket), src2 x0.25, others dropped. Weights are binary-exact
+    fractions so the fractional-epoch threshold has no FP edge."""
+    from rap_etl_spark.operators.sampling import mix_sources
+
+    d = _t(spark, sf, "documents").select("doc_id", "source")
+    return mix_sources(
+        d, "doc_id", "source", {"src0": 2.0, "src1": 1.5, "src2": 0.25}
+    )
+
+
 def q_train_shuffle(spark, sf):
     """Deterministic corpus shuffle (hash-order sort). The oracle checks
     content equality (the compare is order-insensitive); the ORDER itself —
@@ -452,6 +465,7 @@ QUERIES2 = {
     "pack_sequences": q_pack_sequences,
     "pack_conservation": q_pack_conservation,
     "sample_stratified": q_sample_stratified,
+    "mix_sources": q_mix_sources,
     "train_shuffle": q_train_shuffle,
     "neardup_components": q_neardup_components,
     "incr_dedup_probe": q_incr_dedup_probe,
@@ -535,6 +549,17 @@ ORACLES2 = {
         "  + CASE WHEN length(regexp_replace(text, '[^A-Za-z]', '', 'g'))"
         "       / length(text) >= 0.5 THEN 1 ELSE 0 END) AS quality_score"
         " FROM documents"
+    ),
+    "mix_sources": (
+        "WITH base AS (SELECT doc_id, source,"
+        " CASE source WHEN 'src0' THEN 2.0 WHEN 'src1' THEN 1.5"
+        " WHEN 'src2' THEN 0.25 ELSE 0.0 END AS w FROM documents),"
+        " e AS (SELECT doc_id, source, w,"
+        "   unnest(range(CAST(greatest(ceil(w), 1) AS INTEGER))) AS epoch"
+        "   FROM base)"
+        " SELECT doc_id, source, CAST(epoch AS INTEGER) AS epoch FROM e"
+        " WHERE epoch < floor(w)"
+        " OR (doc_id % 1000) < 1000 * (w - floor(w))"
     ),
     "tfidf_top_terms": (
         "WITH words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w"

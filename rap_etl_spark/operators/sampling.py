@@ -60,3 +60,32 @@ def deterministic_shuffle(
         if num_partitions is not None else (
         out.orderBy("_shuffle_key", key_col).drop("_shuffle_key")
     )
+
+
+def mix_sources(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    weights: dict[str, float],
+    scale: int = 1000,
+) -> DataFrame:
+    """Deterministic source mixing with repetition — the LLM data-recipe
+    "epochs per source" (e.g. wiki x2.0, crawl x0.5) materialized as a
+    pure function of the key: each row appears floor(w) times (an `epoch`
+    column numbers the copies) plus one more iff key % scale < scale *
+    frac(w). Reproducible across runs and engines, auditable per row, and
+    shuffle-free: one CASE for the weight, sequence+explode for the
+    epochs, a modulo filter for the fractional epoch. Rows whose stratum
+    has no weight are dropped (weight 0)."""
+    w = F.lit(0.0)
+    for stratum, wt in sorted(weights.items()):
+        w = F.when(F.col(strata_col) == stratum, F.lit(float(wt))).otherwise(w)
+    n_copies = F.greatest(F.ceil(w).cast("int"), F.lit(1))
+    bucket = F.pmod(F.col(key_col).cast("long"), F.lit(scale))
+    out = df.withColumn("_w", w).withColumn(
+        "epoch", F.explode(F.sequence(F.lit(0), n_copies - 1))
+    )
+    keep = (F.col("epoch") < F.floor("_w")) | (
+        bucket < F.lit(scale) * (F.col("_w") - F.floor("_w"))
+    )
+    return out.filter(keep).drop("_w")

@@ -86,3 +86,25 @@ def test_shuffle_deterministic_and_seeded(spark):
     assert o1 != o2                        # different seed: different order
     assert o1 != sorted(o1)                # actually shuffled
     assert sorted(o1) == sorted(o2) == list(range(500))  # a permutation
+
+
+def test_mix_sources_repetition_semantics(spark):
+    from rap_etl_spark.operators.sampling import mix_sources
+
+    d = spark.createDataFrame(
+        [(i, "a" if i % 2 == 0 else "b") for i in range(2000)],
+        "doc_id long, source string",
+    )
+    out = mix_sources(d, "doc_id", "source", {"a": 2.0, "b": 0.5})
+    rows = out.collect()
+    a = [r for r in rows if r["source"] == "a"]
+    b = [r for r in rows if r["source"] == "b"]
+    # weight 2.0: every 'a' row exactly twice (epochs 0 and 1)
+    assert len(a) == 2000 and {r["epoch"] for r in a} == {0, 1}
+    # weight 0.5: exactly the odd ids with id % 1000 < 500, epoch 0 only
+    assert len(b) == 500 and all(r["epoch"] == 0 for r in b)
+    assert all(r["doc_id"] % 1000 < 500 for r in b)
+    # deterministic: identical on re-run
+    again = sorted((r["doc_id"], r["epoch"]) for r in mix_sources(
+        d, "doc_id", "source", {"a": 2.0, "b": 0.5}).collect())
+    assert again == sorted((r["doc_id"], r["epoch"]) for r in rows)
