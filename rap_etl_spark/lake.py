@@ -13,6 +13,14 @@ Scale design (100 TB story):
   only rewrites the buckets that contain changed keys (bucket-granular
   copy-on-write), so merge cost is O(affected buckets), not O(table) — the
   same file-pruning win Iceberg gets from partition/bucket transforms.
+- MERGE-ON-READ mode (Iceberg v2 equality-delete analogue): a merge commits
+  the change rows as per-bucket DELTA files without touching base files —
+  write cost is O(change set), the minimum possible. Reads resolve stacked
+  deltas per dirty bucket with the same version-conditional LWW rule the
+  copy-on-write join applies at write time; ``materialize_deltas``/
+  ``compact`` fold deltas back into base files. Choose per table:
+  CoW = read-optimized (serving, frequent scans), MoR = write-optimized
+  (sustained high-rate upsert ingest — the 10^10-event CDC regime).
 - The anti-join inside a merge joins only the affected buckets' rows against
   the (small) change set; Spark broadcasts the change keys when they fit.
 - Commit is a single atomic rename of the manifest pointer — one driver-side
@@ -194,7 +202,10 @@ class ManifestParquetTable(LakeTable):
         key: str = "doc_id",
         n_buckets: int = DEFAULT_BUCKETS,
         overwrite: bool = False,
+        merge_mode: str = "cow",
     ) -> "ManifestParquetTable":
+        if merge_mode not in ("cow", "mor"):
+            raise ValueError(f"merge_mode must be 'cow' or 'mor', got {merge_mode!r}")
         if os.path.exists(os.path.join(path, "_current.json")) and not overwrite:
             raise FileExistsError(f"table already exists at {path}")
         os.makedirs(os.path.join(path, "data"), exist_ok=True)
@@ -205,6 +216,7 @@ class ManifestParquetTable(LakeTable):
             "parent": None,
             "seq": 0,
             "key": key,
+            "merge_mode": merge_mode,
             "n_buckets": n_buckets,
             "current_schema_version": 0,
             "schema_versions": {"0": schema.json()},
@@ -286,6 +298,37 @@ class ManifestParquetTable(LakeTable):
 
     def n_buckets(self) -> int:
         return int(self._manifest()["n_buckets"])
+
+    def merge_mode(self) -> str:
+        """Table-level default write mode: 'cow' (copy-on-write, rewrite
+        affected buckets — read-optimized) or 'mor' (merge-on-read, commit
+        change rows as stacked delta files — write-optimized). Per-call
+        ``merge(mode=...)`` overrides."""
+        return str(self._manifest().get("merge_mode", "cow"))
+
+    def set_merge_mode(self, mode: str) -> None:
+        """Flip the table's default merge mode (a metadata-only commit,
+        Iceberg `write.delete.mode` table-property analogue). Existing
+        deltas stay readable either way — readers always resolve."""
+        if mode not in ("cow", "mor"):
+            raise ValueError(f"merge_mode must be 'cow' or 'mor', got {mode!r}")
+        m = self._manifest()
+        if m.get("merge_mode", "cow") == mode:
+            return
+        nxt = self._next_manifest(m)
+        nxt["merge_mode"] = mode
+        self._write_manifest(nxt)
+
+    def delta_depth(self) -> dict[int, int]:
+        """Stacked delta-file count per dirty bucket — the MoR read
+        amplification signal. An operator watches max(depth) and triggers
+        ``materialize_deltas`` (or full ``compact``) past a threshold,
+        exactly like Iceberg's rewrite_position_delete_files cadence."""
+        out: dict[int, int] = {}
+        for fe in self._manifest()["files"]:
+            if fe.get("kind") == "delta":
+                out[fe["bucket"]] = out.get(fe["bucket"], 0) + 1
+        return out
 
     def committed_batches(self) -> dict[str, dict]:
         return dict(self._manifest()["committed"])
@@ -383,6 +426,63 @@ class ManifestParquetTable(LakeTable):
             META_LSN, META_DEL
         )
 
+    def _read_resolved(
+        self,
+        files: list[dict],
+        target_schema: T.StructType,
+        with_meta: bool = False,
+    ) -> DataFrame:
+        """Merge-on-read resolution. Buckets with no delta files stream
+        straight through ``_read_files`` (zero overhead — the common case
+        and the whole table in pure-CoW mode). Dirty buckets stack base +
+        deltas with each file's commit sequence attached and reduce to one
+        row per key by ``max_by`` over ``(lsn, del, seq)`` — exactly the
+        CoW merge predicate ``c_v > o_v OR (c_v == o_v AND c_d >= o_d)``
+        applied associatively (lexicographic max is order-free, and seq
+        strictly increases per commit, so the argmax equals sequential
+        delta application). The reduce shuffles only dirty-bucket rows;
+        with a hash-partitioned reader it would be shuffle-free, and
+        ``materialize_deltas`` bounds how much ever stacks."""
+        deltas = [fe for fe in files if fe.get("kind") == "delta"]
+        if not deltas:
+            return self._read_files(files, target_schema, with_meta=with_meta)
+        dirty = {fe["bucket"] for fe in deltas}
+        clean = [fe for fe in files if fe["bucket"] not in dirty]
+        out_clean = self._read_files(clean, target_schema, with_meta=True)
+        by_seq: dict[int, list[dict]] = {}
+        for fe in files:
+            if fe["bucket"] in dirty:
+                by_seq.setdefault(int(fe.get("seq", 0)), []).append(fe)
+        parts = [
+            self._read_files(by_seq[s], target_schema, with_meta=True).withColumn(
+                "_seq", F.lit(s)
+            )
+            for s in sorted(by_seq)
+        ]
+        stacked = parts[0]
+        for p in parts[1:]:
+            stacked = stacked.unionByName(p)
+        payload = [f.name for f in target_schema.fields if f.name != self.key] + [
+            META_LSN,
+            META_DEL,
+        ]
+        order_key = F.struct(
+            F.coalesce(F.col(META_LSN), F.lit(-1)).alias("v"),
+            F.coalesce(F.col(META_DEL), F.lit(False)).cast("int").alias("d"),
+            F.col("_seq").alias("s"),
+        )
+        resolved = (
+            stacked.groupBy(self.key)
+            .agg(F.max_by(F.struct(*[F.col(c) for c in payload]), order_key).alias("_r"))
+            .select(self.key, *[F.col(f"_r.{c}").alias(c) for c in payload])
+        )
+        out = out_clean.unionByName(resolved.select(*out_clean.columns))
+        if with_meta:
+            return out
+        return out.filter(~F.coalesce(F.col(META_DEL), F.lit(False))).drop(
+            META_LSN, META_DEL
+        )
+
     def read(self, snapshot_id: str | None = None) -> DataFrame:
         m = self._manifest()
         if snapshot_id is not None and snapshot_id != m["snapshot_id"]:
@@ -391,7 +491,7 @@ class ManifestParquetTable(LakeTable):
                 m = json.load(f)
             schema = _schema_from_json(m["schema_versions"][str(m["current_schema_version"])])
             return self._read_files_of(m, m["files"], schema)
-        return self._read_files(m["files"], self.schema())
+        return self._read_resolved(m["files"], self.schema())
 
     def _read_files_of(
         self,
@@ -403,7 +503,9 @@ class ManifestParquetTable(LakeTable):
         saved = self._manifest_cache
         self._manifest_cache = m
         try:
-            return self._read_files(files, target_schema, with_meta=with_meta)
+            # resolve MoR deltas of the pinned snapshot; pure-CoW file
+            # lists pass through _read_files untouched
+            return self._read_resolved(files, target_schema, with_meta=with_meta)
         finally:
             self._manifest_cache = saved
 
@@ -555,6 +657,8 @@ class ManifestParquetTable(LakeTable):
         schema_version: int,
         n_buckets: int | None = None,
         sort_cols: list[str] | None = None,
+        kind: str = "base",
+        seq: int | None = None,
     ) -> list[dict]:
         """Write df (must contain a `_b` bucket column) as one-or-more parquet
         files per bucket; returns manifest file entries. Files are written via
@@ -586,18 +690,21 @@ class ManifestParquetTable(LakeTable):
             for fn in sorted(os.listdir(os.path.join(staging, bdir))):
                 if not fn.endswith(".parquet"):
                     continue
-                new_name = f"b{bucket:05d}-{sid}-{i:04d}.parquet"
+                prefix = "d" if kind == "delta" else "b"
+                new_name = f"{prefix}{bucket:05d}-{sid}-{i:04d}.parquet"
                 os.replace(
                     os.path.join(staging, bdir, fn),
                     os.path.join(self.path, "data", new_name),
                 )
-                entries.append(
-                    {
-                        "path": os.path.join("data", new_name),
-                        "bucket": bucket,
-                        "schema_version": schema_version,
-                    }
-                )
+                entry = {
+                    "path": os.path.join("data", new_name),
+                    "bucket": bucket,
+                    "schema_version": schema_version,
+                }
+                if kind == "delta":
+                    entry["kind"] = "delta"
+                    entry["seq"] = int(seq) if seq is not None else 0
+                entries.append(entry)
                 i += 1
         # clean staging
         import shutil
@@ -699,6 +806,7 @@ class ManifestParquetTable(LakeTable):
         batch_id: int | None = None,
         affected_buckets: set[int] | None = None,
         n_rows: int | None = None,
+        mode: str | None = None,
     ) -> CommitInfo:
         """Bucket-granular copy-on-write MERGE, conditional on row version.
 
@@ -718,6 +826,21 @@ class ManifestParquetTable(LakeTable):
         - Survivor rows (keys untouched in affected buckets) are carried via
           a left-anti join; matched old rows join the LWW reduction.
 
+        ``mode`` (default: the table's ``merge_mode``):
+
+        - ``"cow"`` — rewrite affected buckets (below). Read-optimized.
+        - ``"mor"`` — MERGE-ON-READ: commit the change rows as per-bucket
+          DELTA files stamped with this commit's sequence number and touch
+          NO existing file. Write cost is O(change set) — the floor — so
+          sustained upsert throughput is bounded by the WAL scan, not by
+          base-bucket rewrite amplification (at 10^10 events with Zipf
+          keys, CoW rewrites the same hot buckets every batch). Readers
+          resolve stacked deltas with the identical version-conditional
+          rule (see ``_read_resolved``), so final state is byte-equal to
+          CoW; ``materialize_deltas`` folds deltas down on a maintenance
+          cadence. Identical semantics to Iceberg v2 equality deletes +
+          data files with sequence-number shadowing.
+
         ``affected_buckets``/``n_rows``: caller-supplied discovery hints
         (the engine derives them from a column-pruned scan of the staged
         delta — no dedup/unpack Python stage runs for discovery). With a
@@ -732,9 +855,43 @@ class ManifestParquetTable(LakeTable):
             prev = m["committed"].get(str(batch_id), {"snapshot_id": m["snapshot_id"]})
             return CommitInfo(prev["snapshot_id"], batch_id, 0, skipped=True)
 
+        mode = mode or m.get("merge_mode", "cow")
+        if mode not in ("cow", "mor"):
+            raise ValueError(f"merge mode must be 'cow' or 'mor', got {mode!r}")
         schema = self.schema()
         ch = self._with_meta(changes, schema).withColumn("_b", self._bucket_expr(self.key))
         persisted = False
+        if mode == "mor":
+            # write-optimized path: ONE job (bucket-clustered write of the
+            # change rows as delta files), no read of existing data at all.
+            if n_rows is not None:
+                rows = int(n_rows)
+            else:
+                ch = ch.persist()
+                persisted = True
+                rows = int(ch.count())
+            try:
+                nxt = self._next_manifest(m)
+                _t0 = time.monotonic()
+                entries = self._write_data_files(
+                    ch,
+                    nxt["snapshot_id"],
+                    m["current_schema_version"],
+                    kind="delta",
+                    seq=nxt["seq"],
+                )
+                _tlog("merge.write_delta_files", _t0)
+                nxt["files"] = m["files"] + entries
+                if batch_id is not None:
+                    nxt["committed"][str(batch_id)] = {
+                        "snapshot_id": nxt["snapshot_id"],
+                        "event_count": rows,
+                    }
+                self._write_manifest(nxt)
+                return CommitInfo(nxt["snapshot_id"], batch_id, rows)
+            finally:
+                if persisted:
+                    ch.unpersist()
         if affected_buckets is not None:
             affected_set = {int(b) for b in affected_buckets}
             rows = int(n_rows) if n_rows is not None else -1
@@ -754,7 +911,11 @@ class ManifestParquetTable(LakeTable):
             old_entries = [fe for fe in m["files"] if fe["bucket"] in affected_set]
             keep_entries = [fe for fe in m["files"] if fe["bucket"] not in affected_set]
 
-            old_df = self._read_files(old_entries, schema, with_meta=True)
+            # resolve any stacked MoR deltas in the affected buckets first:
+            # the single full-outer join below requires one row per key on
+            # the old side, and a CoW merge over a dirty bucket doubles as
+            # its materialization (delta entries leave via old_entries)
+            old_df = self._read_resolved(old_entries, schema, with_meta=True)
 
             # Version-conditional reduction in ONE full-outer join: both
             # sides carry at most one row per key (table invariant; merge
@@ -833,7 +994,7 @@ class ManifestParquetTable(LakeTable):
             .collect()
         }
         files = [fe for fe in m["files"] if fe["bucket"] in buckets]
-        df = self._read_files(files, self.schema())
+        df = self._read_resolved(files, self.schema())
         return df.filter(F.col(self.key).isin(list(keys)))
 
     # ---------- maintenance ----------
@@ -865,7 +1026,7 @@ class ManifestParquetTable(LakeTable):
         """
         m = self._manifest()
         schema = self.schema()
-        df = self._read_files(m["files"], schema, with_meta=True)
+        df = self._read_resolved(m["files"], schema, with_meta=True)
         if tombstone_horizon_lsn is not None:
             df = df.filter(
                 ~(
@@ -897,6 +1058,33 @@ class ManifestParquetTable(LakeTable):
             self.expire_snapshots(keep=expire_snapshots_keep)
         return CommitInfo(nxt["snapshot_id"], None, -1)
 
+    def materialize_deltas(self, buckets: set[int] | None = None) -> CommitInfo:
+        """Targeted MoR maintenance (Iceberg rewrite_data_files with a
+        delete-file filter): fold stacked delta files back into one base
+        file for DIRTY buckets only — clean buckets' files are untouched,
+        so cost is O(dirty buckets), not O(table) like full compact().
+        Run on a cadence keyed off ``delta_depth()`` to bound read
+        amplification while keeping the merge path write-optimal."""
+        m = self._manifest()
+        dirty = {fe["bucket"] for fe in m["files"] if fe.get("kind") == "delta"}
+        if buckets is not None:
+            dirty &= {int(b) for b in buckets}
+        if not dirty:
+            return CommitInfo(m["snapshot_id"], None, 0, skipped=True)
+        schema = self.schema()
+        target = [fe for fe in m["files"] if fe["bucket"] in dirty]
+        keep = [fe for fe in m["files"] if fe["bucket"] not in dirty]
+        df = self._read_resolved(target, schema, with_meta=True).withColumn(
+            "_b", self._bucket_expr(self.key)
+        )
+        nxt = self._next_manifest(m)
+        entries = self._write_data_files(
+            df, nxt["snapshot_id"], m["current_schema_version"]
+        )
+        nxt["files"] = keep + entries
+        self._write_manifest(nxt)
+        return CommitInfo(nxt["snapshot_id"], None, -1)
+
     def rebucket(self, new_n_buckets: int) -> CommitInfo:
         """Bucket evolution (Iceberg partition-evolution analogue for the
         hash layout): rewrite the table once under a new bucket count and
@@ -912,7 +1100,7 @@ class ManifestParquetTable(LakeTable):
         if new_n_buckets == int(m["n_buckets"]):
             return CommitInfo(m["snapshot_id"], None, 0, skipped=True)
         schema = self.schema()
-        df = self._read_files(m["files"], schema, with_meta=True)
+        df = self._read_resolved(m["files"], schema, with_meta=True)
         data = df.withColumn(
             "_b", self._bucket_expr(self.key, n_buckets=new_n_buckets)
         )

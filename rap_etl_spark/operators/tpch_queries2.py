@@ -186,7 +186,7 @@ def q22_idle_customers(spark, sf):
     )
 
 
-def q_cdc_merge(spark, sf):
+def q_cdc_merge(spark, sf, merge_mode="cow"):
     """C4 end-to-end, oracled: drive the REAL lake table through two
     version-conditional merges and return the final state.
 
@@ -217,11 +217,19 @@ def q_cdc_merge(spark, sf):
     work = tempfile.mkdtemp(prefix="rap-etl-cdc-merge-")
     try:
         table = ManifestParquetTable.create(
-            spark, os.path.join(work, "t"), schema, n_buckets=8
+            spark, os.path.join(work, "t"), schema, n_buckets=8,
+            merge_mode=merge_mode,
         )
         for batch_id in (0, 1):
             batch = ev.filter(F.col("lsn") % 2 == batch_id)
             table.merge(lww_latest(batch), batch_id=batch_id)
+        if merge_mode == "mor":
+            # half the maintenance surface too: fold one batch's deltas
+            # down, leave the other stacked — the read must resolve a
+            # MIXED base+delta layout to the same answer
+            table.materialize_deltas(
+                buckets=set(range(table.n_buckets() // 2))
+            )
         # materialize before deleting the on-disk table: the returned frame
         # must stay collectible after cleanup
         rows = table.read().select("doc_id", "lsn", "price").collect()
@@ -230,6 +238,15 @@ def q_cdc_merge(spark, sf):
         import shutil
 
         shutil.rmtree(work, ignore_errors=True)
+
+
+def q_cdc_merge_mor(spark, sf):
+    """C4 in MERGE-ON-READ mode (lake.py merge(mode='mor')): identical
+    workload and oracle as `cdc_merge` — the write path commits only
+    per-bucket delta files (no base rewrite), half the buckets are then
+    materialized, and the read-time LWW resolution over the mixed layout
+    must still equal the plain-window oracle."""
+    return q_cdc_merge(spark, sf, merge_mode="mor")
 
 
 TPCH_QUERIES2 = {
@@ -242,6 +259,7 @@ TPCH_QUERIES2 = {
     "q18_large_orders": q18_large_orders,
     "q22_idle_customers": q22_idle_customers,
     "cdc_merge": q_cdc_merge,
+    "cdc_merge_mor": q_cdc_merge_mor,
 }
 
 TPCH_ORACLES2 = {
@@ -318,6 +336,15 @@ TPCH_ORACLES2 = {
         " GROUP BY c_mktsegment"
     ),
     "cdc_merge": (
+        "WITH ev AS (SELECT CAST(o_custkey AS VARCHAR) AS doc_id,"
+        " o_orderkey AS lsn, o_totalprice AS price,"
+        " CASE WHEN o_orderkey % 10 = 0 THEN 'D' ELSE 'U' END AS op"
+        " FROM orders),"
+        " w AS (SELECT *, row_number() OVER"
+        " (PARTITION BY doc_id ORDER BY lsn DESC) AS rn FROM ev)"
+        " SELECT doc_id, lsn, price FROM w WHERE rn = 1 AND op <> 'D'"
+    ),
+    "cdc_merge_mor": (
         "WITH ev AS (SELECT CAST(o_custkey AS VARCHAR) AS doc_id,"
         " o_orderkey AS lsn, o_totalprice AS price,"
         " CASE WHEN o_orderkey % 10 = 0 THEN 'D' ELSE 'U' END AS op"
