@@ -209,7 +209,10 @@ def prepare_merge_log(work: str) -> str:
     return log_dir
 
 
-def replay_worker(spec: str, log_dir: str, work: str, n_buckets: int = 16) -> None:
+def replay_worker(
+    spec: str, log_dir: str, work: str, n_buckets: int = 16,
+    merge_mode: str = "cow",
+) -> None:
     """Subprocess entry: replay the log ONCE into a fresh table, print
     seconds. (Min-over-rounds happens in the parent, with rounds
     interleaved across levels.) `spec` picks the execution topology:
@@ -243,10 +246,21 @@ def replay_worker(spec: str, log_dir: str, work: str, n_buckets: int = 16) -> No
     spark.read.parquet(os.path.join(log_dir, "batch=0")).count()
     tdir = os.path.join(work, f"table-{spec.replace(':', '-').replace('x', '-')}")
     shutil.rmtree(tdir, ignore_errors=True)
-    table = ManifestParquetTable.create(spark, tdir, DOCS_SCHEMA, n_buckets=n_buckets)
+    table = ManifestParquetTable.create(
+        spark, tdir, DOCS_SCHEMA, n_buckets=n_buckets, merge_mode=merge_mode
+    )
     t0 = time.monotonic()
     replay_log(spark, table, log_dir, count_input=False)
     dt = time.monotonic() - t0
+    if merge_mode == "mor":
+        # deferred maintenance cost, reported as a phase so the CoW-vs-MoR
+        # comparison includes the whole lifecycle (ingest + fold-down)
+        t1 = time.monotonic()
+        table.materialize_deltas()
+        print(
+            f"[rap-etl-timing] mor.materialize: {time.monotonic() - t1:.2f}s",
+            flush=True,
+        )
     shutil.rmtree(tdir, ignore_errors=True)
     print(json.dumps({"seconds": dt}))
     spark.stop()
@@ -277,7 +291,8 @@ def _median(xs: list[float]) -> float:
 
 
 def _run_replay(
-    spec: str, log_dir: str, work: str, n_buckets: int = 16, timing: bool = False
+    spec: str, log_dir: str, work: str, n_buckets: int = 16, timing: bool = False,
+    merge_mode: str = "cow",
 ) -> tuple[float | None, dict[str, float]]:
     """Run one replay subprocess; returns (seconds, per-phase timings)."""
     env = dict(os.environ)
@@ -285,7 +300,7 @@ def _run_replay(
         env["RAP_ETL_TIMING"] = "1"
     proc = subprocess.run(
         [sys.executable, os.path.abspath(__file__), "--replay-worker",
-         spec, log_dir, work, str(n_buckets)],
+         spec, log_dir, work, str(n_buckets), merge_mode],
         capture_output=True, text=True, env=env, check=False,
     )
     line = [ln for ln in proc.stdout.splitlines() if ln.startswith("{")]
@@ -310,7 +325,8 @@ def _run_replay(
 def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "--replay-worker":
         nb = int(sys.argv[5]) if len(sys.argv) > 5 else 16
-        replay_worker(sys.argv[2], sys.argv[3], sys.argv[4], n_buckets=nb)
+        mm = sys.argv[6] if len(sys.argv) > 6 else "cow"
+        replay_worker(sys.argv[2], sys.argv[3], sys.argv[4], n_buckets=nb, merge_mode=mm)
         return
 
     # SPARK_GRAFT_BENCH_WORK: reuse a prepared work dir (log cached there) so
@@ -405,18 +421,28 @@ def main() -> None:
     merge_log = os.path.join(work, "log-merge")
     if not os.path.exists(os.path.join(merge_log, "batch=0")):
         merge_log = prepare_merge_log(work)
-    mtimes = []
+    mtimes: dict[str, list[float]] = {"cow": [], "mor": []}
+    mor_mat: list[float] = []
     for _ in range(2):
-        secs, _ph = _run_replay(f"local:{max(LEVELS)}", merge_log, work, n_buckets=64)
-        if secs is not None:
-            mtimes.append(secs)
-        else:
-            print("merge-heavy replay worker failed (continuing)", file=sys.stderr)
+        for mm in ("cow", "mor"):
+            secs, ph = _run_replay(
+                f"local:{max(LEVELS)}", merge_log, work, n_buckets=64,
+                merge_mode=mm,
+            )
+            if secs is not None:
+                mtimes[mm].append(secs)
+                if mm == "mor" and "mor.materialize" in ph:
+                    mor_mat.append(ph["mor.materialize"])
+            else:
+                print(f"merge-heavy {mm} worker failed (continuing)", file=sys.stderr)
     merge_heavy = {
         "n_events": MERGE_EVENTS,
         "n_keys": MERGE_KEYS,
-        "best_sec": round(min(mtimes), 3) if mtimes else None,
-        "eps": round(MERGE_EVENTS / min(mtimes), 1) if mtimes else None,
+        "best_sec": round(min(mtimes["cow"]), 3) if mtimes["cow"] else None,
+        "eps": round(MERGE_EVENTS / min(mtimes["cow"]), 1) if mtimes["cow"] else None,
+        "mor_best_sec": round(min(mtimes["mor"]), 3) if mtimes["mor"] else None,
+        "mor_eps": round(MERGE_EVENTS / min(mtimes["mor"]), 1) if mtimes["mor"] else None,
+        "mor_materialize_sec": round(min(mor_mat), 3) if mor_mat else None,
     }
 
     platform = platform_calibration()

@@ -22,12 +22,13 @@ the transactional commit this backend implements locally.
 
 Subcommands::
 
-    init     --table PATH [--buckets N] [--schema v1|v2]
+    init     --table PATH [--buckets N] [--schema v1|v2] [--merge-mode cow|mor]
     replay   --table PATH --log DIR [--lineage DIR] [--batches a,b,...]
              [--format parquet|binlog]   (binlog --batches = segment indices)
     stream   --table PATH --log DIR --checkpoint DIR [--max-files N]
              [--metrics JSONL] [--continuous] [--format parquet|binlog]
     compact  --table PATH [--tombstone-horizon LSN] [--keep-snapshots K]
+             [--materialize]
              [--ledger-horizon BATCH] [--sort COL,COL]
     rebucket --table PATH --buckets N
     status   --table PATH
@@ -60,7 +61,8 @@ def cmd_init(args) -> int:
 
     schema = DOCS_SCHEMA_V2 if args.schema == "v2" else DOCS_SCHEMA
     t = ManifestParquetTable.create(
-        _spark("rap-etl-init"), args.table, schema, n_buckets=args.buckets
+        _spark("rap-etl-init"), args.table, schema, n_buckets=args.buckets,
+        merge_mode=args.merge_mode,
     )
     print(json.dumps({"table": args.table, "snapshot": t.snapshot_id()}))
     return 0
@@ -186,6 +188,12 @@ def cmd_compact(args) -> int:
     from rap_etl_spark.lake import ManifestParquetTable
 
     t = ManifestParquetTable(_spark("rap-etl-compact"), args.table)
+    if args.materialize:
+        # targeted MoR maintenance only: fold stacked deltas, skip the
+        # full-table rewrite
+        info = t.materialize_deltas()
+        print(json.dumps({"snapshot": info.snapshot_id, "skipped": info.skipped}))
+        return 0
     info = t.compact(
         tombstone_horizon_lsn=args.tombstone_horizon,
         expire_snapshots_keep=args.keep_snapshots,
@@ -228,6 +236,9 @@ def cmd_status(args) -> int:
                     t.committed_batches(), key=lambda b: (len(b), b)
                 ),
                 "snapshots": len(hist),
+                "merge_mode": t.merge_mode(),
+                "delta_depth_max": max(t.delta_depth().values(), default=0),
+                "dirty_buckets": len(t.delta_depth()),
                 "rows": t.read().count(),
             }
         )
@@ -301,6 +312,7 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--table", required=True)
     sp.add_argument("--buckets", type=int, default=32)
     sp.add_argument("--schema", choices=["v1", "v2"], default="v1")
+    sp.add_argument("--merge-mode", choices=["cow", "mor"], default="cow")
     sp.set_defaults(fn=cmd_init)
 
     sp = sub.add_parser("replay")
@@ -329,6 +341,7 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--keep-snapshots", type=int)
     sp.add_argument("--ledger-horizon", type=int)
     sp.add_argument("--sort")
+    sp.add_argument("--materialize", action="store_true")
     sp.set_defaults(fn=cmd_compact)
 
     sp = sub.add_parser("rebucket")
