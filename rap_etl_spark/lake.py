@@ -1085,6 +1085,242 @@ class ManifestParquetTable(LakeTable):
         self._write_manifest(nxt)
         return CommitInfo(nxt["snapshot_id"], None, -1)
 
+    # ---------- predicate DML (DELETE FROM / UPDATE ... WHERE) ----------
+    def _dml_commit(
+        self,
+        matched: DataFrame,
+        transform,
+        mode: str,
+        batch_id: int | None,
+    ) -> CommitInfo:
+        """Shared tail of delete_where/update_where. ``matched`` carries the
+        post-DML images of matching rows (physical layout + ``_b``);
+        ``transform(df) -> df`` rewrites a resolved with-meta frame to its
+        post-DML image (CoW only).
+
+        - cow: affected buckets = buckets with >= 1 match (ONE tiny driver
+          collect of <= n_buckets group rows); ONLY those buckets' files
+          are then re-read, transformed, and rewritten — unaffected
+          buckets are never touched, read or written.
+        - mor: commit just the matched rows' post-images as delta files —
+          write O(matches); resolution shadows the old row because the
+          post-image keeps the row's (_lsn, _del) and gains a higher seq
+          (same-version tiebreak: deletes win by d, updates by seq).
+        """
+        m = self._manifest()
+        if self.is_committed(batch_id):
+            prev = m["committed"].get(str(batch_id), {"snapshot_id": m["snapshot_id"]})
+            return CommitInfo(prev["snapshot_id"], batch_id, 0, skipped=True)
+        if mode == "mor":
+            matched = matched.persist()
+            try:
+                rows = int(matched.count())
+                if rows == 0:
+                    return CommitInfo(m["snapshot_id"], batch_id, 0, skipped=True)
+                nxt = self._next_manifest(m)
+                entries = self._write_data_files(
+                    matched,
+                    nxt["snapshot_id"],
+                    m["current_schema_version"],
+                    kind="delta",
+                    seq=nxt["seq"],
+                )
+                nxt["files"] = m["files"] + entries
+                if batch_id is not None:
+                    nxt["committed"][str(batch_id)] = {
+                        "snapshot_id": nxt["snapshot_id"],
+                        "event_count": rows,
+                    }
+                self._write_manifest(nxt)
+                return CommitInfo(nxt["snapshot_id"], batch_id, rows)
+            finally:
+                matched.unpersist()
+        stats = matched.groupBy("_b").agg(F.count(F.lit(1)).alias("_n")).collect()
+        affected = {r["_b"] for r in stats}
+        rows = int(sum(r["_n"] for r in stats))
+        if not affected:
+            return CommitInfo(m["snapshot_id"], batch_id, 0, skipped=True)
+        old_entries = [fe for fe in m["files"] if fe["bucket"] in affected]
+        keep_entries = [fe for fe in m["files"] if fe["bucket"] not in affected]
+        schema = self.schema()
+        post = transform(
+            self._read_resolved(old_entries, schema, with_meta=True)
+        ).withColumn("_b", self._bucket_expr(self.key))
+        nxt = self._next_manifest(m)
+        entries = self._write_data_files(
+            post, nxt["snapshot_id"], m["current_schema_version"]
+        )
+        nxt["files"] = keep_entries + entries
+        if batch_id is not None:
+            nxt["committed"][str(batch_id)] = {
+                "snapshot_id": nxt["snapshot_id"],
+                "event_count": rows,
+            }
+        self._write_manifest(nxt)
+        return CommitInfo(nxt["snapshot_id"], batch_id, rows)
+
+    def delete_where(
+        self,
+        condition,
+        mode: str | None = None,
+        batch_id: int | None = None,
+    ) -> CommitInfo:
+        """``DELETE FROM table WHERE condition`` (Iceberg/Delta DML parity;
+        the GDPR/right-to-erasure path of a training-data lake). Matching
+        LIVE rows become tombstones with their payload NULLED OUT — the
+        data is physically gone after the rewrite (CoW) or after the next
+        materialization (MoR), not merely masked. The tombstone keeps the
+        row's ``_lsn``, so a later CDC event with a higher LSN can still
+        legitimately recreate the key, while same-or-older replays cannot
+        resurrect the deleted payload (delete wins the same-version
+        tiebreak). ``condition``: str or Column over the logical schema.
+        Cost: one column-pruned scan to find matches + a write sized by
+        mode (affected buckets for cow, matches only for mor)."""
+        m = self._manifest()
+        mode = mode or m.get("merge_mode", "cow")
+        if mode not in ("cow", "mor"):
+            raise ValueError(f"mode must be 'cow' or 'mor', got {mode!r}")
+        schema = self.schema()
+        cond = F.expr(condition) if isinstance(condition, str) else condition
+        live = ~F.coalesce(F.col(META_DEL), F.lit(False))
+        df = self._read_resolved(m["files"], schema, with_meta=True)
+        payload = [f.name for f in schema.fields if f.name != self.key]
+        tombstone = [
+            F.lit(None).cast(f.dataType).alias(f.name)
+            for f in schema.fields
+            if f.name != self.key
+        ]
+        hit = live & cond
+        if mode == "mor":
+            matched = (
+                df.filter(hit)
+                .select(
+                    self.key,
+                    *tombstone,
+                    F.col(META_LSN),
+                    F.lit(True).alias(META_DEL),
+                )
+                .withColumn("_b", self._bucket_expr(self.key))
+            )
+            return self._dml_commit(matched, None, mode, batch_id)
+        matched = (
+            df.filter(hit)
+            .select(self.key)
+            .withColumn("_b", self._bucket_expr(self.key))
+        )
+
+        def transform(affected_df: DataFrame) -> DataFrame:
+            return affected_df.select(
+                self.key,
+                *[F.when(hit, None).otherwise(F.col(c)).alias(c) for c in payload],
+                F.col(META_LSN),
+                (F.coalesce(F.col(META_DEL), F.lit(False)) | hit).alias(META_DEL),
+            )
+
+        return self._dml_commit(matched, transform, mode, batch_id)
+
+    def update_where(
+        self,
+        condition,
+        assignments: dict,
+        mode: str | None = None,
+        batch_id: int | None = None,
+    ) -> CommitInfo:
+        """``UPDATE table SET col = expr, ... WHERE condition`` (Iceberg/
+        Delta DML parity — the scrub/backfill path: redact a column for one
+        source, patch a mis-tokenized field). ``assignments`` maps column
+        name -> Column/str expr evaluated against the matching row; the
+        key column cannot be assigned. Updated rows keep their ``_lsn``
+        (a DML patch is not a CDC event — later change events still win),
+        and in MoR mode the patch shadows the old row purely through its
+        higher commit seq."""
+        m = self._manifest()
+        mode = mode or m.get("merge_mode", "cow")
+        if mode not in ("cow", "mor"):
+            raise ValueError(f"mode must be 'cow' or 'mor', got {mode!r}")
+        schema = self.schema()
+        if self.key in assignments:
+            raise ValueError(f"cannot assign the key column {self.key!r}")
+        unknown = set(assignments) - {f.name for f in schema.fields}
+        if unknown:
+            raise ValueError(f"unknown columns in assignments: {sorted(unknown)}")
+        cond = F.expr(condition) if isinstance(condition, str) else condition
+        assigns = {
+            c: (F.expr(e) if isinstance(e, str) else e) for c, e in assignments.items()
+        }
+        live = ~F.coalesce(F.col(META_DEL), F.lit(False))
+        hit = live & cond
+        df = self._read_resolved(m["files"], schema, with_meta=True)
+        by_name = {f.name: f for f in schema.fields}
+
+        def out_col(c: str):
+            if c in assigns:
+                return (
+                    F.when(hit, assigns[c].cast(by_name[c].dataType))
+                    .otherwise(F.col(c))
+                    .alias(c)
+                )
+            return F.col(c).alias(c)
+
+        payload = [f.name for f in schema.fields if f.name != self.key]
+        if mode == "mor":
+            matched = (
+                df.filter(hit)
+                .select(
+                    self.key,
+                    *[out_col(c) for c in payload],
+                    F.col(META_LSN),
+                    F.col(META_DEL),
+                )
+                .withColumn("_b", self._bucket_expr(self.key))
+            )
+            return self._dml_commit(matched, None, mode, batch_id)
+        matched = (
+            df.filter(hit)
+            .select(self.key)
+            .withColumn("_b", self._bucket_expr(self.key))
+        )
+
+        def transform(affected_df: DataFrame) -> DataFrame:
+            return affected_df.select(
+                self.key,
+                *[out_col(c) for c in payload],
+                F.col(META_LSN),
+                F.col(META_DEL),
+            )
+
+        return self._dml_commit(matched, transform, mode, batch_id)
+
+    def rollback(self, snapshot_id: str) -> CommitInfo:
+        """Restore the table to an earlier snapshot's state as a NEW commit
+        (Iceberg ``rollback_to_snapshot``): the target's file list, bucket
+        layout, schema pointer, merge mode, and committed-batch ledger all
+        come back, under a fresh snapshot id on top of the existing history
+        — nothing is erased, so the rollback itself can be rolled back.
+        Batches committed after the target are un-committed (their ledger
+        entries revert), which is exactly what makes rollback + re-replay
+        converge: the replayer sees them as never applied."""
+        m = self._manifest()
+        if snapshot_id == m["snapshot_id"]:
+            return CommitInfo(m["snapshot_id"], None, 0, skipped=True)
+        target = self._manifest_of(snapshot_id)
+        nxt = self._next_manifest(m)
+        for field in (
+            "files",
+            "n_buckets",
+            "current_schema_version",
+            "schema_versions",
+            "committed",
+            "merge_mode",
+            "ledger_horizon",
+        ):
+            if field in target:
+                nxt[field] = json.loads(json.dumps(target[field]))
+            else:
+                nxt.pop(field, None)
+        self._write_manifest(nxt)
+        return CommitInfo(nxt["snapshot_id"], None, -1)
+
     def rebucket(self, new_n_buckets: int) -> CommitInfo:
         """Bucket evolution (Iceberg partition-evolution analogue for the
         hash layout): rewrite the table once under a new bucket count and

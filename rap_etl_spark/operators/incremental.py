@@ -91,3 +91,43 @@ def maintain(
         sum_cols,
         count_col,
     )
+
+
+def maintain_join_view(
+    view: DataFrame,
+    changes: DataFrame,
+    dim: DataFrame,
+    key: str,
+    on,
+    how: str = "inner",
+) -> DataFrame:
+    """Incrementally maintain a keyed JOIN view ``V = fact ⋈ dim`` across
+    one fact-side change batch, without re-reading the fact table.
+
+    The fact table is keyed (one live row per ``key`` — the lake-table
+    invariant), so the view holds at most one row per key ('inner': keys
+    with no dim match are absent; 'left': they appear with NULL dim
+    columns) and the delta rule collapses to a replace-by-key:
+
+        V' = (V ANTI⋈ keys(Δ))  ∪  (postimages(Δ) ⋈ dim)
+
+    i.e. drop every changed key's old view row, re-derive changed keys'
+    rows from their post-images. Inserts (no old row), updates (old row
+    dropped + new row added) and deletes (no post-image) all fall out of
+    the same two sized-to-the-batch joins: the anti join streams the view
+    once against a broadcast of the (tiny) changed-key set, and the dim
+    join touches |Δ| rows — the fact table itself is never re-scanned,
+    which is the point at 10^10-row fact scale. Dim-side changes are
+    handled by re-deriving the affected keys (pass them as ``changes``
+    post-images) or by recomputing — classic one-sided IVM.
+
+    ``changes``: `lake.table_changes` output (``_change_type`` column).
+    ``on``: join condition Column between post-image columns and ``dim``.
+    ``view`` columns define the output; post-image ⋈ dim must be able to
+    produce them (same select list as the view definition).
+    """
+    changed_keys = changes.select(key).distinct()
+    post = changes.filter(F.col("_change_type").isin(*_POS))
+    fresh = post.join(dim, on, how).select(*view.columns)
+    kept = view.join(F.broadcast(changed_keys), on=key, how="left_anti")
+    return kept.unionByName(fresh)

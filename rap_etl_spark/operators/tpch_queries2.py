@@ -240,6 +240,67 @@ def q_cdc_merge(spark, sf, merge_mode="cow"):
         shutil.rmtree(work, ignore_errors=True)
 
 
+def _dml_table(spark, work, sf, merge_mode):
+    """Bootstrap a lake table from `customer` (unique keys, append path)."""
+    from pyspark.sql import types as T
+
+    from rap_etl_spark.lake import ManifestParquetTable
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType()),
+            T.StructField("bal", T.DoubleType()),
+            T.StructField("seg", T.StringType()),
+        ]
+    )
+    rows = _t(spark, sf, "customer").select(
+        F.col("c_custkey").cast("string").alias("doc_id"),
+        F.col("c_acctbal").alias("bal"),
+        F.col("c_mktsegment").alias("seg"),
+    )
+    table = ManifestParquetTable.create(
+        spark, os.path.join(work, "t"), schema, n_buckets=8, merge_mode=merge_mode
+    )
+    table.append(rows, batch_id=0, assume_unique=True)
+    return table, schema
+
+
+def q_dml_delete_where(spark, sf):
+    """DELETE FROM ... WHERE through the real lake table (lake.py
+    delete_where), MERGE-ON-READ mode: negative-balance rows are erased by
+    committing tombstone deltas only, and the read-side resolution must
+    equal the plain SQL filter. The GDPR-erasure path, driver-oracled."""
+    work = tempfile.mkdtemp(prefix="rap-etl-dml-del-")
+    try:
+        table, schema = _dml_table(spark, work, sf, "mor")
+        table.delete_where("bal < 0.0")
+        rows = table.read().select("doc_id", "bal", "seg").collect()
+        return spark.createDataFrame(rows, schema)
+    finally:
+        import shutil
+
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def q_dml_update_where(spark, sf):
+    """UPDATE ... SET ... WHERE through the real lake table (lake.py
+    update_where), copy-on-write mode: negative balances zeroed and their
+    segment relabeled, only affected buckets rewritten. The scrub/backfill
+    path, driver-oracled against the equivalent CASE expression."""
+    work = tempfile.mkdtemp(prefix="rap-etl-dml-upd-")
+    try:
+        table, schema = _dml_table(spark, work, sf, "cow")
+        table.update_where(
+            "bal < 0.0", {"bal": "0.0", "seg": F.lit("SCRUBBED")}
+        )
+        rows = table.read().select("doc_id", "bal", "seg").collect()
+        return spark.createDataFrame(rows, schema)
+    finally:
+        import shutil
+
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def q_cdc_merge_mor(spark, sf):
     """C4 in MERGE-ON-READ mode (lake.py merge(mode='mor')): identical
     workload and oracle as `cdc_merge` — the write path commits only
@@ -260,6 +321,8 @@ TPCH_QUERIES2 = {
     "q22_idle_customers": q22_idle_customers,
     "cdc_merge": q_cdc_merge,
     "cdc_merge_mor": q_cdc_merge_mor,
+    "dml_delete_where": q_dml_delete_where,
+    "dml_update_where": q_dml_update_where,
 }
 
 TPCH_ORACLES2 = {
@@ -352,6 +415,16 @@ TPCH_ORACLES2 = {
         " w AS (SELECT *, row_number() OVER"
         " (PARTITION BY doc_id ORDER BY lsn DESC) AS rn FROM ev)"
         " SELECT doc_id, lsn, price FROM w WHERE rn = 1 AND op <> 'D'"
+    ),
+    "dml_delete_where": (
+        "SELECT CAST(c_custkey AS VARCHAR) AS doc_id, c_acctbal AS bal,"
+        " c_mktsegment AS seg FROM customer WHERE NOT (c_acctbal < 0.0)"
+    ),
+    "dml_update_where": (
+        "SELECT CAST(c_custkey AS VARCHAR) AS doc_id,"
+        " CASE WHEN c_acctbal < 0.0 THEN 0.0 ELSE c_acctbal END AS bal,"
+        " CASE WHEN c_acctbal < 0.0 THEN 'SCRUBBED' ELSE c_mktsegment END AS seg"
+        " FROM customer"
     ),
 }
 
@@ -685,8 +758,79 @@ def q_incr_agg_maintain(spark, sf):
         shutil.rmtree(work, ignore_errors=True)
 
 
+def q_incr_join_maintain(spark, sf):
+    """Join-view IVM end-to-end, oracled: maintain a fact⋈dim view (lake
+    events ⋈ customer segments) across a merge batch by replacing only the
+    changed keys' view rows (operators/incremental.py maintain_join_view)
+    — the fact table is never re-scanned after the initial view build.
+    Oracle: the final LWW state joined to customer."""
+    from pyspark.sql import types as T
+
+    from rap_etl_spark.lake import ManifestParquetTable
+    from rap_etl_spark.operators.cdc import lww_latest
+    from rap_etl_spark.operators.incremental import maintain_join_view
+
+    ev = _t(spark, sf, "orders").select(
+        F.col("o_custkey").cast("string").alias("doc_id"),
+        F.col("o_orderkey").alias("lsn"),
+        F.col("o_totalprice").alias("price"),
+        F.when(F.col("o_orderkey") % 10 == 0, "D").otherwise("U").alias("op"),
+    )
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType()),
+            T.StructField("lsn", T.LongType()),
+            T.StructField("price", T.DoubleType()),
+        ]
+    )
+    out_schema = T.StructType(
+        list(schema.fields) + [T.StructField("seg", T.StringType())]
+    )
+    dim = _t(spark, sf, "customer").select(
+        F.col("c_custkey").cast("string").alias("c_key"),
+        F.col("c_mktsegment").alias("seg"),
+    )
+    work = tempfile.mkdtemp(prefix="rap-etl-ivm-join-")
+    try:
+        table = ManifestParquetTable.create(
+            spark, os.path.join(work, "t"), schema, n_buckets=8
+        )
+        table.merge(lww_latest(ev.filter(F.col("lsn") % 2 == 0)), batch_id=0)
+        sid1 = table.snapshot_id()
+        view = table.read().join(
+            F.broadcast(dim), F.col("doc_id") == F.col("c_key"), "inner"
+        ).select("doc_id", "lsn", "price", "seg")
+        table.merge(lww_latest(ev.filter(F.col("lsn") % 2 == 1)), batch_id=1)
+        changes = table.table_changes(sid1)
+        maintained = maintain_join_view(
+            view,
+            changes,
+            F.broadcast(dim),
+            key="doc_id",
+            on=F.col("doc_id") == F.col("c_key"),
+        )
+        rows = maintained.collect()
+        return spark.createDataFrame(rows, out_schema)
+    finally:
+        import shutil
+
+        shutil.rmtree(work, ignore_errors=True)
+
+
 TPCH_QUERIES2["cdc_table_changes"] = q_cdc_table_changes
 TPCH_QUERIES2["incr_agg_maintain"] = q_incr_agg_maintain
+TPCH_QUERIES2["incr_join_maintain"] = q_incr_join_maintain
+
+TPCH_ORACLES2["incr_join_maintain"] = (
+    "WITH ev AS (SELECT CAST(o_custkey AS VARCHAR) AS doc_id,"
+    " o_orderkey AS lsn, o_totalprice AS price,"
+    " CASE WHEN o_orderkey % 10 = 0 THEN 'D' ELSE 'U' END AS op FROM orders),"
+    " w AS (SELECT *, row_number() OVER"
+    "   (PARTITION BY doc_id ORDER BY lsn DESC) AS rn FROM ev),"
+    " live AS (SELECT doc_id, lsn, price FROM w WHERE rn = 1 AND op <> 'D')"
+    " SELECT doc_id, lsn, price, c_mktsegment AS seg FROM live"
+    " JOIN customer ON CAST(doc_id AS BIGINT) = c_custkey"
+)
 
 TPCH_ORACLES2["incr_agg_maintain"] = (
     "WITH ev AS (SELECT CAST(o_custkey AS VARCHAR) AS doc_id,"

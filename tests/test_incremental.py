@@ -67,3 +67,78 @@ def test_matches_recomputation(spark):
         .agg(F.count(F.lit(1)).alias("n"), F.sum("val").alias("val"))
     )
     assert sorted(map(tuple, a2.collect())) == sorted(map(tuple, full.collect()))
+
+
+# --------------------------------------------------------------------------
+# join-view IVM (maintain_join_view)
+# --------------------------------------------------------------------------
+def _fact(spark, rows):
+    return spark.createDataFrame(rows, "doc_id string, fk int, val long")
+
+
+def _fact_changes(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id string, fk int, val long, _change_type string"
+    )
+
+
+def _dim(spark):
+    return spark.createDataFrame(
+        [(1, "red"), (2, "blue"), (3, "green")], "dk int, color string"
+    )
+
+
+def _join_view(spark, fact):
+    from pyspark.sql import functions as F2
+
+    return fact.join(_dim(spark), F2.col("fk") == F2.col("dk"), "inner").select(
+        "doc_id", "fk", "val", "color"
+    )
+
+
+def test_maintain_join_view_matches_recompute(spark):
+    from pyspark.sql import functions as F2
+
+    from rap_etl_spark.operators.incremental import maintain_join_view
+
+    old = [("a", 1, 10), ("b", 2, 20), ("c", 3, 30), ("d", 9, 40)]  # d: no dim
+    view = _join_view(spark, _fact(spark, old))
+    # batch: update a (fk flips 1->2), delete b, insert e, touch-null-dim f
+    ch = _fact_changes(
+        spark,
+        [
+            ("a", 1, 10, "update_preimage"),
+            ("a", 2, 11, "update_postimage"),
+            ("b", 2, 20, "delete"),
+            ("e", 3, 50, "insert"),
+            ("f", 9, 60, "insert"),
+        ],
+    )
+    new_fact = _fact(
+        spark, [("a", 2, 11), ("c", 3, 30), ("d", 9, 40), ("e", 3, 50), ("f", 9, 60)]
+    )
+    maintained = maintain_join_view(
+        view, ch, _dim(spark), key="doc_id", on=F2.col("fk") == F2.col("dk")
+    )
+    expect = _join_view(spark, new_fact)
+    assert sorted(map(tuple, maintained.collect())) == sorted(
+        map(tuple, expect.collect())
+    )
+
+
+def test_maintain_join_view_left_outer(spark):
+    from pyspark.sql import functions as F2
+
+    from rap_etl_spark.operators.incremental import maintain_join_view
+
+    fact = _fact(spark, [("a", 1, 10), ("d", 9, 40)])
+    dim = _dim(spark)
+    view = fact.join(dim, F2.col("fk") == F2.col("dk"), "left").select(
+        "doc_id", "fk", "val", "color"
+    )
+    ch = _fact_changes(spark, [("z", 8, 70, "insert")])  # another no-match key
+    maintained = maintain_join_view(
+        view, ch, dim, key="doc_id", on=F2.col("fk") == F2.col("dk"), how="left"
+    )
+    got = {r["doc_id"]: r["color"] for r in maintained.collect()}
+    assert got == {"a": "red", "d": None, "z": None}
