@@ -82,6 +82,9 @@ LC_EVENTS = int(os.environ.get("SPARK_GRAFT_BENCH_LC_EVENTS", "256000000"))
 # Batch 0 bootstraps ~1M rows; batch 1 upserts into them.
 MERGE_KEYS = int(os.environ.get("SPARK_GRAFT_BENCH_MERGE_KEYS", "1000000"))
 MERGE_EVENTS = int(os.environ.get("SPARK_GRAFT_BENCH_MERGE_EVENTS", "16000000"))
+# batches in the merge-heavy log: >2 models a sustained CDC cadence where
+# CoW re-rewrites hot buckets every batch and MoR's O(delta) write wins
+MERGE_BATCHES = int(os.environ.get("SPARK_GRAFT_BENCH_MERGE_BATCHES", "2"))
 HEADLINE_QUERIES = [
     "agg_pricing_summary",
     "join_sortmerge",
@@ -201,7 +204,7 @@ def prepare_merge_log(work: str) -> str:
             spark, SF_DIR, MERGE_EVENTS, max_tok=MAX_TOK, packed=PACKED,
             staging_dir=staging, n_keys=MERGE_KEYS,
         )
-        write_event_log(ev, log_dir, n_batches=2, n_events=MERGE_EVENTS)
+        write_event_log(ev, log_dir, n_batches=MERGE_BATCHES, n_events=MERGE_EVENTS)
 
     _retry(_run)
     shutil.rmtree(staging, ignore_errors=True)
@@ -438,6 +441,7 @@ def main() -> None:
     merge_heavy = {
         "n_events": MERGE_EVENTS,
         "n_keys": MERGE_KEYS,
+        "n_batches": MERGE_BATCHES,
         "best_sec": round(min(mtimes["cow"]), 3) if mtimes["cow"] else None,
         "eps": round(MERGE_EVENTS / min(mtimes["cow"]), 1) if mtimes["cow"] else None,
         "mor_best_sec": round(min(mtimes["mor"]), 3) if mtimes["mor"] else None,

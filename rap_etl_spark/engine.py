@@ -225,7 +225,15 @@ class CdcEngine:
                     and self.dedup_policy is None
                     and isinstance(self.table, ManifestParquetTable)
                 )
-                if use_hint:
+                if use_hint and self.table.merge_mode() == "mor":
+                    # MoR needs no affected-bucket set (it reads nothing),
+                    # so the discovery job disappears entirely; the exact
+                    # ledger row count comes from merge() itself, which
+                    # persists the deduped change frame and counts it (the
+                    # staged file still holds byte-identical duplicate
+                    # winner rows, so a file-level count would overstate).
+                    info: CommitInfo = self.table.merge(payload, batch_id=batch_id)
+                elif use_hint:
                     _t = time.monotonic()
                     staged_keys = self.spark.read.parquet(delta_path).select(KEY)
                     stats = (
@@ -236,7 +244,7 @@ class CdcEngine:
                         .collect()
                     )
                     _tlog("engine.bucket_discovery", _t)
-                    info: CommitInfo = self.table.merge(
+                    info = self.table.merge(
                         payload,
                         batch_id=batch_id,
                         affected_buckets={r["_b"] for r in stats},

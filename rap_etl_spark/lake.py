@@ -692,14 +692,18 @@ class ManifestParquetTable(LakeTable):
                     continue
                 prefix = "d" if kind == "delta" else "b"
                 new_name = f"{prefix}{bucket:05d}-{sid}-{i:04d}.parquet"
-                os.replace(
-                    os.path.join(staging, bdir, fn),
-                    os.path.join(self.path, "data", new_name),
-                )
+                dest = os.path.join(self.path, "data", new_name)
+                os.replace(os.path.join(staging, bdir, fn), dest)
+                # exact row count from the parquet footer (driver-local
+                # metadata read, no job) — commit statistics for free,
+                # and the MoR ledger count without materializing anything
+                import pyarrow.parquet as pq
+
                 entry = {
                     "path": os.path.join("data", new_name),
                     "bucket": bucket,
                     "schema_version": schema_version,
+                    "rows": int(pq.ParquetFile(dest).metadata.num_rows),
                 }
                 if kind == "delta":
                     entry["kind"] = "delta"
@@ -864,34 +868,32 @@ class ManifestParquetTable(LakeTable):
         if mode == "mor":
             # write-optimized path: ONE job (bucket-clustered write of the
             # change rows as delta files), no read of existing data at all.
-            if n_rows is not None:
-                rows = int(n_rows)
-            else:
-                ch = ch.persist()
-                persisted = True
-                rows = int(ch.count())
-            try:
-                nxt = self._next_manifest(m)
-                _t0 = time.monotonic()
-                entries = self._write_data_files(
-                    ch,
-                    nxt["snapshot_id"],
-                    m["current_schema_version"],
-                    kind="delta",
-                    seq=nxt["seq"],
-                )
-                _tlog("merge.write_delta_files", _t0)
-                nxt["files"] = m["files"] + entries
-                if batch_id is not None:
-                    nxt["committed"][str(batch_id)] = {
-                        "snapshot_id": nxt["snapshot_id"],
-                        "event_count": rows,
-                    }
-                self._write_manifest(nxt)
-                return CommitInfo(nxt["snapshot_id"], batch_id, rows)
-            finally:
-                if persisted:
-                    ch.unpersist()
+            # The exact ledger count falls out of the written files' parquet
+            # footers (changes has one row per key by contract), so the
+            # change frame is consumed exactly once even without a hint.
+            nxt = self._next_manifest(m)
+            _t0 = time.monotonic()
+            entries = self._write_data_files(
+                ch,
+                nxt["snapshot_id"],
+                m["current_schema_version"],
+                kind="delta",
+                seq=nxt["seq"],
+            )
+            _tlog("merge.write_delta_files", _t0)
+            rows = (
+                int(n_rows)
+                if n_rows is not None
+                else sum(fe["rows"] for fe in entries)
+            )
+            nxt["files"] = m["files"] + entries
+            if batch_id is not None:
+                nxt["committed"][str(batch_id)] = {
+                    "snapshot_id": nxt["snapshot_id"],
+                    "event_count": rows,
+                }
+            self._write_manifest(nxt)
+            return CommitInfo(nxt["snapshot_id"], batch_id, rows)
         if affected_buckets is not None:
             affected_set = {int(b) for b in affected_buckets}
             rows = int(n_rows) if n_rows is not None else -1
