@@ -80,6 +80,12 @@ class CdcEngine:
     # fingerprint scan with both joins broadcast-small). Runs on the
     # already-reduced winner delta (small), never on the raw event scan.
     dedup_policy: str | None = None
+    # MoR maintenance cadence: after a commit, if any bucket has stacked
+    # at least this many delta files, fold exactly those buckets back into
+    # base (lake.materialize_deltas) — bounds read amplification to
+    # O(depth) without giving up the O(change set) write path. None = the
+    # operator runs maintenance out-of-band (CLI compact --materialize).
+    auto_materialize_depth: int | None = None
     metrics: list[BatchMetrics] = field(default_factory=list)
 
     def apply_batch(self, events: DataFrame, batch_id: int) -> BatchMetrics:
@@ -280,6 +286,20 @@ class CdcEngine:
                 input_rows = events.count()
             if self.lineage_dir is not None:
                 self._write_lineage(events, batch_id, info)
+            if (
+                self.auto_materialize_depth is not None
+                and not info.skipped
+                and isinstance(self.table, ManifestParquetTable)
+            ):
+                deep = {
+                    b
+                    for b, d in self.table.delta_depth().items()
+                    if d >= self.auto_materialize_depth
+                }
+                if deep:
+                    _t = time.monotonic()
+                    self.table.materialize_deltas(buckets=deep)
+                    _tlog("engine.auto_materialize", _t)
         finally:
             if winners is not None:
                 winners.unpersist()

@@ -659,6 +659,7 @@ class ManifestParquetTable(LakeTable):
         sort_cols: list[str] | None = None,
         kind: str = "base",
         seq: int | None = None,
+        max_rows_per_file: int | None = None,
     ) -> list[dict]:
         """Write df (must contain a `_b` bucket column) as one-or-more parquet
         files per bucket; returns manifest file entries. Files are written via
@@ -676,11 +677,14 @@ class ManifestParquetTable(LakeTable):
             # sort order, so row-group min/max statistics become selective
             # for point/range predicates on the sort columns
             clustered = clustered.sortWithinPartitions("_b", *sort_cols)
-        (
-            clustered.write.mode("overwrite")
-            .partitionBy("_b")
-            .parquet(staging)
-        )
+        writer = clustered.write.mode("overwrite").partitionBy("_b")
+        if max_rows_per_file:
+            # split each sorted bucket into size-bounded files with
+            # CONTIGUOUS key ranges — this is what makes the per-file
+            # min/max zone maps selective (a point lookup then touches one
+            # file per bucket, Iceberg write.target-file-size analogue)
+            writer = writer.option("maxRecordsPerFile", int(max_rows_per_file))
+        writer.parquet(staging)
         entries: list[dict] = []
         for bdir in sorted(os.listdir(staging)):
             if not bdir.startswith("_b="):
@@ -694,17 +698,37 @@ class ManifestParquetTable(LakeTable):
                 new_name = f"{prefix}{bucket:05d}-{sid}-{i:04d}.parquet"
                 dest = os.path.join(self.path, "data", new_name)
                 os.replace(os.path.join(staging, bdir, fn), dest)
-                # exact row count from the parquet footer (driver-local
-                # metadata read, no job) — commit statistics for free,
-                # and the MoR ledger count without materializing anything
+                # commit statistics from the parquet footer (driver-local
+                # metadata read, no job): exact row count (MoR ledger
+                # counts) + key-column min/max zone map (file skipping in
+                # lookup — selective after sorted compaction, same role as
+                # Iceberg's manifest-entry column bounds)
                 import pyarrow.parquet as pq
 
+                md = pq.ParquetFile(dest).metadata
                 entry = {
                     "path": os.path.join("data", new_name),
                     "bucket": bucket,
                     "schema_version": schema_version,
-                    "rows": int(pq.ParquetFile(dest).metadata.num_rows),
+                    "rows": int(md.num_rows),
                 }
+                try:
+                    kidx = md.schema.names.index(self.key)
+                    lo, hi = None, None
+                    for g in range(md.num_row_groups):
+                        st = md.row_group(g).column(kidx).statistics
+                        if st is None or not st.has_min_max:
+                            lo = hi = None
+                            break
+                        gmin, gmax = st.min, st.max
+                        lo = gmin if lo is None or gmin < lo else lo
+                        hi = gmax if hi is None or gmax > hi else hi
+                    # JSON-safe types only (string keys; skip exotic ones)
+                    if isinstance(lo, str) and isinstance(hi, str):
+                        entry["min_key"] = lo
+                        entry["max_key"] = hi
+                except (ValueError, TypeError):
+                    pass
                 if kind == "delta":
                     entry["kind"] = "delta"
                     entry["seq"] = int(seq) if seq is not None else 0
@@ -995,9 +1019,34 @@ class ManifestParquetTable(LakeTable):
             .distinct()
             .collect()
         }
-        files = [fe for fe in m["files"] if fe["bucket"] in buckets]
+        files = self._prune_files_by_key(
+            [fe for fe in m["files"] if fe["bucket"] in buckets], keys
+        )
         df = self._read_resolved(files, self.schema())
         return df.filter(F.col(self.key).isin(list(keys)))
+
+    @staticmethod
+    def _prune_files_by_key(files: list[dict], keys: list[str]) -> list[dict]:
+        """Zone-map file skipping: drop files whose [min_key, max_key]
+        bounds (recorded from parquet footers at commit time) contain none
+        of the requested keys. After a sorted compaction
+        (``compact(sort_cols=[key])``) each bucket's files hold disjoint
+        key ranges, so a point lookup reads exactly one file per key —
+        Iceberg manifest-entry column-bounds pruning. Files without bounds
+        (pre-stats commits) are conservatively kept."""
+        skeys = sorted(str(k) for k in keys)
+        out = []
+        for fe in files:
+            lo, hi = fe.get("min_key"), fe.get("max_key")
+            if lo is None or hi is None:
+                out.append(fe)
+                continue
+            import bisect
+
+            i = bisect.bisect_left(skeys, lo)
+            if i < len(skeys) and skeys[i] <= hi:
+                out.append(fe)
+        return out
 
     # ---------- maintenance ----------
     def compact(
@@ -1006,6 +1055,7 @@ class ManifestParquetTable(LakeTable):
         expire_snapshots_keep: int | None = None,
         ledger_horizon_batch_id: int | None = None,
         sort_cols: list[str] | None = None,
+        max_rows_per_file: int | None = None,
     ) -> CommitInfo:
         """Table maintenance, Iceberg rewrite_data_files-style:
 
@@ -1040,7 +1090,7 @@ class ManifestParquetTable(LakeTable):
         nxt = self._next_manifest(m)
         entries = self._write_data_files(
             data, nxt["snapshot_id"], m["current_schema_version"],
-            sort_cols=sort_cols,
+            sort_cols=sort_cols, max_rows_per_file=max_rows_per_file,
         )
         nxt["files"] = entries
         if ledger_horizon_batch_id is not None:

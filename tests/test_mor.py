@@ -187,3 +187,57 @@ def test_set_merge_mode_flips_default(spark, tmp_path):
     assert all(fe.get("kind") == "delta" for fe in t._manifest()["files"])
     with pytest.raises(ValueError):
         t.set_merge_mode("nope")
+
+
+def test_zone_map_pruning_after_sorted_compact(spark, tmp_path):
+    """Commit-time parquet-footer key bounds + lookup-side file skipping:
+    after a sorted compaction the bounds are recorded, and a point lookup
+    keeps only files whose [min_key, max_key] can contain a requested
+    key."""
+    t = ManifestParquetTable.create(
+        spark, str(tmp_path / "t"), SCHEMA, n_buckets=2
+    )
+    rows = [(f"doc-{i:04d}", "U", i + 1, i * 10) for i in range(200)]
+    t.merge(mk_changes(spark, rows), batch_id=0)
+    # size-bounded sorted files -> contiguous key ranges per file
+    t.compact(sort_cols=["doc_id"], max_rows_per_file=30)
+    files = t._manifest()["files"]
+    assert len(files) > 2  # buckets actually split into multiple files
+    assert all("min_key" in fe and "max_key" in fe for fe in files)
+    pruned = t._prune_files_by_key(files, ["doc-0005"])
+    # one surviving file per bucket at most
+    assert len(pruned) <= t.n_buckets() < len(files)
+    got = {r["doc_id"]: r["val"] for r in t.lookup(["doc-0005", "doc-0190"]).collect()}
+    assert got == {"doc-0005": 50, "doc-0190": 1900}
+    # a key outside every file's bounds prunes everything in its bucket
+    assert t.lookup(["zzz-none"]).count() == 0
+
+
+def test_engine_auto_materialize_bounds_depth(spark, tmp_path):
+    from rap_etl_spark.engine import CdcEngine
+
+    t = ManifestParquetTable.create(
+        spark, str(tmp_path / "t"), SCHEMA, n_buckets=2, merge_mode="mor"
+    )
+    eng = CdcEngine(spark, t, count_input=False, auto_materialize_depth=2)
+    max_seen = 0
+    for i, rows in enumerate(BATCHES * 2):
+        eng.apply_batch(
+            spark.createDataFrame(rows, "doc_id string, op string, lsn long, val long")
+            .withColumn("lsn", F.col("lsn") + F.lit(i * 100)),
+            batch_id=i,
+        )
+        depth = t.delta_depth()
+        max_seen = max([max_seen, *depth.values()]) if depth else max_seen
+        assert all(d < 2 for d in depth.values()), f"depth ran away: {depth}"
+    assert max_seen >= 1  # deltas did stack before being folded
+    # final state equals a CoW replay of the same batches
+    cow = ManifestParquetTable.create(spark, str(tmp_path / "c"), SCHEMA, n_buckets=2)
+    ec = CdcEngine(spark, cow, count_input=False)
+    for i, rows in enumerate(BATCHES * 2):
+        ec.apply_batch(
+            spark.createDataFrame(rows, "doc_id string, op string, lsn long, val long")
+            .withColumn("lsn", F.col("lsn") + F.lit(i * 100)),
+            batch_id=i,
+        )
+    assert state(t) == state(cow)
