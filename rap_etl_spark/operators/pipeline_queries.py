@@ -458,7 +458,43 @@ def q_histogram_fixed(spark, sf):
     )
 
 
+def q_ngram_repeat(spark, sf):
+    """Repeated-n-gram detection — the substring-level dedup signal of
+    'Deduplicating Training Data Makes Language Models Better' (Lee et
+    al.) reduced to its distributive core: every whitespace 4-gram of
+    every document, grouped, kept when it occurs more than once in the
+    corpus. All JVM: split → transform(sequence) sliding windows →
+    explode → one map-side-combinable groupBy; no Python, no all-pairs.
+    At corpus scale the gram space is huge but the groupBy is the same
+    shuffle shape as word counting (the canonical scalable job)."""
+    n = 4
+    d = _t(spark, sf, "documents").select(
+        "doc_id", F.split(F.col("text"), " ").alias("toks")
+    )
+    grams = d.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size("toks") >= n,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("toks") - (n - 1)),
+                    lambda i: F.array_join(F.slice("toks", i, n), " "),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("gram"),
+    )
+    return (
+        grams.groupBy("gram")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occ"),
+        )
+        .filter(F.col("n_occ") > 1)
+    )
+
+
 QUERIES2 = {
+    "ngram_repeat": q_ngram_repeat,
     "posting_list": q_posting_list,
     "vocab_topk": q_vocab_topk,
     "histogram_fixed": q_histogram_fixed,
@@ -493,6 +529,15 @@ QUERIES2 = {
 }
 
 ORACLES2 = {
+    "ngram_repeat": (
+        "WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks"
+        "   FROM documents),"
+        " g AS (SELECT doc_id, array_to_string(toks[i:i+3], ' ') AS gram"
+        "   FROM t, UNNEST(range(1, len(toks)-2)) AS u(i)"
+        "   WHERE len(toks) >= 4)"
+        " SELECT gram, count(DISTINCT doc_id) AS n_docs,"
+        " count(*) AS n_occ FROM g GROUP BY gram HAVING count(*) > 1"
+    ),
     "posting_list": (
         "WITH wd AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' '))"
         "   AS word FROM documents)"

@@ -683,3 +683,97 @@ def _alias_q1() -> None:
 
 
 _alias_q1()
+
+
+# --------------------------------------------------------------------------
+# round-2 session 3: sliding window, deterministic mode, generator shape
+# --------------------------------------------------------------------------
+def q_stream_sliding(spark, sf):
+    """R3 sliding-window aggregate in batch mode (window size 10m, slide
+    5m — each event lands in exactly two windows), the same plan shape
+    Structured Streaming executes per micro-batch. Oracled by expanding
+    each event to its two epoch-aligned slide slots."""
+    from pyspark.sql import functions as F
+
+    from rap_etl_spark.operators.relational import _t
+
+    ev = _t(spark, sf, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "10 minutes", "5 minutes").alias("w"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum("value"), 2).alias("sum_val"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+            "event_type",
+            "cnt",
+            "sum_val",
+        )
+    )
+
+
+TPCH_QUERIES3["stream_sliding"] = q_stream_sliding
+TPCH_ORACLES3["stream_sliding"] = (
+    "WITH s AS (SELECT event_type, value,"
+    " UNNEST([time_bucket(INTERVAL 5 MINUTE, ts),"
+    "         time_bucket(INTERVAL 5 MINUTE, ts) - INTERVAL 5 MINUTE])"
+    "   AS win_start FROM events)"
+    " SELECT strftime(win_start, '%Y-%m-%d %H:%M:%S') AS win_start,"
+    " event_type, count(*) AS cnt, round(sum(value), 2) AS sum_val"
+    " FROM s GROUP BY win_start, event_type"
+)
+
+
+def q_agg_mode(spark, sf):
+    """Deterministic MODE per group (most frequent lang per source, ties
+    broken lexicographically) — the count+rank formulation both engines
+    can state identically, unlike built-in mode()'s unspecified ties."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from rap_etl_spark.operators.relational import _t
+
+    d = _t(spark, sf, "documents")
+    counts = d.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("source").orderBy(F.col("n").desc(), F.col("lang").asc())
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("source", F.col("lang").alias("mode_lang"), "n")
+    )
+
+
+TPCH_QUERIES3["agg_mode"] = q_agg_mode
+TPCH_ORACLES3["agg_mode"] = (
+    "WITH c AS (SELECT source, lang, count(*) AS n FROM documents"
+    "   GROUP BY source, lang),"
+    " r AS (SELECT *, row_number() OVER (PARTITION BY source"
+    "   ORDER BY n DESC, lang ASC) AS rn FROM c)"
+    " SELECT source, lang AS mode_lang, n FROM r WHERE rn = 1"
+)
+
+
+def q_fn_posexplode(spark, sf):
+    """Generator plan shape: posexplode of the whitespace token array with
+    0-based positions (2% doc sample keeps the compare tractable)."""
+    from pyspark.sql import functions as F
+
+    from rap_etl_spark.operators.relational import _t
+
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") % 50 == 0)
+    return d.select(
+        "doc_id",
+        F.posexplode(F.split(F.col("text"), " ")).alias("pos", "word"),
+    )
+
+
+TPCH_QUERIES3["fn_posexplode"] = q_fn_posexplode
+TPCH_ORACLES3["fn_posexplode"] = (
+    "WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks"
+    "   FROM documents WHERE doc_id % 50 = 0)"
+    " SELECT doc_id, i - 1 AS pos, toks[i] AS word"
+    " FROM t, UNNEST(range(1, len(toks) + 1)) AS u(i)"
+)
