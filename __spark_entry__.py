@@ -99,8 +99,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
     flagship = [
         "cdc_merge",
+        "cdc_merge_mor",
         "cdc_table_changes",
         "incr_agg_maintain",
+        "incr_join_maintain",
+        "dml_delete_where",
+        "dml_update_where",
         "binlog_roundtrip",
         "embed_neardup",
     ]

@@ -77,6 +77,11 @@ def hadoop_fs_rmdir_if_empty(spark: SparkSession, path: str) -> bool:
     return False
 
 
+class ConstraintViolationError(ValueError):
+    """A change batch contains rows violating a table CHECK constraint;
+    the commit was refused and no file was published."""
+
+
 class CommitConflictError(RuntimeError):
     """Another writer committed a snapshot since this commit's base was
     read (Iceberg's optimistic-concurrency conflict). Re-read the table
@@ -318,6 +323,59 @@ class ManifestParquetTable(LakeTable):
         nxt = self._next_manifest(m)
         nxt["merge_mode"] = mode
         self._write_manifest(nxt)
+
+    def constraints(self) -> dict[str, str]:
+        """Table CHECK constraints (Delta `ALTER TABLE ADD CONSTRAINT`
+        parity): name -> SQL boolean expression over the logical schema,
+        validated against every incoming live row at merge/append time.
+        NULL evaluates as pass (SQL-standard CHECK semantics)."""
+        return dict(self._manifest().get("constraints", {}))
+
+    def set_constraint(self, name: str, expr: str) -> None:
+        """Add/replace a CHECK constraint (metadata-only commit). The
+        EXISTING table is not re-validated — like Delta, the constraint
+        guards writes from now on; run a one-off `read().filter(~expr)`
+        audit if the history must be certified too."""
+        # fail fast on an unparsable expression, driver-side
+        self.spark.createDataFrame([], self.schema()).filter(F.expr(expr))
+        m = self._manifest()
+        nxt = self._next_manifest(m)
+        nxt.setdefault("constraints", {})[name] = expr
+        self._write_manifest(nxt)
+
+    def drop_constraint(self, name: str) -> None:
+        m = self._manifest()
+        if name not in m.get("constraints", {}):
+            raise ValueError(f"no such constraint: {name}")
+        nxt = self._next_manifest(m)
+        del nxt["constraints"][name]
+        self._write_manifest(nxt)
+
+    def _validate_constraints(self, ch: DataFrame) -> None:
+        """One tiny job over the (small, staged) change frame: per
+        constraint, did ANY live row violate it? Delete tombstones are
+        exempt (their payload is NULL by design). Zero cost when the
+        table has no constraints."""
+        cons = self._manifest().get("constraints", {})
+        if not cons:
+            return
+        live = ~F.coalesce(F.col(META_DEL), F.lit(False))
+        flags = (
+            ch.filter(live)
+            .agg(
+                *[
+                    F.max((~F.expr(e)).cast("int")).alias(n)
+                    for n, e in cons.items()
+                ]
+            )
+            .collect()[0]
+        )
+        violated = [n for n in cons if flags[n]]
+        if violated:
+            raise ConstraintViolationError(
+                f"change batch violates CHECK constraint(s) {violated}: "
+                + "; ".join(f"{n}: {cons[n]}" for n in violated)
+            )
 
     def delta_depth(self) -> dict[int, int]:
         """Stacked delta-file count per dirty bucket — the MoR read
@@ -788,6 +846,7 @@ class ManifestParquetTable(LakeTable):
             prev = m["committed"].get(str(batch_id), {"snapshot_id": m["snapshot_id"]})
             return CommitInfo(prev["snapshot_id"], batch_id, 0, skipped=True)
         data = self._with_meta(df, self.schema())
+        self._validate_constraints(data)
         if not assume_unique:
             from pyspark.sql import Window
 
@@ -888,6 +947,7 @@ class ManifestParquetTable(LakeTable):
             raise ValueError(f"merge mode must be 'cow' or 'mor', got {mode!r}")
         schema = self.schema()
         ch = self._with_meta(changes, schema).withColumn("_b", self._bucket_expr(self.key))
+        self._validate_constraints(ch)
         persisted = False
         if mode == "mor":
             # write-optimized path: ONE job (bucket-clustered write of the

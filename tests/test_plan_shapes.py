@@ -165,3 +165,33 @@ def test_zorder_key_is_jvm_only(spark, sf_oracle):
     plan = formatted_plan(df)
     assert "Python" not in plan and "BatchEval" not in plan
     assert count_exchanges(df) == 0
+
+
+def test_mor_clean_read_has_no_resolution_shuffle(spark, tmp_path):
+    """A read of a pure-CoW (or fully materialized) table must bypass the
+    MoR resolver entirely: no aggregate, no exchange — just the scan.
+    Dirty buckets add exactly one HashAggregate branch for the resolved
+    subset; clean buckets keep streaming shuffle-free."""
+    from pyspark.sql import types as T
+
+    from rap_etl_spark.lake import ManifestParquetTable
+
+    schema = T.StructType(
+        [T.StructField("doc_id", T.StringType()), T.StructField("v", T.LongType())]
+    )
+    t = ManifestParquetTable.create(
+        spark, str(tmp_path / "t"), schema, n_buckets=2, merge_mode="mor"
+    )
+    ch = spark.createDataFrame(
+        [("a", "U", 1, 10), ("b", "U", 2, 20)],
+        "doc_id string, op string, lsn long, v long",
+    )
+    t.merge(ch, batch_id=0)
+    dirty_plan = formatted_plan(t.read())
+    # resolver active while dirty (max_by over a struct ordering key plans
+    # as SortAggregate/ObjectHashAggregate depending on version)
+    assert "Aggregate" in dirty_plan
+    t.materialize_deltas()
+    clean_plan = formatted_plan(t.read())
+    assert "Aggregate" not in clean_plan
+    assert count_exchanges(t.read()) == 0
