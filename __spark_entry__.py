@@ -82,6 +82,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2, ordered:
     flagship end-to-end proofs, then keys no prior driver round confirmed,
     then previously-confirmed keys."""
+    from rap_etl_spark.operators.cdc_queries import CDC_QUERIES
     from rap_etl_spark.operators.pipeline_queries import QUERIES2
     from rap_etl_spark.operators.relational import QUERIES
     from rap_etl_spark.operators.sketches import SKETCH_QUERIES
@@ -96,6 +97,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **TPCH_QUERIES2,
         **TPCH_QUERIES3,
         **SKETCH_QUERIES,
+        **CDC_QUERIES,
     }
     flagship = [
         "cdc_merge",
@@ -105,6 +107,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incr_join_maintain",
         "dml_delete_where",
         "dml_update_where",
+        "cdc_merge_patch",
         "binlog_roundtrip",
         "embed_neardup",
     ]
@@ -119,6 +122,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-dialect oracle for each SQL-expressible queries() key."""
+    from rap_etl_spark.operators.cdc_queries import CDC_ORACLES
     from rap_etl_spark.operators.pipeline_queries import ORACLES2
     from rap_etl_spark.operators.relational import ORACLES
     from rap_etl_spark.operators.sketches import SKETCH_ORACLES
@@ -133,4 +137,5 @@ def oracle_sql() -> dict[str, str]:
         **TPCH_ORACLES2,
         **TPCH_ORACLES3,
         **SKETCH_ORACLES,
+        **CDC_ORACLES,
     }

@@ -894,6 +894,7 @@ class ManifestParquetTable(LakeTable):
         affected_buckets: set[int] | None = None,
         n_rows: int | None = None,
         mode: str | None = None,
+        update_semantics: str = "row",
     ) -> CommitInfo:
         """Bucket-granular copy-on-write MERGE, conditional on row version.
 
@@ -928,6 +929,19 @@ class ManifestParquetTable(LakeTable):
           cadence. Identical semantics to Iceberg v2 equality deletes +
           data files with sequence-number shadowing.
 
+        ``update_semantics``:
+
+        - ``"row"`` (default) — a winning update replaces the whole row.
+        - ``"patch"`` — partial-update CDC (Debezium-style): a winning
+          non-delete change sets only the columns it carries; NULL payload
+          columns keep the stored row's value (per-column coalesce inside
+          the same single full-outer join — no extra job or shuffle).
+          Fold multi-event batches with ``operators.cdc.lww_patch`` first
+          so the per-key row already carries the column-wise winners.
+          CoW only: stacked MoR deltas resolve row-wise at read time, so
+          patch+mor is refused rather than silently wrong (same
+          restriction as Iceberg equality deletes).
+
         ``affected_buckets``/``n_rows``: caller-supplied discovery hints
         (the engine derives them from a column-pruned scan of the staged
         delta — no dedup/unpack Python stage runs for discovery). With a
@@ -945,6 +959,15 @@ class ManifestParquetTable(LakeTable):
         mode = mode or m.get("merge_mode", "cow")
         if mode not in ("cow", "mor"):
             raise ValueError(f"merge mode must be 'cow' or 'mor', got {mode!r}")
+        if update_semantics not in ("row", "patch"):
+            raise ValueError(
+                f"update_semantics must be 'row' or 'patch', got {update_semantics!r}"
+            )
+        if update_semantics == "patch" and mode == "mor":
+            raise ValueError(
+                "update_semantics='patch' requires mode='cow': MoR deltas "
+                "resolve row-wise at read time and would drop unset columns"
+            )
         schema = self.schema()
         ch = self._with_meta(changes, schema).withColumn("_b", self._bucket_expr(self.key))
         self._validate_constraints(ch)
@@ -1028,12 +1051,25 @@ class ManifestParquetTable(LakeTable):
                 | (c_v > o_v)
                 | ((c_v == o_v) & (c_d >= o_d))
             )
+            meta_cols = {META_LSN, META_DEL}
+
+            def _winning_value(col: str):
+                # patch: a winning non-delete change keeps the stored value
+                # for payload columns it left NULL; meta columns and
+                # tombstones always take the change side whole.
+                if update_semantics == "patch" and col not in meta_cols:
+                    return F.when(
+                        F.coalesce(F.col(f"c.{META_DEL}"), F.lit(False)),
+                        F.col(f"c.{col}"),
+                    ).otherwise(F.coalesce(F.col(f"c.{col}"), F.col(f"o.{col}")))
+                return F.col(f"c.{col}")
+
             new_data = (
                 o.join(c, o_key == c_key, "full_outer")
                 .select(
                     F.coalesce(o_key, c_key).alias(self.key),
                     *[
-                        F.when(change_wins, F.col(f"c.{col}"))
+                        F.when(change_wins, _winning_value(col))
                         .otherwise(F.col(f"o.{col}"))
                         .alias(col)
                         for col in data_cols

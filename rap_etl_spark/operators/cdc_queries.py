@@ -1,0 +1,186 @@
+"""CDC wave 8 (round 2, session 4): dimension-history and partial-update
+operators — SCD Type 2, change-data-feed pre/post images, and Debezium-style
+patch CDC, both as a pure fold and end-to-end through the real lake table
+(``merge(update_semantics='patch')``).
+
+All four are value-oracled against DuckDB on the star schema: the change
+stream is derived deterministically from `orders` (doc_id = custkey,
+lsn = orderkey — a real total order per key), exactly as `cdc_merge` does.
+
+Scale notes: scd2/changefeed are each ONE shuffle by key (all window
+functions share a single (key, lsn) Exchange+Sort); the patch fold is one
+fixed-width hash aggregate with map-side combine; the end-to-end patch
+merge adds NO job over a row merge — the per-column coalesce lives inside
+the same single full-outer join (lake.py merge).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import functions as F
+
+from rap_etl_spark.operators.relational import _t
+
+
+def _order_events(spark, sf):
+    """Deterministic change stream: one event per order, keyed by customer,
+    versioned by orderkey (monotone per key in TPC-H generation order)."""
+    return _t(spark, sf, "orders").select(
+        F.col("o_custkey").cast("string").alias("doc_id"),
+        F.col("o_orderkey").alias("lsn"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_totalprice").alias("price"),
+    )
+
+
+def q_cdc_scd2(spark, sf):
+    """SCD Type 2 dimension history (Kimball): per customer, the sequence
+    of (status, priority) versions with change-collapse — consecutive
+    orders repeating the same attributes extend the open version instead
+    of opening a new one — and [valid_from, valid_to) LSN validity ranges
+    with an is_current flag."""
+    from rap_etl_spark.operators.cdc import scd2_history
+
+    ev = _order_events(spark, sf).select("doc_id", "lsn", "status", "priority")
+    return scd2_history(ev, key="doc_id", lsn_col="lsn", tracked=["status", "priority"])
+
+
+def q_cdc_changefeed(spark, sf):
+    """Change-data-feed with pre/post images (Delta CDF wide form): the
+    first event per customer is an `insert`, every later one an `update`
+    carrying price_pre = the previous version's price."""
+    from rap_etl_spark.operators.cdc import changefeed
+
+    ev = _order_events(spark, sf).select("doc_id", "lsn", "price")
+    return changefeed(ev, key="doc_id", lsn_col="lsn", payload_cols=["price"])
+
+
+def _sparse_patches(spark, sf):
+    """Partial-update stream: even orderkeys set only `bal`, odd ones only
+    `seg` — every event leaves the other column NULL (= unchanged)."""
+    return _t(spark, sf, "orders").select(
+        F.col("o_custkey").cast("string").alias("doc_id"),
+        F.col("o_orderkey").alias("lsn"),
+        F.when(F.col("o_orderkey") % 2 == 0, F.col("o_totalprice")).alias("bal"),
+        F.when(F.col("o_orderkey") % 2 == 1, F.lit("PATCHED")).alias("seg"),
+    )
+
+
+def q_cdc_patch(spark, sf):
+    """Partial-update fold (cdc.lww_patch): per customer, the per-COLUMN
+    winner — bal at the highest even orderkey, seg at the highest odd one,
+    lsn = overall max — computed as one fixed-width hash aggregate."""
+    from rap_etl_spark.operators.cdc import lww_patch
+
+    return lww_patch(
+        _sparse_patches(spark, sf),
+        key="doc_id",
+        lsn_col="lsn",
+        payload_cols=["bal", "seg"],
+    )
+
+
+def q_cdc_merge_patch(spark, sf):
+    """Patch CDC end-to-end through the REAL lake table: bootstrap from
+    `customer`, fold the sparse update stream with lww_patch, then
+    ``merge(update_semantics='patch')`` — columns an update left NULL must
+    keep the bootstrapped value, inside the same single full-outer join a
+    row merge uses. The oracle states exactly that: per-column arg_max
+    fold LEFT-JOINed onto customer with coalesce."""
+    from pyspark.sql import types as T
+
+    from rap_etl_spark.lake import ManifestParquetTable
+    from rap_etl_spark.operators.cdc import lww_patch
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType()),
+            T.StructField("bal", T.DoubleType()),
+            T.StructField("seg", T.StringType()),
+        ]
+    )
+    boot = _t(spark, sf, "customer").select(
+        F.col("c_custkey").cast("string").alias("doc_id"),
+        F.col("c_acctbal").alias("bal"),
+        F.col("c_mktsegment").alias("seg"),
+    )
+    work = tempfile.mkdtemp(prefix="rap-etl-cdc-patch-")
+    try:
+        table = ManifestParquetTable.create(
+            spark, os.path.join(work, "t"), schema, n_buckets=8
+        )
+        table.append(boot, batch_id=0, assume_unique=True)
+        patch = lww_patch(
+            _sparse_patches(spark, sf),
+            key="doc_id",
+            lsn_col="lsn",
+            payload_cols=["bal", "seg"],
+        ).withColumn("op", F.lit("U"))
+        table.merge(patch, batch_id=1, update_semantics="patch")
+        rows = table.read().select("doc_id", "bal", "seg").collect()
+        return spark.createDataFrame(rows, schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+CDC_QUERIES = {
+    "cdc_scd2": q_cdc_scd2,
+    "cdc_changefeed": q_cdc_changefeed,
+    "cdc_patch": q_cdc_patch,
+    "cdc_merge_patch": q_cdc_merge_patch,
+}
+
+CDC_ORACLES = {
+    "cdc_scd2": (
+        "WITH ev AS (SELECT CAST(o_custkey AS VARCHAR) AS doc_id,"
+        " o_orderkey AS lsn, o_orderstatus AS status,"
+        " o_orderpriority AS priority FROM orders),"
+        " keep AS (SELECT *, (lag(lsn) OVER w IS NULL"
+        "   OR status IS DISTINCT FROM lag(status) OVER w"
+        "   OR priority IS DISTINCT FROM lag(priority) OVER w) AS _keep"
+        "  FROM ev WINDOW w AS (PARTITION BY doc_id ORDER BY lsn)),"
+        " v AS (SELECT doc_id, status, priority, lsn AS valid_from"
+        "  FROM keep WHERE _keep)"
+        " SELECT doc_id, status, priority, valid_from,"
+        "  lead(valid_from) OVER w2 AS valid_to,"
+        "  lead(valid_from) OVER w2 IS NULL AS is_current"
+        " FROM v WINDOW w2 AS (PARTITION BY doc_id ORDER BY valid_from)"
+    ),
+    "cdc_changefeed": (
+        "SELECT CAST(o_custkey AS VARCHAR) AS doc_id, o_orderkey AS lsn,"
+        " CASE WHEN lag(o_orderkey) OVER w IS NULL THEN 'insert'"
+        "  ELSE 'update' END AS change_type,"
+        " lag(o_totalprice) OVER w AS price_pre, o_totalprice AS price"
+        " FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)"
+    ),
+    "cdc_patch": (
+        "WITH ev AS (SELECT CAST(o_custkey AS VARCHAR) AS doc_id,"
+        " o_orderkey AS lsn,"
+        " CASE WHEN o_orderkey % 2 = 0 THEN o_totalprice END AS bal,"
+        " CASE WHEN o_orderkey % 2 = 1 THEN 'PATCHED' END AS seg"
+        " FROM orders)"
+        " SELECT doc_id, max(lsn) AS lsn,"
+        "  arg_max(bal, lsn) FILTER (WHERE bal IS NOT NULL) AS bal,"
+        "  arg_max(seg, lsn) FILTER (WHERE seg IS NOT NULL) AS seg"
+        " FROM ev GROUP BY doc_id"
+    ),
+    "cdc_merge_patch": (
+        "WITH ev AS (SELECT CAST(o_custkey AS VARCHAR) AS doc_id,"
+        " o_orderkey AS lsn,"
+        " CASE WHEN o_orderkey % 2 = 0 THEN o_totalprice END AS bal,"
+        " CASE WHEN o_orderkey % 2 = 1 THEN 'PATCHED' END AS seg"
+        " FROM orders),"
+        " p AS (SELECT doc_id,"
+        "  arg_max(bal, lsn) FILTER (WHERE bal IS NOT NULL) AS bal,"
+        "  arg_max(seg, lsn) FILTER (WHERE seg IS NOT NULL) AS seg"
+        "  FROM ev GROUP BY doc_id)"
+        " SELECT CAST(c_custkey AS VARCHAR) AS doc_id,"
+        "  coalesce(p.bal, c_acctbal) AS bal,"
+        "  coalesce(p.seg, c_mktsegment) AS seg"
+        " FROM customer c LEFT JOIN p ON p.doc_id = CAST(c_custkey AS VARCHAR)"
+    ),
+}

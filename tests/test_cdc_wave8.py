@@ -1,0 +1,165 @@
+"""SCD2 / changefeed / patch-CDC operators (operators/cdc.py wave 8) and
+the lake's merge(update_semantics='patch') path."""
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from rap_etl_spark.lake import ManifestParquetTable
+from rap_etl_spark.operators.cdc import changefeed, lww_patch, scd2_history
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("bal", T.DoubleType()),
+        T.StructField("seg", T.StringType()),
+    ]
+)
+
+
+def ev(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id string, lsn long, bal double, seg string"
+    )
+
+
+def test_scd2_collapses_unchanged_and_ranges_abut(spark):
+    changes = ev(
+        spark,
+        [
+            ("a", 1, 1.0, "x"),
+            ("a", 2, 1.0, "x"),  # unchanged -> collapsed
+            ("a", 3, 2.0, "x"),  # bal changed -> new version
+            ("a", 4, 2.0, None),  # null-safe change -> new version
+            ("a", 5, 2.0, None),  # unchanged (null == null) -> collapsed
+            ("b", 7, 9.0, "z"),
+        ],
+    )
+    out = scd2_history(changes, key="doc_id", lsn_col="lsn").orderBy(
+        "doc_id", "valid_from"
+    )
+    rows = [tuple(r) for r in out.collect()]
+    assert rows == [
+        ("a", 1.0, "x", 1, 3, False),
+        ("a", 2.0, "x", 3, 4, False),
+        ("a", 2.0, None, 4, None, True),
+        ("b", 9.0, "z", 7, None, True),
+    ]
+
+
+def test_scd2_single_shuffle(spark):
+    changes = ev(spark, [("a", 1, 1.0, "x"), ("a", 2, 2.0, "x")])
+    plan = (
+        scd2_history(changes, key="doc_id", lsn_col="lsn")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # both window passes must reuse ONE hashpartitioning(doc_id) exchange
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_changefeed_pre_post(spark):
+    changes = ev(spark, [("a", 1, 1.0, "x"), ("a", 3, 2.0, "y"), ("b", 2, 5.0, "z")])
+    out = changefeed(changes, key="doc_id", lsn_col="lsn").orderBy("doc_id", "lsn")
+    rows = [tuple(r) for r in out.collect()]
+    assert rows == [
+        ("a", 1, "insert", None, None, 1.0, "x"),
+        ("a", 3, "update", 1.0, "x", 2.0, "y"),
+        ("b", 2, "insert", None, None, 5.0, "z"),
+    ]
+
+
+def test_lww_patch_per_column_winners(spark):
+    events = ev(
+        spark,
+        [
+            ("a", 1, 1.0, "x"),
+            ("a", 2, None, "y"),  # sets seg only
+            ("a", 3, 3.0, None),  # sets bal only
+            ("b", 5, None, None),  # sets nothing
+        ],
+    )
+    out = lww_patch(events, key="doc_id", lsn_col="lsn").orderBy("doc_id")
+    rows = [tuple(r) for r in out.collect()]
+    assert rows == [("a", 3, 3.0, "y"), ("b", 5, None, None)]
+
+
+def mk_table(spark, path, **kw):
+    return ManifestParquetTable.create(spark, path, SCHEMA, n_buckets=4, **kw)
+
+
+def chg(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id string, op string, lsn long, bal double, seg string"
+    )
+
+
+def test_patch_merge_keeps_unset_columns(spark, tmp_path):
+    t = mk_table(spark, str(tmp_path / "t"))
+    boot = spark.createDataFrame([("a", 1.0, "x"), ("b", 2.0, "y")], SCHEMA)
+    t.append(boot, batch_id=0, assume_unique=True)
+    t.merge(
+        chg(spark, [("a", "U", 10, None, "PATCHED"), ("c", "U", 11, 7.0, None)]),
+        batch_id=1,
+        update_semantics="patch",
+    )
+    rows = {r["doc_id"]: (r["bal"], r["seg"]) for r in t.read().collect()}
+    assert rows == {
+        "a": (1.0, "PATCHED"),  # bal kept from bootstrap
+        "b": (2.0, "y"),  # untouched survivor
+        "c": (7.0, None),  # patch-insert on absent key: unset stays NULL
+    }
+
+
+def test_patch_merge_delete_still_tombstones(spark, tmp_path):
+    # a delete must NOT coalesce old payload into the tombstone (no
+    # resurrection through patch semantics)
+    t = mk_table(spark, str(tmp_path / "t"))
+    t.append(spark.createDataFrame([("a", 1.0, "x")], SCHEMA), batch_id=0,
+             assume_unique=True)
+    t.merge(
+        chg(spark, [("a", "D", 10, None, None)]),
+        batch_id=1,
+        update_semantics="patch",
+    )
+    assert t.read().count() == 0
+    # and a LATER patch update re-inserts only what it carries
+    t.merge(
+        chg(spark, [("a", "U", 11, None, "BACK")]),
+        batch_id=2,
+        update_semantics="patch",
+    )
+    rows = [tuple(r) for r in t.read().collect()]
+    assert rows == [("a", None, "BACK")]
+
+
+def test_patch_merge_loses_to_newer_stored_row(spark, tmp_path):
+    # version condition still applies under patch: an older patch can't
+    # overwrite a newer stored row
+    t = mk_table(spark, str(tmp_path / "t"))
+    t.merge(chg(spark, [("a", "U", 20, 5.0, "new")]), batch_id=0)
+    t.merge(
+        chg(spark, [("a", "U", 10, 99.0, None)]),
+        batch_id=1,
+        update_semantics="patch",
+    )
+    rows = [tuple(r) for r in t.read().collect()]
+    assert rows == [("a", 5.0, "new")]
+
+
+def test_patch_requires_cow(spark, tmp_path):
+    t = mk_table(spark, str(tmp_path / "t"), merge_mode="mor")
+    with pytest.raises(ValueError, match="patch"):
+        t.merge(
+            chg(spark, [("a", "U", 1, 1.0, None)]),
+            batch_id=0,
+            update_semantics="patch",
+        )
+    with pytest.raises(ValueError, match="update_semantics"):
+        t.merge(
+            chg(spark, [("a", "U", 1, 1.0, None)]),
+            batch_id=0,
+            mode="cow",
+            update_semantics="bogus",
+        )
