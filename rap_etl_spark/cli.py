@@ -76,6 +76,13 @@ def cmd_replay(args) -> int:
 
     spark = _spark("rap-etl-replay")
     t = ManifestParquetTable(spark, args.table)
+    if getattr(args, "branch", None):
+        # WAP staging: replay onto the branch; `branch publish` promotes it
+        t = (
+            t.branch(args.branch)
+            if args.branch in t.list_branches()
+            else t.create_branch(args.branch)
+        )
     engine = CdcEngine(spark, t, lineage_dir=args.lineage)
     if args.format == "binlog":
         from rap_etl_spark.sources.binlog import _list_segments, as_events, register
@@ -246,6 +253,31 @@ def cmd_status(args) -> int:
     return 0
 
 
+def cmd_branch(args) -> int:
+    """WAP branch management: create/list/publish/drop (lake.py branches).
+    Flow: `replay --branch audit` stages batches invisibly to main readers,
+    `status`/queries on the branch audit them, `branch publish` fast-
+    forwards main atomically (or `branch drop` abandons the staging)."""
+    from rap_etl_spark.lake import ManifestParquetTable
+
+    if args.action != "list" and not args.name:
+        print("--name is required for create/publish/drop", file=sys.stderr)
+        return 2
+    t = ManifestParquetTable(_spark("rap-etl-branch"), args.table)
+    if args.action == "create":
+        b = t.create_branch(args.name)
+        print(json.dumps({"branch": args.name, "base": b.snapshot_id()}))
+    elif args.action == "publish":
+        info = t.publish_branch(args.name)
+        print(json.dumps({"published": args.name, "snapshot": info.snapshot_id}))
+    elif args.action == "drop":
+        t.drop_branch(args.name)
+        print(json.dumps({"dropped": args.name}))
+    else:  # list
+        print(json.dumps(t.list_branches()))
+    return 0
+
+
 def cmd_changes(args) -> int:
     """Incremental CDC read: emit row-level changes for one committed
     batch (--batch) or between two snapshots (--from/--to). Writes parquet
@@ -321,6 +353,7 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--lineage")
     sp.add_argument("--batches")
     sp.add_argument("--format", choices=["parquet", "binlog"], default="parquet")
+    sp.add_argument("--branch", help="stage the replay on a WAP branch")
     sp.set_defaults(fn=cmd_replay)
 
     sp = sub.add_parser("stream")
@@ -360,6 +393,12 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--to", dest="to_snapshot")
     sp.add_argument("--out")
     sp.set_defaults(fn=cmd_changes)
+
+    sp = sub.add_parser("branch")
+    sp.add_argument("action", choices=["create", "list", "publish", "drop"])
+    sp.add_argument("--table", required=True)
+    sp.add_argument("--name")
+    sp.set_defaults(fn=cmd_branch)
 
     sp = sub.add_parser("synth")
     sp.add_argument("--out", required=True)

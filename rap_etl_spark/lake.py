@@ -34,8 +34,10 @@ Two backends behind one ABC:
 
 from __future__ import annotations
 
+import fcntl
 import json
 import os
+import re
 import time
 import uuid
 from abc import ABC, abstractmethod
@@ -191,10 +193,13 @@ class ManifestParquetTable(LakeTable):
 
     DEFAULT_BUCKETS = 32
 
-    def __init__(self, spark: SparkSession, path: str, key: str = "doc_id"):
+    def __init__(
+        self, spark: SparkSession, path: str, key: str = "doc_id", ref: str = "main"
+    ):
         self.spark = spark
         self.path = path
         self.key = key
+        self.ref = ref
         self._manifest_cache: dict | None = None
 
     # ---------- creation ----------
@@ -238,6 +243,8 @@ class ManifestParquetTable(LakeTable):
 
     # ---------- manifest plumbing ----------
     def _pointer_path(self) -> str:
+        if self.ref != "main":
+            return os.path.join(self.path, f"_ref-{self.ref}.json")
         return os.path.join(self.path, "_current.json")
 
     def _manifest(self, refresh: bool = False) -> dict:
@@ -277,9 +284,16 @@ class ManifestParquetTable(LakeTable):
                             f"commit base {expected_parent} is stale; current "
                             f"snapshot is {current}"
                         )
+                # preserve pointer metadata beyond the snapshot id (branch
+                # refs carry their fork-point "base" for the publish CAS)
+                ptr = {}
+                if os.path.exists(self._pointer_path()):
+                    with open(self._pointer_path()) as f:
+                        ptr = json.load(f)
+                ptr["snapshot_id"] = sid
                 tmp = self._pointer_path() + f".tmp-{uuid.uuid4().hex[:8]}"
                 with open(tmp, "w") as f:
-                    json.dump({"snapshot_id": sid}, f)
+                    json.dump(ptr, f)
                 os.replace(tmp, self._pointer_path())
             finally:
                 fcntl.flock(lock, fcntl.LOCK_UN)
@@ -1469,6 +1483,103 @@ class ManifestParquetTable(LakeTable):
         self._write_manifest(nxt)
         return CommitInfo(nxt["snapshot_id"], None, -1)
 
+    # ---------- branches (write-audit-publish) ----------
+    def _branch_ref_path(self, name: str) -> str:
+        if not re.fullmatch(r"[A-Za-z0-9._-]{1,64}", name) or name == "main":
+            raise ValueError(f"invalid branch name: {name!r}")
+        return os.path.join(self.path, f"_ref-{name}.json")
+
+    def create_branch(self, name: str, from_snapshot: str | None = None) -> "ManifestParquetTable":
+        """Fork a named branch at the current (or given) snapshot and return
+        a handle on it — the Iceberg/Nessie write-audit-publish staging leg.
+
+        A branch is just another atomically-swapped pointer file sharing the
+        table's data/ and manifests/ dirs, so EVERY table operation —
+        merge (cow/mor/patch), append, DML, constraints, compact, time
+        travel, the batch ledger — works on the branch handle unchanged,
+        with the same OCC CAS against the branch pointer. Staged commits
+        touch no file main readers can see."""
+        base = from_snapshot or self.snapshot_id()
+        self._manifest_of(base)  # must exist
+        rp = self._branch_ref_path(name)
+        lock_path = os.path.join(self.path, "_commit.lock")
+        with open(lock_path, "w") as lock:
+            fcntl.flock(lock, fcntl.LOCK_EX)
+            try:
+                if os.path.exists(rp):
+                    raise FileExistsError(f"branch already exists: {name}")
+                tmp = rp + f".tmp-{uuid.uuid4().hex[:8]}"
+                with open(tmp, "w") as f:
+                    json.dump({"snapshot_id": base, "base": base}, f)
+                os.replace(tmp, rp)
+            finally:
+                fcntl.flock(lock, fcntl.LOCK_UN)
+        return self.branch(name)
+
+    def branch(self, name: str) -> "ManifestParquetTable":
+        """Handle on an existing branch (see create_branch)."""
+        rp = self._branch_ref_path(name)
+        if not os.path.exists(rp):
+            raise FileNotFoundError(f"no such branch: {name}")
+        return ManifestParquetTable(self.spark, self.path, key=self.key, ref=name)
+
+    def list_branches(self) -> dict[str, dict]:
+        """{branch: {"snapshot_id": head, "base": fork point}}."""
+        out: dict[str, dict] = {}
+        for fn in sorted(os.listdir(self.path)):
+            if fn.startswith("_ref-") and fn.endswith(".json"):
+                with open(os.path.join(self.path, fn)) as f:
+                    out[fn[len("_ref-") : -len(".json")]] = json.load(f)
+        return out
+
+    def drop_branch(self, name: str) -> None:
+        """Abandon a branch. Its staged manifests/files become unreferenced
+        and are reclaimed by expire_snapshots' orphan sweep."""
+        rp = self._branch_ref_path(name)
+        if not os.path.exists(rp):
+            raise FileNotFoundError(f"no such branch: {name}")
+        os.remove(rp)
+
+    def publish_branch(self, name: str) -> CommitInfo:
+        """Atomically fast-forward main to the branch head and delete the
+        branch ref — the WAP publish. Requires main to still be at the
+        branch's fork point (CAS under the commit lock): if main advanced
+        concurrently, raises CommitConflictError — re-stage on a fresh
+        branch (the divergent-history cherry-pick is intentionally not
+        offered; fast-forward-only publish is what keeps the audited
+        snapshot byte-identical to the published one). The branch's batch
+        ledger publishes with it, so exactly-once holds across the
+        stage→publish hop: a post-publish redelivery of a staged batch_id
+        is skipped by main's ledger."""
+        rp = self._branch_ref_path(name)
+        if not os.path.exists(rp):
+            raise FileNotFoundError(f"no such branch: {name}")
+        lock_path = os.path.join(self.path, "_commit.lock")
+        main_ptr = os.path.join(self.path, "_current.json")
+        with open(lock_path, "w") as lock:
+            fcntl.flock(lock, fcntl.LOCK_EX)
+            try:
+                with open(rp) as f:
+                    ref = json.load(f)
+                with open(main_ptr) as f:
+                    current = json.load(f)["snapshot_id"]
+                if current != ref["base"]:
+                    raise CommitConflictError(
+                        f"main moved {ref['base']} -> {current} since branch "
+                        f"{name!r} forked; re-stage on a fresh branch"
+                    )
+                if ref["snapshot_id"] != current:
+                    tmp = main_ptr + f".tmp-{uuid.uuid4().hex[:8]}"
+                    with open(tmp, "w") as f:
+                        json.dump({"snapshot_id": ref["snapshot_id"]}, f)
+                    os.replace(tmp, main_ptr)
+                os.remove(rp)
+            finally:
+                fcntl.flock(lock, fcntl.LOCK_UN)
+        if self.ref == "main":
+            self._manifest(refresh=True)
+        return CommitInfo(ref["snapshot_id"], None, -1)
+
     def rebucket(self, new_n_buckets: int) -> CommitInfo:
         """Bucket evolution (Iceberg partition-evolution analogue for the
         hash layout): rewrite the table once under a new bucket count and
@@ -1517,9 +1628,34 @@ class ManifestParquetTable(LakeTable):
                 with open(os.path.join(mdir, fn)) as f:
                     manifests.append((fn, json.load(f)))
         manifests.sort(key=lambda t: t[1]["seq"])
-        current_sid = self._manifest()["snapshot_id"]
-        keep_set = {t[0] for t in manifests[-keep:]}
-        keep_set.add(f"manifest-{current_sid}.json")
+        by_sid = {man["snapshot_id"]: (fn, man) for fn, man in manifests}
+        # reachability: walk parent chains from every live root (main +
+        # branch heads). Manifests on no chain are DEAD — abandoned OCC
+        # losers or dropped-branch history — and expire regardless of
+        # recency (after the same grace window, so an in-flight commit
+        # whose pointer isn't swapped yet is never harvested).
+        roots = [self._manifest()["snapshot_id"]]
+        pins = {f"manifest-{roots[0]}.json"}
+        for ref in self.list_branches().values():
+            roots.append(ref["snapshot_id"])
+            # pin head + fork point so publish/diff against base stays possible
+            pins.add(f"manifest-{ref['snapshot_id']}.json")
+            pins.add(f"manifest-{ref['base']}.json")
+        reachable: set[str] = set()
+        for sid in roots:
+            while sid in by_sid and by_sid[sid][0] not in reachable:
+                fn, man = by_sid[sid]
+                reachable.add(fn)
+                sid = man.get("parent")
+        now = time.time()
+        live_chain = [t for t in manifests if t[0] in reachable]
+        keep_set = {t[0] for t in live_chain[-keep:]} | pins
+        keep_set.update(
+            fn
+            for fn, _ in manifests
+            if fn not in reachable
+            and now - os.path.getmtime(os.path.join(mdir, fn)) < orphan_grace_sec
+        )
         live_files: set[str] = set()
         for fn, man in manifests:
             if fn in keep_set:
