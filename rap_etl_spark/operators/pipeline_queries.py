@@ -493,7 +493,69 @@ def q_ngram_repeat(spark, sf):
     )
 
 
+def q_token_chunk(spark, sf):
+    """Context-window chunking with overlap: split each doc's token stream
+    into max_len=32 windows advancing by stride=24 (8-token overlap), the
+    long-document preprocessing step before sequence packing. All JVM:
+    regexp tokenize -> posexplode(sequence) -> slice; intermediate rows =
+    chunk count, never token count. At corpus scale this is a narrow map
+    stage — no shuffle at all (chunks stay co-partitioned with their doc,
+    which is exactly what the downstream pack/shuffle stage wants)."""
+    max_len, stride = 32, 24
+    d = _t(spark, sf, "documents").select(
+        "doc_id", F.regexp_extract_all("text", F.lit(r"\S+"), F.lit(0)).alias("toks")
+    )
+    n = F.size("toks")
+    n_chunks = (F.greatest(n - max_len, F.lit(0)) + (stride - 1)) / stride + 1
+    d = d.withColumn("n_chunks", F.floor(n_chunks).cast("long"))
+    return d.select(
+        "doc_id",
+        F.posexplode(F.sequence(F.lit(0), F.col("n_chunks") - 1)).alias("_p", "chunk_id"),
+        "toks",
+    ).select(
+        "doc_id",
+        "chunk_id",
+        F.concat_ws(" ", F.slice("toks", F.col("chunk_id") * stride + 1, max_len)).alias(
+            "chunk_text"
+        ),
+        F.size(F.slice("toks", F.col("chunk_id") * stride + 1, max_len)).alias(
+            "n_tok_chunk"
+        ),
+    )
+
+
+def q_decontaminate(spark, sf):
+    """Benchmark decontamination: flag training docs sharing any token
+    3-gram with a (deterministically planted) eval set — doc_id % 97 == 0.
+    The eval side's distinct n-grams are tiny BY DEFINITION (benchmarks
+    are small), so they broadcast; the training corpus streams through a
+    broadcast-hash semi-probe with NO shuffle of the corpus — the only
+    shuffle is the per-doc count of the (rare) matches. The standard
+    industrial shape (GPT-3/Llama n-gram decontamination) at 100 TB."""
+    d = _t(spark, sf, "documents").select(
+        "doc_id", F.regexp_extract_all("text", F.lit(r"\S+"), F.lit(0)).alias("toks")
+    )
+    grams = lambda df: df.select(  # noqa: E731
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.size("toks") - 2, F.lit(0))),
+                lambda i: F.concat_ws(" ", F.slice("toks", i, 3)),
+            )
+        ).alias("ng"),
+    )
+    ev = grams(d.filter(F.col("doc_id") % 97 == 0)).select("ng").distinct()
+    tr = grams(d.filter(F.col("doc_id") % 97 != 0))
+    return (
+        tr.join(F.broadcast(ev), on="ng", how="inner")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("ng").alias("n_shared"))
+    )
+
+
 QUERIES2 = {
+    "token_chunk": q_token_chunk,
+    "decontaminate": q_decontaminate,
     "ngram_repeat": q_ngram_repeat,
     "posting_list": q_posting_list,
     "vocab_topk": q_vocab_topk,
@@ -529,6 +591,32 @@ QUERIES2 = {
 }
 
 ORACLES2 = {
+    "token_chunk": (
+        r"WITH d AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS toks"
+        "   FROM documents),"
+        " s AS (SELECT doc_id, toks, len(toks) AS n FROM d),"
+        " c AS (SELECT doc_id, toks,"
+        "   ((greatest(n - 32, 0) + 23) // 24) + 1 AS n_chunks FROM s)"
+        " SELECT doc_id, chunk_id,"
+        "  array_to_string(list_slice(toks, chunk_id*24 + 1, chunk_id*24 + 32), ' ')"
+        "   AS chunk_text,"
+        "  len(list_slice(toks, chunk_id*24 + 1, chunk_id*24 + 32)) AS n_tok_chunk"
+        " FROM c, LATERAL (SELECT unnest(generate_series(0, n_chunks - 1))"
+        "   AS chunk_id) g"
+    ),
+    "decontaminate": (
+        r"WITH d AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS toks"
+        "   FROM documents),"
+        " ev AS (SELECT unnest([array_to_string(list_slice(toks, i, i+2), ' ')"
+        "   FOR i IN generate_series(1, len(toks)-2)]) AS ng FROM d"
+        "   WHERE doc_id % 97 = 0),"
+        " tr AS (SELECT doc_id, unnest([array_to_string(list_slice(toks, i, i+2), ' ')"
+        "   FOR i IN generate_series(1, len(toks)-2)]) AS ng FROM d"
+        "   WHERE doc_id % 97 <> 0)"
+        " SELECT tr.doc_id, count(DISTINCT tr.ng) AS n_shared"
+        " FROM tr JOIN (SELECT DISTINCT ng FROM ev) e USING (ng)"
+        " GROUP BY tr.doc_id"
+    ),
     "ngram_repeat": (
         "WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks"
         "   FROM documents),"

@@ -195,3 +195,23 @@ def test_mor_clean_read_has_no_resolution_shuffle(spark, tmp_path):
     clean_plan = formatted_plan(t.read())
     assert "Aggregate" not in clean_plan
     assert count_exchanges(t.read()) == 0
+
+
+def test_token_chunk_is_narrow_jvm_map(spark, sf_oracle):
+    """Chunking must be a pure map stage: no shuffle, no Python eval."""
+    from rap_etl_spark.operators.pipeline_queries import q_token_chunk
+
+    df = q_token_chunk(spark, sf_oracle)
+    plan = formatted_plan(df)
+    assert "Python" not in plan and "BatchEval" not in plan
+    assert count_exchanges(df) == 0
+
+
+def test_decontaminate_broadcasts_eval_ngrams(spark, sf_oracle):
+    """The training corpus must stream through a broadcast probe of the
+    (small) eval n-gram set — the corpus itself is never shuffled; the
+    only corpus-side exchange is the per-doc match count."""
+    from rap_etl_spark.operators.pipeline_queries import q_decontaminate
+
+    plan = formatted_plan(q_decontaminate(spark, sf_oracle))
+    assert "BroadcastHashJoin" in plan
