@@ -1,6 +1,8 @@
 """SCD2 / changefeed / patch-CDC operators (operators/cdc.py wave 8) and
 the lake's merge(update_semantics='patch') path."""
 
+import os
+
 import pytest
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -163,3 +165,93 @@ def test_patch_requires_cow(spark, tmp_path):
             mode="cow",
             update_semantics="bogus",
         )
+
+
+def _reference_fold(events):
+    """Sequential in-LSN-order replay of patch/delete events, per key."""
+    state = {}
+    for doc_id, op, lsn, bal, seg in sorted(events, key=lambda e: e[2]):
+        if op == "D":
+            state[doc_id] = ("D", lsn, None, None)
+        else:
+            prev = state.get(doc_id)
+            pbal = prev[2] if prev and prev[0] == "U" else None
+            pseg = prev[3] if prev and prev[0] == "U" else None
+            state[doc_id] = (
+                "U",
+                lsn,
+                bal if bal is not None else pbal,
+                seg if seg is not None else pseg,
+            )
+    # a trailing delete stays D; updates after a delete rebuild from empty
+    return {
+        k: (op, lsn, bal, seg) for k, (op, lsn, bal, seg) in state.items()
+    }
+
+
+def test_lww_patch_with_deletes_matches_sequential_replay(spark):
+    import random
+
+    from rap_etl_spark.operators.cdc import lww_patch_with_deletes
+
+    rng = random.Random(7)
+    events = []
+    lsn = 0
+    for _ in range(400):
+        lsn += 1
+        k = f"k{rng.randrange(12)}"
+        if rng.random() < 0.15:
+            events.append((k, "D", lsn, None, None))
+        else:
+            events.append(
+                (
+                    k,
+                    "U",
+                    lsn,
+                    round(rng.uniform(0, 100), 2) if rng.random() < 0.6 else None,
+                    rng.choice(["a", "b", "c"]) if rng.random() < 0.6 else None,
+                )
+            )
+    rng.shuffle(events)  # delivery order must not matter
+    df = spark.createDataFrame(
+        events, "doc_id string, op string, lsn long, bal double, seg string"
+    )
+    out = {
+        r["doc_id"]: (r["op"], r["lsn"], r["bal"], r["seg"])
+        for r in lww_patch_with_deletes(df).collect()
+    }
+    # the fold's 'U' rows report max update lsn; reference tracks last
+    # event lsn — align: for U keys compare payload + op only, lsn >= any D
+    ref = _reference_fold(events)
+    assert set(out) == set(ref)
+    for k, (op, lsn_, bal, seg) in ref.items():
+        assert out[k][0] == op, k
+        if op == "U":
+            assert out[k][2:] == (bal, seg), (k, out[k], ref[k])
+        else:
+            assert out[k][1] == lsn_, k
+
+
+def test_key_bloom_filter_written(spark, tmp_path):
+    # pyarrow 16 doesn't expose bloom_filter_offset, so prove the bloom
+    # filter's presence behaviorally: rewrite the exact same rows WITHOUT
+    # the bloom options and assert the table's file carries the extra
+    # bytes (ndv=50000 split-block bloom is tens of KB; the 100-row data
+    # itself is a few KB — the gap is unambiguous).
+    t = mk_table(spark, str(tmp_path / "t"))
+    t.append(
+        spark.createDataFrame([(f"k{i}", float(i), "s") for i in range(100)], SCHEMA),
+        batch_id=0,
+        assume_unique=True,
+    )
+    fe = t._manifest()["files"][0]
+    f = os.path.join(t.path, fe["path"])
+    rows = spark.read.parquet(f)
+    nobloom_dir = str(tmp_path / "nobloom")
+    rows.coalesce(1).write.mode("overwrite").parquet(nobloom_dir)
+    nobloom = max(
+        os.path.getsize(os.path.join(nobloom_dir, p))
+        for p in os.listdir(nobloom_dir)
+        if p.endswith(".parquet")
+    )
+    assert os.path.getsize(f) > nobloom + 15_000, (os.path.getsize(f), nobloom)
