@@ -244,6 +244,59 @@ def lww_patch(
     return events.groupBy(key).agg(*aggs)
 
 
+def lww_patch_with_deletes(
+    events: DataFrame,
+    key: str = KEY,
+    lsn_col: str = "lsn",
+    payload_cols: list[str] | None = None,
+) -> DataFrame:
+    """Patch fold for batches that interleave partial updates AND deletes —
+    the full in-order replay semantics, still with no per-row Python:
+
+    1. one fixed-width agg finds each key's last delete LSN;
+    2. the column-wise ``lww_patch`` fold runs over only the updates AFTER
+       that delete (earlier patches are moot — they patched a row the
+       delete then destroyed);
+    3. keys whose last event is the delete emit a 'D' row at the delete's
+       LSN; all others emit a 'U' row with the folded columns.
+
+    Output: key, op, lsn, payload_cols — exactly the merge() contract (one
+    row per key), so ``table.merge(fold, update_semantics='patch')``
+    applies a mixed batch correctly.
+
+    Scale: two keyed aggregates + one join, all shapes sized to the batch
+    (the delete set is usually a small fraction and broadcasts under AQE).
+    Equivalent to replaying each key's events in LSN order, proven by
+    property test against a sequential reference fold.
+    """
+    payload_cols = payload_cols or [
+        c for c in events.columns if c not in (key, lsn_col, "op")
+    ]
+    dels = (
+        events.filter(F.col("op") == "D")
+        .groupBy(key)
+        .agg(F.max(lsn_col).alias("_del_lsn"))
+    )
+    ev = events.join(dels, on=key, how="left").withColumn(
+        "_dl", F.coalesce(F.col("_del_lsn"), F.lit(-(1 << 62)))
+    )
+    folded = lww_patch(
+        ev.filter((F.col("op") != "D") & (F.col(lsn_col) > F.col("_dl"))).select(
+            key, lsn_col, *payload_cols
+        ),
+        key=key,
+        lsn_col=lsn_col,
+        payload_cols=payload_cols,
+    ).withColumn("op", F.lit("U"))
+    pure_dels = dels.join(folded.select(key), on=key, how="left_anti").select(
+        F.col(key),
+        F.col("_del_lsn").alias(lsn_col),
+        *[F.lit(None).cast(events.schema[c].dataType).alias(c) for c in payload_cols],
+        F.lit("D").alias("op"),
+    )
+    return folded.unionByName(pure_dels).select(key, "op", lsn_col, *payload_cols)
+
+
 def payload_hash(df: DataFrame, payload_cols: list[str]):
     """Order-stable 64-bit content hash of a row's payload (C3/C5/F2).
     xxhash64 natively hashes arrays/structs JVM-side — no JSON round-trip."""
