@@ -25,8 +25,11 @@ Subcommands::
     init     --table PATH [--buckets N] [--schema v1|v2] [--merge-mode cow|mor]
     replay   --table PATH --log DIR [--lineage DIR] [--batches a,b,...]
              [--format parquet|binlog]   (binlog --batches = segment indices)
+             [--branch NAME]             (WAP: stage commits on a branch)
     stream   --table PATH --log DIR --checkpoint DIR [--max-files N]
              [--metrics JSONL] [--continuous] [--format parquet|binlog]
+             [--branch NAME]             (use a branch-specific checkpoint)
+    branch   create|list|publish|drop --table PATH [--name NAME]
     compact  --table PATH [--tombstone-horizon LSN] [--keep-snapshots K]
              [--materialize]
              [--ledger-horizon BATCH] [--sort COL,COL]
@@ -154,6 +157,16 @@ def cmd_stream(args) -> int:
         return 2
     spark = _spark("rap-etl-stream")
     t = ManifestParquetTable(spark, args.table)
+    if getattr(args, "branch", None):
+        # WAP staging for streams: micro-batches commit to the branch;
+        # `branch publish` promotes the audited head. Use a branch-specific
+        # checkpoint — offsets committed on one ref must not be reused on
+        # another.
+        t = (
+            t.branch(args.branch)
+            if args.branch in t.list_branches()
+            else t.create_branch(args.branch)
+        )
     listener = m.attach(spark, args.metrics) if args.metrics else None
     q = stream_tail(
         spark,
@@ -366,6 +379,7 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--packed", action="store_true")
     sp.add_argument("--continuous", action="store_true")
     sp.add_argument("--format", choices=["parquet", "binlog"], default="parquet")
+    sp.add_argument("--branch", help="stage the stream's commits on a WAP branch")
     sp.set_defaults(fn=cmd_stream)
 
     sp = sub.add_parser("compact")

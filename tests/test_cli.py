@@ -56,6 +56,29 @@ def test_cli_full_lifecycle(spark, sf_small, tmp_path, capsys):
     assert rec[-1]["rows"] == st["rows"]  # maintenance preserves state
 
 
+def test_cli_stream_to_wap_branch(spark, sf_small, tmp_path, capsys):
+    """stream --branch stages micro-batch commits invisibly to main; branch
+    publish fast-forwards main to the audited head."""
+    from rap_etl_spark.lake import ManifestParquetTable
+
+    log = str(tmp_path / "log")
+    table = str(tmp_path / "t")
+    _run(capsys, "synth", "--out", log, "--events", "1000",
+         "--sf", sf_small, "--batches", "2")
+    _run(capsys, "init", "--table", table, "--buckets", "8")
+
+    _run(capsys, "stream", "--table", table, "--log", log,
+         "--checkpoint", str(tmp_path / "cp-audit"), "--branch", "audit")
+    t = ManifestParquetTable(spark, table)
+    assert t.read().count() == 0  # main untouched while staging
+    staged = t.branch("audit").read().count()
+    assert staged > 0
+
+    rec = _run(capsys, "branch", "publish", "--table", table, "--name", "audit")
+    assert rec[-1]["published"] if "published" in rec[-1] else True
+    assert ManifestParquetTable(spark, table).read().count() == staged
+
+
 def test_cli_binlog_lifecycle(spark, sf_small, tmp_path, capsys):
     """--format binlog end to end: synth writes .rapwal segments, replay
     applies one batch per segment, stream converges to the same state from
