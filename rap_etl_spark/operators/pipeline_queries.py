@@ -553,7 +553,52 @@ def q_decontaminate(spark, sf):
     )
 
 
+def q_curate_pipeline(spark, sf):
+    """END-TO-END curation pipeline composed from the engine's own stages —
+    exact dedup (keep min-doc_id representative per content hash) →
+    quality floor (≥5 words) → benchmark decontamination (drop docs
+    sharing a 3-gram with the doc_id%97 eval set) → per-source corpus
+    stats. The shape a real 100-TB pre-training build runs nightly; every
+    stage is the already-oracled operator, composed in one plan so
+    Catalyst pipelines the narrow stages between the two real shuffles
+    (dedup groupBy, final rollup) and the broadcast decontamination probe.
+    """
+    d = _t(spark, sf, "documents")
+    reps = d.groupBy(F.md5("text").alias("_fp")).agg(F.min("doc_id").alias("doc_id"))
+    kept = d.join(reps.select("doc_id"), on="doc_id", how="left_semi")
+    q = kept.filter(F.size(F.split("text", " ")) >= 5)
+    toks = q.select(
+        "doc_id",
+        "source",
+        F.regexp_extract_all("text", F.lit(r"\S+"), F.lit(0)).alias("toks"),
+    )
+    grams = lambda df: df.select(  # noqa: E731
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.size("toks") - 2, F.lit(0))),
+                lambda i: F.concat_ws(" ", F.slice("toks", i, 3)),
+            )
+        ).alias("ng"),
+    )
+    ev = grams(
+        d.select(
+            "doc_id", F.regexp_extract_all("text", F.lit(r"\S+"), F.lit(0)).alias("toks")
+        ).filter(F.col("doc_id") % 97 == 0)
+    ).select("ng").distinct()
+    train = toks.filter(F.col("doc_id") % 97 != 0)
+    contaminated = (
+        grams(train).join(F.broadcast(ev), on="ng", how="inner").select("doc_id").distinct()
+    )
+    clean = train.join(contaminated, on="doc_id", how="left_anti")
+    return clean.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size("toks")).alias("total_tokens"),
+    )
+
+
 QUERIES2 = {
+    "curate_pipeline": q_curate_pipeline,
     "token_chunk": q_token_chunk,
     "decontaminate": q_decontaminate,
     "ngram_repeat": q_ngram_repeat,
@@ -591,6 +636,29 @@ QUERIES2 = {
 }
 
 ORACLES2 = {
+    "curate_pipeline": (
+        r"WITH reps AS (SELECT min(doc_id) AS doc_id FROM documents"
+        "   GROUP BY md5(text)),"
+        " kept AS (SELECT d.doc_id, d.text, d.source FROM documents d"
+        "   JOIN reps USING (doc_id)),"
+        " q AS (SELECT * FROM kept WHERE len(string_split(text, ' ')) >= 5),"
+        r" dt AS (SELECT doc_id, source, regexp_extract_all(text, '\S+') AS toks"
+        "   FROM q),"
+        r" alltoks AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS toks"
+        "   FROM documents),"
+        " ev AS (SELECT DISTINCT unnest([array_to_string(list_slice(toks, i, i+2), ' ')"
+        "   FOR i IN generate_series(1, len(toks)-2)]) AS ng FROM alltoks"
+        "   WHERE doc_id % 97 = 0),"
+        " tr AS (SELECT doc_id, unnest([array_to_string(list_slice(toks, i, i+2), ' ')"
+        "   FOR i IN generate_series(1, len(toks)-2)]) AS ng FROM dt"
+        "   WHERE doc_id % 97 <> 0),"
+        " contaminated AS (SELECT DISTINCT tr.doc_id FROM tr JOIN ev USING (ng)),"
+        " clean AS (SELECT * FROM dt WHERE doc_id % 97 <> 0"
+        "   AND doc_id NOT IN (SELECT doc_id FROM contaminated))"
+        " SELECT source, CAST(count(*) AS BIGINT) AS n_docs,"
+        "  CAST(sum(len(toks)) AS BIGINT) AS total_tokens"
+        " FROM clean GROUP BY source"
+    ),
     "token_chunk": (
         r"WITH d AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS toks"
         "   FROM documents),"
