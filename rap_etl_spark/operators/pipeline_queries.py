@@ -597,7 +597,30 @@ def q_curate_pipeline(spark, sf):
     )
 
 
+def q_shard_plan(spark, sf):
+    """Fixed-token-budget training-shard assignment over a global doc_id
+    order — the export step that turns a curated corpus into dataloader
+    shards. Runs the two-phase distributed prefix sum in
+    operators/sharding.py (range partition → per-partition subtotal
+    offsets → vectorized local cumsum), NOT the single-partition window
+    the equivalent SQL lowers to; the oracle IS that window, proving the
+    distributed scan computes the identical global cumulative sum."""
+    from rap_etl_spark.operators.sharding import assign_shards, shard_stats
+
+    d = _t(spark, sf, "documents").select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(r"\S+"), F.lit(0)))
+        .cast("long")
+        .alias("n_tok"),
+    )
+    assigned = assign_shards(d, tokens_per_shard=2000, num_partitions=8)
+    return shard_stats(assigned).select(
+        "shard_id", "n_docs", F.col("total_tokens").cast("long").alias("total_tokens")
+    )
+
+
 QUERIES2 = {
+    "shard_plan": q_shard_plan,
     "curate_pipeline": q_curate_pipeline,
     "token_chunk": q_token_chunk,
     "decontaminate": q_decontaminate,
@@ -636,6 +659,18 @@ QUERIES2 = {
 }
 
 ORACLES2 = {
+    "shard_plan": (
+        r"WITH d AS (SELECT doc_id, len(regexp_extract_all(text, '\S+')) AS n_tok"
+        "   FROM documents),"
+        " c AS (SELECT doc_id, n_tok,"
+        "   coalesce(sum(n_tok) OVER (ORDER BY doc_id"
+        "     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS ex"
+        "   FROM d)"
+        " SELECT CAST(ex // 2000 AS BIGINT) AS shard_id,"
+        "  CAST(count(*) AS BIGINT) AS n_docs,"
+        "  CAST(sum(n_tok) AS BIGINT) AS total_tokens"
+        " FROM c GROUP BY 1"
+    ),
     "curate_pipeline": (
         r"WITH reps AS (SELECT min(doc_id) AS doc_id FROM documents"
         "   GROUP BY md5(text)),"

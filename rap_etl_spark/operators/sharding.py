@@ -1,0 +1,108 @@
+"""Deterministic training-shard assignment: a GLOBAL token prefix sum over
+a total document order, computed WITHOUT the single-partition window that
+`sum() OVER (ORDER BY ...)` lowers to (the classic scale trap — one task
+sees every row).
+
+Two-phase distributed prefix sum (the textbook scan algorithm, applied to
+Spark's partitioning):
+
+1. range-partition the (order, weight) projection on the order column and
+   sort within partitions — a total order across partition boundaries;
+2. per-partition subtotals (map-side-combined groupBy on the partition id:
+   ONE row per partition reaches the driver) → exclusive partition offsets,
+   broadcast back as a tiny dict;
+3. each partition computes its local cumulative sum (vectorized numpy
+   inside mapInPandas, carried across Arrow batches) and adds its offset.
+
+The ranged projection is persisted between phases 2 and 3 so both phases
+see identical partition boundaries (RangePartitioner samples — without the
+persist, a recompute could re-draw boundaries and mis-align the offsets).
+At 100 TB the persisted projection is ~16 bytes/row — the honest cost of a
+global order; everything else is one tiny collect + one narrow pass.
+
+Shard rule: ``shard_id = floor(exclusive_prefix_sum / tokens_per_shard)``
+— a document straddling a budget boundary goes to the shard its FIRST
+token falls in, so every shard except the last holds ≥ tokens_per_shard
+minus one document of slack. Exactly expressible in ANSI SQL
+(``sum(w) OVER (ORDER BY o ROWS BETWEEN UNBOUNDED PRECEDING AND 1
+PRECEDING)``), which is what the DuckDB oracle runs.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+
+def assign_shards(
+    df: DataFrame,
+    tokens_per_shard: int,
+    order_col: str = "doc_id",
+    weight_col: str = "n_tok",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """(order_col, weight_col) → (order_col, weight_col, shard_id).
+
+    order_col must be a total order (unique values); the output is then
+    deterministic regardless of where the range boundaries fall.
+    """
+    if tokens_per_shard <= 0:
+        raise ValueError("tokens_per_shard must be positive")
+    proj = df.select(order_col, weight_col)
+    n = num_partitions or proj.sparkSession.sparkContext.defaultParallelism
+    ranged = (
+        proj.repartitionByRange(n, F.col(order_col))
+        .sortWithinPartitions(order_col)
+        .withColumn("_pid", F.spark_partition_id())
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    # one row per partition — bounded by the partition count, not the data
+    subtotals = {
+        r["_pid"]: r["_w"]
+        for r in ranged.groupBy("_pid")
+        .agg(F.sum(weight_col).alias("_w"))
+        .collect()
+    }
+    offsets: dict[int, int] = {}
+    acc = 0
+    for pid in sorted(subtotals):
+        offsets[pid] = acc
+        acc += subtotals[pid]
+    shard = int(tokens_per_shard)
+
+    from pyspark.sql import types as T
+
+    out_schema = ranged.drop("_pid").schema.add("shard_id", T.LongType(), False)
+
+    def local_scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        run = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if run is None:
+                run = offsets[int(pdf["_pid"].iloc[0])]
+            w = pdf[weight_col].to_numpy()
+            cum = w.cumsum()
+            exclusive = cum - w + run
+            run += int(cum[-1])
+            out = pdf.drop(columns=["_pid"]).copy()
+            out["shard_id"] = exclusive // shard
+            yield out
+
+    # NOTE: `ranged` stays persisted — unpersisting before the result is
+    # consumed would recompute it with freshly-sampled range boundaries and
+    # mis-align the offsets. Blocks are evicted LRU / on session teardown.
+    return ranged.mapInPandas(local_scan, schema=out_schema)
+
+
+def shard_stats(assigned: DataFrame, weight_col: str = "n_tok") -> DataFrame:
+    """Per-shard audit: document count and token total (every shard but the
+    last should land within one document of the budget)."""
+    return assigned.groupBy("shard_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(weight_col).alias("total_tokens"),
+    )
