@@ -619,7 +619,18 @@ def q_shard_plan(spark, sf):
     )
 
 
+def q_profile_table(spark, sf):
+    """Data-quality audit: per-column rows/nulls/distincts/min/max/mean of
+    the orders table in ONE scan (operators/profiling.py). exact distincts
+    here so DuckDB can mirror it; approx=True (HLL++, fixed-size state) is
+    the corpus-scale mode."""
+    from rap_etl_spark.operators.profiling import profile
+
+    return profile(_t(spark, sf, "orders"), approx=False)
+
+
 QUERIES2 = {
+    "profile_table": q_profile_table,
     "shard_plan": q_shard_plan,
     "curate_pipeline": q_curate_pipeline,
     "token_chunk": q_token_chunk,
@@ -659,6 +670,31 @@ QUERIES2 = {
 }
 
 ORACLES2 = {
+    "profile_table": (
+        " SELECT 'o_orderkey' AS \"column\", count(*) AS n_rows,"
+        "  count(*) - count(o_orderkey) AS n_nulls,"
+        "  count(DISTINCT o_orderkey) AS n_distinct,"
+        "  CAST(min(o_orderkey) AS VARCHAR) AS min_val,"
+        "  CAST(max(o_orderkey) AS VARCHAR) AS max_val,"
+        "  round(avg(o_orderkey), 2) AS mean_val FROM orders"
+        " UNION ALL SELECT 'o_custkey', count(*), count(*) - count(o_custkey),"
+        "  count(DISTINCT o_custkey), CAST(min(o_custkey) AS VARCHAR),"
+        "  CAST(max(o_custkey) AS VARCHAR), round(avg(o_custkey), 2) FROM orders"
+        " UNION ALL SELECT 'o_orderstatus', count(*), count(*) - count(o_orderstatus),"
+        "  count(DISTINCT o_orderstatus), CAST(min(o_orderstatus) AS VARCHAR),"
+        "  CAST(max(o_orderstatus) AS VARCHAR), NULL FROM orders"
+        " UNION ALL SELECT 'o_totalprice', count(*), count(*) - count(o_totalprice),"
+        "  count(DISTINCT o_totalprice), CAST(round(min(o_totalprice), 2) AS VARCHAR),"
+        "  CAST(round(max(o_totalprice), 2) AS VARCHAR), round(avg(o_totalprice), 2)"
+        "  FROM orders"
+        " UNION ALL SELECT 'o_orderdate', count(*), count(*) - count(o_orderdate),"
+        "  count(DISTINCT o_orderdate), CAST(min(o_orderdate) AS VARCHAR),"
+        "  CAST(max(o_orderdate) AS VARCHAR), NULL FROM orders"
+        " UNION ALL SELECT 'o_orderpriority', count(*),"
+        "  count(*) - count(o_orderpriority), count(DISTINCT o_orderpriority),"
+        "  CAST(min(o_orderpriority) AS VARCHAR),"
+        "  CAST(max(o_orderpriority) AS VARCHAR), NULL FROM orders"
+    ),
     "shard_plan": (
         r"WITH d AS (SELECT doc_id, len(regexp_extract_all(text, '\S+')) AS n_tok"
         "   FROM documents),"
