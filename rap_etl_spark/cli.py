@@ -35,6 +35,9 @@ Subcommands::
              [--ledger-horizon BATCH] [--sort COL,COL]
     rebucket --table PATH --buckets N
     status   --table PATH
+    inspect  --table PATH (--files | --snapshots)   (metadata tables)
+    query    --table PATH --sql SQL [--name VIEW] [--branch NAME]
+             [--snapshot SID] [--out DIR]
     changes  --table PATH (--batch ID | --from SID [--to SID]) [--out DIR]
     synth    --out DIR --events N [--sf DIR] [--batches K] [--packed]
              [--keys N] [--max-tok N] [--format parquet|binlog]
@@ -259,7 +262,10 @@ def cmd_status(args) -> int:
                 "merge_mode": t.merge_mode(),
                 "delta_depth_max": max(t.delta_depth().values(), default=0),
                 "dirty_buckets": len(t.delta_depth()),
-                "rows": t.read().count(),
+                # exact, metadata-only on clean tables (fast_count falls
+                # back to a bucket-pruned scan only where tombstones or
+                # un-materialized deltas make footer counts insufficient)
+                "rows": t.fast_count(),
             }
         )
     )
@@ -288,6 +294,41 @@ def cmd_branch(args) -> int:
         print(json.dumps({"dropped": args.name}))
     else:  # list
         print(json.dumps(t.list_branches()))
+    return 0
+
+
+def cmd_inspect(args) -> int:
+    """Metadata tables (the Iceberg `.files` / `.snapshots` analogues):
+    JSON-lines of live data files (with zone maps and tombstone flags) or
+    snapshot lineage. Driver-local metadata only — no Spark job."""
+    from rap_etl_spark.lake import ManifestParquetTable
+
+    t = ManifestParquetTable(_spark("rap-etl-inspect"), args.table)
+    df = t.snapshots_df() if args.snapshots else t.files_df()
+    for r in df.collect():
+        print(json.dumps(r.asDict()))
+    return 0
+
+
+def cmd_query(args) -> int:
+    """Ad-hoc SQL over the lake table: registers the (branch/snapshot)
+    read as a temp view (default name `t`) and runs --sql. Writes parquet
+    to --out, else prints JSON-lines (first 100 rows)."""
+    from rap_etl_spark.lake import ManifestParquetTable
+
+    spark = _spark("rap-etl-query")
+    t = ManifestParquetTable(spark, args.table)
+    if getattr(args, "branch", None):
+        t = t.branch(args.branch)
+    view = args.name or "t"
+    t.read(snapshot_id=args.snapshot).createOrReplaceTempView(view)
+    out = spark.sql(args.sql)
+    if args.out:
+        out.write.mode("overwrite").parquet(args.out)
+        print(json.dumps({"out": args.out, "rows": spark.read.parquet(args.out).count()}))
+    else:
+        for r in out.limit(100).collect():
+            print(json.dumps(r.asDict(), default=str))
     return 0
 
 
@@ -399,6 +440,22 @@ def build_parser() -> argparse.ArgumentParser:
     sp = sub.add_parser("status")
     sp.add_argument("--table", required=True)
     sp.set_defaults(fn=cmd_status)
+
+    sp = sub.add_parser("inspect")
+    sp.add_argument("--table", required=True)
+    g = sp.add_mutually_exclusive_group()
+    g.add_argument("--files", action="store_true")
+    g.add_argument("--snapshots", action="store_true")
+    sp.set_defaults(fn=cmd_inspect)
+
+    sp = sub.add_parser("query")
+    sp.add_argument("--table", required=True)
+    sp.add_argument("--sql", required=True)
+    sp.add_argument("--name", help="temp-view name for the table (default t)")
+    sp.add_argument("--branch", help="query a WAP branch instead of main")
+    sp.add_argument("--snapshot", help="time-travel: query this snapshot id")
+    sp.add_argument("--out", help="write result parquet here instead of printing")
+    sp.set_defaults(fn=cmd_query)
 
     sp = sub.add_parser("changes")
     sp.add_argument("--table", required=True)

@@ -809,6 +809,24 @@ class ManifestParquetTable(LakeTable):
                         entry["max_key"] = hi
                 except (ValueError, TypeError):
                     pass
+                try:
+                    # tombstone presence from the boolean column's footer
+                    # stats: max(_del)==False proves the file is all live
+                    # rows, which is what lets fast_count() answer from
+                    # metadata alone. Unknown stats -> omit (conservative).
+                    didx = md.schema.names.index(META_DEL)
+                    any_del, known = False, True
+                    for g in range(md.num_row_groups):
+                        st = md.row_group(g).column(didx).statistics
+                        if st is None or not st.has_min_max:
+                            known = False
+                            break
+                        if st.max:
+                            any_del = True
+                    if known:
+                        entry["has_dels"] = bool(any_del)
+                except (ValueError, TypeError):
+                    pass
                 if kind == "delta":
                     entry["kind"] = "delta"
                     entry["seq"] = int(seq) if seq is not None else 0
@@ -1717,6 +1735,79 @@ class ManifestParquetTable(LakeTable):
                     }
                 )
         return sorted(out, key=lambda d: d["seq"], reverse=True)
+
+    # ---------- metadata-only introspection ----------
+    def fast_count(self) -> int:
+        """EXACT live-row count answered from manifest metadata — the
+        Iceberg/Delta `count(*)` pushdown. Per-file row counts are summed
+        for every bucket proven all-live (`has_dels is False` on each of
+        its base files, no pending MoR deltas); only buckets holding
+        tombstones, deltas, or stat-less legacy files fall back to a
+        bucket-pruned resolved scan. Append/merge-heavy tables answer in
+        O(files) driver time with ZERO jobs; the fallback scans touched
+        buckets, never the table."""
+        files = self._manifest()["files"]
+        need: set[int] = set()
+        for fe in files:
+            if fe.get("kind") == "delta" or fe.get("has_dels") is not False:
+                need.add(fe["bucket"])
+        total = sum(
+            fe["rows"]
+            for fe in files
+            if fe.get("kind") != "delta" and fe["bucket"] not in need
+        )
+        if need:
+            sub = [fe for fe in files if fe["bucket"] in need]
+            total += self._read_resolved(sub, self.schema()).count()
+        return total
+
+    def files_df(self) -> DataFrame:
+        """Live data files as a DataFrame (the Iceberg `.files` metadata
+        table): path, bucket, kind, seq, rows, bytes, key zone map,
+        tombstone flag. Driver-local O(files) — one os.stat per file, no
+        job."""
+        rows = []
+        for fe in self._manifest()["files"]:
+            p = os.path.join(self.path, fe["path"])
+            rows.append(
+                (
+                    fe["path"],
+                    fe["bucket"],
+                    fe.get("kind", "base"),
+                    int(fe.get("seq", 0)),
+                    fe["rows"],
+                    os.path.getsize(p) if os.path.exists(p) else None,
+                    fe.get("min_key"),
+                    fe.get("max_key"),
+                    fe.get("has_dels"),
+                    fe.get("schema_version"),
+                )
+            )
+        schema = (
+            "path string, bucket int, kind string, seq int, rows long, "
+            "bytes long, min_key string, max_key string, has_dels boolean, "
+            "schema_version int"
+        )
+        return self.spark.createDataFrame(rows, schema)
+
+    def snapshots_df(self) -> DataFrame:
+        """Snapshot lineage as a DataFrame (the `.snapshots` metadata
+        table): one row per retained manifest, newest first."""
+        rows = [
+            (
+                h["seq"],
+                h["snapshot_id"],
+                h["parent"],
+                h["committed_at"],
+                h["n_files"],
+            )
+            for h in self.history()
+        ]
+        schema = (
+            "seq long, snapshot_id string, parent string, "
+            "committed_at string, n_files int"
+        )
+        return self.spark.createDataFrame(rows, schema)
 
     # ---------- schema evolution ----------
     def evolve(self, new_schema: T.StructType) -> None:

@@ -56,6 +56,35 @@ def test_cli_full_lifecycle(spark, sf_small, tmp_path, capsys):
     assert rec[-1]["rows"] == st["rows"]  # maintenance preserves state
 
 
+def test_cli_inspect_and_query(spark, sf_small, tmp_path, capsys):
+    log = str(tmp_path / "log")
+    table = str(tmp_path / "t")
+    _run(capsys, "synth", "--out", log, "--events", "1000",
+         "--sf", sf_small, "--batches", "1")
+    _run(capsys, "init", "--table", table, "--buckets", "8")
+    _run(capsys, "replay", "--table", table, "--log", log)
+
+    files = _run(capsys, "inspect", "--table", table, "--files")
+    assert files and all(f["rows"] > 0 and f["bytes"] > 0 for f in files)
+    snaps = _run(capsys, "inspect", "--table", table, "--snapshots")
+    assert len(snaps) == 2  # create + replay commit
+
+    rec = _run(capsys, "query", "--table", table,
+               "--sql", "SELECT count(*) AS n, count(DISTINCT doc_id) AS k FROM t")
+    n_live = rec[-1]["n"]
+    assert rec[-1]["k"] == n_live  # LWW table: one row per key
+    # file rows are PHYSICAL (tombstones included); status rows is the
+    # metadata-backed fast_count and must agree with the live SQL count
+    assert n_live <= sum(f["rows"] for f in files)
+    st = _run(capsys, "status", "--table", table)
+    assert st[-1]["rows"] == n_live
+
+    out_dir = str(tmp_path / "q")
+    rec = _run(capsys, "query", "--table", table, "--out", out_dir,
+               "--sql", "SELECT doc_id FROM t WHERE n_tok > 4")
+    assert rec[-1]["rows"] == spark.read.parquet(out_dir).count()
+
+
 def test_cli_stream_to_wap_branch(spark, sf_small, tmp_path, capsys):
     """stream --branch stages micro-batch commits invisibly to main; branch
     publish fast-forwards main to the audited head."""
