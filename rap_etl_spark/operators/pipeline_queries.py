@@ -629,7 +629,58 @@ def q_profile_table(spark, sf):
     return profile(_t(spark, sf, "orders"), approx=False)
 
 
+def q_bm25_search(spark, sf):
+    """BM25 ranked retrieval (k1=1.2, b=0.75) for a 3-term query over the
+    corpus — the retrieval-scoring stage of a search/rerank pipeline. The
+    term filter lands BEFORE the tf groupBy (only matching postings ever
+    shuffle); N/avgdl is a 1-row broadcast cross-join; idf/weight math is
+    integer-fed JVM arithmetic, so the DuckDB oracle reproduces it bit-for-
+    bit and a 4-dp round makes the compare safe."""
+    terms = ["merge", "stream", "vector"]
+    k1, b = 1.2, 0.75
+    d = _t(spark, sf, "documents").select(
+        "doc_id", F.split("text", " ").alias("w")
+    )
+    dl = d.select("doc_id", F.size("w").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")
+    )
+    tf = (
+        d.select("doc_id", F.explode("w").alias("word"))
+        .filter(F.col("word").isin(terms))
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("word").agg(F.count_distinct("doc_id").alias("df"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "word")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "idf",
+            F.log((F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0),
+        )
+        .withColumn(
+            "contrib",
+            F.col("idf")
+            * (F.col("tf") * (k1 + 1))
+            / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))),
+        )
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("contrib"), 4).alias("score"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 20)
+        .select("doc_id", "score", "rank")
+    )
+
+
 QUERIES2 = {
+    "bm25_search": q_bm25_search,
     "profile_table": q_profile_table,
     "shard_plan": q_shard_plan,
     "curate_pipeline": q_curate_pipeline,
@@ -670,6 +721,24 @@ QUERIES2 = {
 }
 
 ORACLES2 = {
+    "bm25_search": (
+        " WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),"
+        " dl AS (SELECT doc_id, len(w) AS dl FROM d),"
+        " stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),"
+        " tf AS (SELECT doc_id, word, count(*) AS tf FROM"
+        "   (SELECT doc_id, unnest(w) AS word FROM d)"
+        "   WHERE word IN ('merge', 'stream', 'vector') GROUP BY doc_id, word),"
+        " dfreq AS (SELECT word, count(DISTINCT doc_id) AS df FROM tf GROUP BY word),"
+        " scored AS (SELECT doc_id,"
+        "   round(sum(ln((n - df + 0.5) / (df + 0.5) + 1.0)"
+        "     * (tf * 2.2) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 4)"
+        "   AS score"
+        "   FROM tf JOIN dfreq USING (word) JOIN dl USING (doc_id), stats"
+        "   GROUP BY doc_id)"
+        " SELECT doc_id, score, CAST(row_number() OVER"
+        "   (ORDER BY score DESC, doc_id) AS INT) AS rank"
+        " FROM scored QUALIFY rank <= 20"
+    ),
     "profile_table": (
         " SELECT 'o_orderkey' AS \"column\", count(*) AS n_rows,"
         "  count(*) - count(o_orderkey) AS n_nulls,"
