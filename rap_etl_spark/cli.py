@@ -38,6 +38,7 @@ Subcommands::
     inspect  --table PATH (--files | --snapshots)   (metadata tables)
     query    --table PATH --sql SQL [--name VIEW] [--branch NAME]
              [--snapshot SID] [--out DIR]
+    clone    --table PATH --dest PATH [--snapshot SID] [--mode hardlink|copy]
     changes  --table PATH (--batch ID | --from SID [--to SID]) [--out DIR]
     synth    --out DIR --events N [--sf DIR] [--batches K] [--packed]
              [--keys N] [--max-tok N] [--format parquet|binlog]
@@ -332,6 +333,20 @@ def cmd_query(args) -> int:
     return 0
 
 
+def cmd_clone(args) -> int:
+    """Zero-copy table clone (hard-linked shallow clone; lake.py clone)."""
+    from rap_etl_spark.lake import ManifestParquetTable
+
+    t = ManifestParquetTable(_spark("rap-etl-clone"), args.table)
+    c = t.clone(args.dest, snapshot_id=args.snapshot, mode=args.mode)
+    print(
+        json.dumps(
+            {"clone": args.dest, "snapshot": c.snapshot_id(), "mode": args.mode}
+        )
+    )
+    return 0
+
+
 def cmd_changes(args) -> int:
     """Incremental CDC read: emit row-level changes for one committed
     batch (--batch) or between two snapshots (--from/--to). Writes parquet
@@ -456,6 +471,13 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--snapshot", help="time-travel: query this snapshot id")
     sp.add_argument("--out", help="write result parquet here instead of printing")
     sp.set_defaults(fn=cmd_query)
+
+    sp = sub.add_parser("clone")
+    sp.add_argument("--table", required=True)
+    sp.add_argument("--dest", required=True)
+    sp.add_argument("--snapshot")
+    sp.add_argument("--mode", choices=["hardlink", "copy"], default="hardlink")
+    sp.set_defaults(fn=cmd_clone)
 
     sp = sub.add_parser("changes")
     sp.add_argument("--table", required=True)

@@ -1736,6 +1736,63 @@ class ManifestParquetTable(LakeTable):
                 )
         return sorted(out, key=lambda d: d["seq"], reverse=True)
 
+    # ---------- clone ----------
+    def clone(
+        self,
+        dest_path: str,
+        snapshot_id: str | None = None,
+        mode: str = "hardlink",
+    ) -> "ManifestParquetTable":
+        """Zero-copy table clone (the Delta SHALLOW CLONE / Iceberg
+        snapshot-table move, made GC-SAFE by hard links): every live data
+        file of the chosen snapshot is `os.link`ed into the new table dir,
+        so the clone costs O(files) metadata ops and zero data bytes, and
+        — unlike a path-referencing shallow clone — the source's
+        compaction/expire_snapshots can delete ITS directory entries
+        without breaking the clone (the inode survives while either name
+        references it). Falls back to a copy per file when the filesystem
+        refuses links (cross-device); ``mode="copy"`` forces full copies.
+
+        The clone is an independent single-writer table: fresh lineage
+        (seq 0, no parent), same schema versions / key / bucket layout /
+        merge mode / constraints, and the source's batch ledger (so
+        redelivery of an already-applied batch is still a no-op against
+        the clone). Branches are not cloned.
+        """
+        if mode not in ("hardlink", "copy"):
+            raise ValueError(f"mode must be 'hardlink' or 'copy', got {mode!r}")
+        if os.path.exists(os.path.join(dest_path, "_current.json")):
+            raise FileExistsError(f"table already exists at {dest_path}")
+        m = self._manifest_of(snapshot_id or self.snapshot_id())
+        os.makedirs(os.path.join(dest_path, "data"), exist_ok=True)
+        os.makedirs(os.path.join(dest_path, "manifests"), exist_ok=True)
+        import shutil
+
+        for fe in m["files"]:
+            src = os.path.join(self.path, fe["path"])
+            dst = os.path.join(dest_path, fe["path"])
+            if mode == "hardlink":
+                try:
+                    os.link(src, dst)
+                    continue
+                except OSError:
+                    pass  # cross-device / unsupported fs -> copy
+            shutil.copy2(src, dst)
+        out = ManifestParquetTable(self.spark, dest_path, key=self.key)
+        manifest = json.loads(json.dumps(m))
+        manifest["snapshot_id"] = out._new_snapshot_id(0)
+        manifest["parent"] = None
+        manifest["seq"] = 0
+        manifest["committed_at"] = time.strftime(
+            "%Y-%m-%dT%H:%M:%SZ", time.gmtime()
+        )
+        manifest["cloned_from"] = {
+            "path": self.path,
+            "snapshot_id": m["snapshot_id"],
+        }
+        out._write_manifest(manifest)
+        return out
+
     # ---------- metadata-only introspection ----------
     def fast_count(self) -> int:
         """EXACT live-row count answered from manifest metadata — the

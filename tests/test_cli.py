@@ -84,6 +84,11 @@ def test_cli_inspect_and_query(spark, sf_small, tmp_path, capsys):
                "--sql", "SELECT doc_id FROM t WHERE n_tok > 4")
     assert rec[-1]["rows"] == spark.read.parquet(out_dir).count()
 
+    clone_dir = str(tmp_path / "c")
+    rec = _run(capsys, "clone", "--table", table, "--dest", clone_dir)
+    st = _run(capsys, "status", "--table", clone_dir)
+    assert st[-1]["rows"] == n_live
+
 
 def test_cli_stream_to_wap_branch(spark, sf_small, tmp_path, capsys):
     """stream --branch stages micro-batch commits invisibly to main; branch
