@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from rap_etl_spark.lake import (
+    CommitConflictError,
     CommitInfo,
     LakeTable,
     ManifestParquetTable,
@@ -70,6 +71,10 @@ class CdcEngine:
     # Spark cache retention under memory pressure.
     stage_delta: bool = True
     staging_dir: str | None = None
+    # Multi-writer OCC: how many times to rebase-and-retry a merge whose
+    # manifest pointer CAS lost to a concurrent committer (0 = surface
+    # CommitConflictError immediately, the pre-round-2 behavior).
+    occ_retries: int = 2
     # Ingest-path curation: drop non-representative (near-)duplicate payloads
     # from each batch's winner delta BEFORE the merge, so planted near-dups
     # never reach the table. None (default) = off; "exact" | "minhash" =
@@ -198,21 +203,26 @@ class CdcEngine:
                             latest, self.table.read(), key=KEY
                         )
 
-                # payload columns follow the table's CURRENT schema (schema
-                # evolution: an added column like `lang` must flow through)
-                payload_cols = [
-                    f.name
-                    for f in self.table.schema().fields
-                    if f.name != KEY and f.name in latest.columns
-                ]
-                if self.diff_first:
-                    current = self.table.read()
-                    diff = diff_against_table(latest, current, payload_cols)
-                    changes = diff.filter(F.col("action") != "N").drop("action")
-                else:
-                    changes = latest
+                def _merge_once() -> CommitInfo:
+                    # payload columns follow the table's CURRENT schema
+                    # (schema evolution: an added column like `lang` must
+                    # flow through). Recomputed per attempt: an OCC retry
+                    # must diff/merge against the REFRESHED manifest, and
+                    # the version-conditional merge makes re-applying the
+                    # same staged delta safe (c_v > o_v filters replays).
+                    payload_cols = [
+                        f.name
+                        for f in self.table.schema().fields
+                        if f.name != KEY and f.name in latest.columns
+                    ]
+                    if self.diff_first:
+                        current = self.table.read()
+                        diff = diff_against_table(latest, current, payload_cols)
+                        changes = diff.filter(F.col("action") != "N").drop("action")
+                    else:
+                        changes = latest
 
-                payload = changes.select(KEY, "op", "lsn", *payload_cols)
+                    payload = changes.select(KEY, "op", "lsn", *payload_cols)
                 # Bucket-discovery hint: a column-pruned scan of the staged
                 # delta (KEY only — no dedup shuffle, no unpack Python
                 # stage) yields the affected-bucket set and the exact
@@ -225,39 +235,66 @@ class CdcEngine:
                 # never miss a changed bucket; a superset would merely
                 # rewrite an unchanged bucket, but the default path is
                 # exact).
-                use_hint = (
-                    delta_path is not None
-                    and not self.diff_first
-                    and self.dedup_policy is None
-                    and isinstance(self.table, ManifestParquetTable)
-                )
-                if use_hint and self.table.merge_mode() == "mor":
-                    # MoR needs no affected-bucket set (it reads nothing),
-                    # so the discovery job disappears entirely; the exact
-                    # ledger row count comes from merge() itself, which
-                    # persists the deduped change frame and counts it (the
-                    # staged file still holds byte-identical duplicate
-                    # winner rows, so a file-level count would overstate).
-                    info: CommitInfo = self.table.merge(payload, batch_id=batch_id)
-                elif use_hint:
-                    _t = time.monotonic()
-                    staged_keys = self.spark.read.parquet(delta_path).select(KEY)
-                    stats = (
-                        staged_keys.groupBy(
-                            self.table._bucket_expr(KEY).alias("_b")
+                    use_hint = (
+                        delta_path is not None
+                        and not self.diff_first
+                        and self.dedup_policy is None
+                        and isinstance(self.table, ManifestParquetTable)
+                    )
+                    if use_hint and self.table.merge_mode() == "mor":
+                        # MoR needs no affected-bucket set (it reads
+                        # nothing), so the discovery job disappears
+                        # entirely; the exact ledger row count comes from
+                        # merge() itself, which persists the deduped change
+                        # frame and counts it (the staged file still holds
+                        # byte-identical duplicate winner rows, so a
+                        # file-level count would overstate).
+                        return self.table.merge(payload, batch_id=batch_id)
+                    if use_hint:
+                        _t = time.monotonic()
+                        staged_keys = self.spark.read.parquet(delta_path).select(KEY)
+                        stats = (
+                            staged_keys.groupBy(
+                                self.table._bucket_expr(KEY).alias("_b")
+                            )
+                            .agg(F.countDistinct(KEY).alias("_n"))
+                            .collect()
                         )
-                        .agg(F.countDistinct(KEY).alias("_n"))
-                        .collect()
-                    )
-                    _tlog("engine.bucket_discovery", _t)
-                    info = self.table.merge(
-                        payload,
-                        batch_id=batch_id,
-                        affected_buckets={r["_b"] for r in stats},
-                        n_rows=int(sum(r["_n"] for r in stats)),
-                    )
-                else:
-                    info = self.table.merge(payload, batch_id=batch_id)
+                        _tlog("engine.bucket_discovery", _t)
+                        return self.table.merge(
+                            payload,
+                            batch_id=batch_id,
+                            affected_buckets={r["_b"] for r in stats},
+                            n_rows=int(sum(r["_n"] for r in stats)),
+                        )
+                    return self.table.merge(payload, batch_id=batch_id)
+
+                # Multi-writer OCC: losing the pointer CAS raises
+                # CommitConflictError AFTER the loser's data files are
+                # written (they become orphans; expire_snapshots sweeps
+                # them). Rebase = refresh the manifest and re-run the
+                # merge from the staged delta — cheap relative to the
+                # event scan, and version-conditional, so correct even if
+                # the winner touched the same keys. If the conflicting
+                # writer committed THIS batch_id, the ledger makes the
+                # retry a skip.
+                for attempt in range(self.occ_retries + 1):
+                    try:
+                        info: CommitInfo = _merge_once()
+                        break
+                    except CommitConflictError:
+                        if attempt == self.occ_retries:
+                            raise
+                        if isinstance(self.table, ManifestParquetTable):
+                            self.table.refresh()
+                        if self.table.is_committed(batch_id):
+                            info = CommitInfo(
+                                snapshot_id=self.table.snapshot_id(),
+                                batch_id=batch_id,
+                                rows_written=0,
+                                skipped=True,
+                            )
+                            break
             finally:
                 if delta_path is not None:
                     # delete through the same filesystem abstraction the
