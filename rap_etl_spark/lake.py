@@ -827,6 +827,36 @@ class ManifestParquetTable(LakeTable):
                         entry["has_dels"] = bool(any_del)
                 except (ValueError, TypeError):
                     pass
+                # generalized zone maps: [min,max] for every top-level
+                # primitive column with complete, JSON-safe footer stats
+                # (the Iceberg manifest-entry column-bounds move) — powers
+                # read_range() file skipping on ANY such column, not just
+                # the key. Nested leaves (dotted paths) and non-JSON types
+                # (timestamps/bytes) are skipped conservatively.
+                cs: dict[str, list] = {}
+                for ci, cname in enumerate(md.schema.names):
+                    if cname in (self.key, META_DEL) or "." in cname:
+                        continue
+                    lo2 = hi2 = None
+                    ok = True
+                    for g in range(md.num_row_groups):
+                        st = md.row_group(g).column(ci).statistics
+                        if st is None or not st.has_min_max:
+                            ok = False
+                            break
+                        if lo2 is None or st.min < lo2:
+                            lo2 = st.min
+                        if hi2 is None or st.max > hi2:
+                            hi2 = st.max
+                    if (
+                        ok
+                        and isinstance(lo2, (str, int, float))
+                        and isinstance(hi2, (str, int, float))
+                        and not isinstance(lo2, bool)
+                    ):
+                        cs[cname] = [lo2, hi2]
+                if cs:
+                    entry["col_stats"] = cs
                 if kind == "delta":
                     entry["kind"] = "delta"
                     entry["seq"] = int(seq) if seq is not None else 0
@@ -1183,6 +1213,57 @@ class ManifestParquetTable(LakeTable):
             if i < len(skeys) and skeys[i] <= hi:
                 out.append(fe)
         return out
+
+    def read_range(self, col: str, lo=None, hi=None) -> DataFrame:
+        """Range read with MANIFEST-LEVEL file skipping on any column that
+        has recorded zone maps (`col_stats`, written from parquet footers
+        at commit time; the key column uses its min_key/max_key bounds).
+        Files whose [min,max] cannot intersect [lo, hi] are never opened —
+        after `compact(sort_cols=[col], max_rows_per_file=...)` lays out
+        contiguous ranges, a narrow range touches one file per bucket.
+        Merge-on-read buckets are pruned at BUCKET granularity (delta
+        resolution needs the bucket's full file stack); files without
+        stats are conservatively read. The residual filter still applies,
+        so the result is exact regardless of stats coverage."""
+        m = self._manifest()
+        files = m["files"]
+        dirty = {fe["bucket"] for fe in files if fe.get("kind") == "delta"}
+
+        def bounds(fe):
+            if col == self.key:
+                return fe.get("min_key"), fe.get("max_key")
+            cs = fe.get("col_stats", {}).get(col)
+            return (cs[0], cs[1]) if cs else (None, None)
+
+        def overlaps(fe):
+            b_lo, b_hi = bounds(fe)
+            if b_lo is None or b_hi is None:
+                return True
+            if lo is not None and b_hi < lo:
+                return False
+            if hi is not None and b_lo > hi:
+                return False
+            return True
+
+        keep_dirty = {
+            fe["bucket"] for fe in files if fe["bucket"] in dirty and overlaps(fe)
+        }
+        kept = [
+            fe
+            for fe in files
+            if (
+                fe["bucket"] in keep_dirty
+                if fe["bucket"] in dirty
+                else overlaps(fe)
+            )
+        ]
+        df = self._read_resolved(kept, self.schema())
+        c = F.col(col)
+        if lo is not None:
+            df = df.filter(c >= F.lit(lo))
+        if hi is not None:
+            df = df.filter(c <= F.lit(hi))
+        return df
 
     # ---------- maintenance ----------
     def compact(

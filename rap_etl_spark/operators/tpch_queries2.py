@@ -310,7 +310,49 @@ def q_cdc_merge_mor(spark, sf):
     return q_cdc_merge(spark, sf, merge_mode="mor")
 
 
+def q_read_range(spark, sf):
+    """Zone-map file skipping end-to-end, oracled (lake.read_range):
+    load customers into a real table, sorted+size-bounded compact on the
+    balance column (contiguous per-file ranges), then range-read — the
+    scan opens only overlapping files (asserted by plan tests); the
+    oracle is the plain filter, so the pruning must lose no rows."""
+    from pyspark.sql import types as T
+
+    from rap_etl_spark.lake import ManifestParquetTable
+
+    src = _t(spark, sf, "customer").select(
+        F.col("c_custkey").cast("string").alias("doc_id"),
+        F.col("c_acctbal").alias("bal"),
+        F.col("c_mktsegment").alias("seg"),
+    )
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType()),
+            T.StructField("bal", T.DoubleType()),
+            T.StructField("seg", T.StringType()),
+        ]
+    )
+    work = tempfile.mkdtemp(prefix="rap-etl-read-range-")
+    try:
+        table = ManifestParquetTable.create(
+            spark, os.path.join(work, "t"), schema, n_buckets=4
+        )
+        table.append(src, batch_id=0, assume_unique=True)
+        table.compact(sort_cols=["bal"], max_rows_per_file=50)
+        rows = (
+            table.read_range("bal", 1000.0, 3000.0)
+            .select("doc_id", "bal", "seg")
+            .collect()
+        )
+        return spark.createDataFrame(rows, schema)
+    finally:
+        import shutil
+
+        shutil.rmtree(work, ignore_errors=True)
+
+
 TPCH_QUERIES2 = {
+    "read_range_prune": q_read_range,
     "q4_order_priority": q4_order_priority,
     "q6_forecast_revenue": q6_forecast_revenue,
     "q7_volume_shipping": q7_volume_shipping,
@@ -326,6 +368,11 @@ TPCH_QUERIES2 = {
 }
 
 TPCH_ORACLES2 = {
+    "read_range_prune": (
+        "SELECT CAST(c_custkey AS VARCHAR) AS doc_id, c_acctbal AS bal,"
+        " c_mktsegment AS seg FROM customer"
+        " WHERE c_acctbal >= 1000.0 AND c_acctbal <= 3000.0"
+    ),
     "q4_order_priority": (
         "SELECT o_orderpriority, count(*) AS n_orders FROM orders"
         " WHERE o_orderdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1996-03-31'"
