@@ -39,6 +39,8 @@ Subcommands::
     query    --table PATH --sql SQL [--name VIEW] [--branch NAME]
              [--snapshot SID] [--out DIR]
     clone    --table PATH --dest PATH [--snapshot SID] [--mode hardlink|copy]
+    export   --table PATH --out DIR --tokens-per-shard N
+             [--weight-col n_tok] [--snapshot SID]   (training shards)
     changes  --table PATH (--batch ID | --from SID [--to SID]) [--out DIR]
     synth    --out DIR --events N [--sf DIR] [--batches K] [--packed]
              [--keys N] [--max-tok N] [--format parquet|binlog]
@@ -347,6 +349,47 @@ def cmd_clone(args) -> int:
     return 0
 
 
+def cmd_export(args) -> int:
+    """Training-shard export: deterministic fixed-token-budget shards over
+    the table's key order (operators/sharding.py distributed prefix sum —
+    no single-partition window), written partitioned by shard_id. Rows
+    leave the prefix-sum pass already range-clustered, so the partitioned
+    write adds no shuffle."""
+    from rap_etl_spark.lake import ManifestParquetTable
+    from rap_etl_spark.operators.sharding import assign_shards, shard_stats
+
+    spark = _spark("rap-etl-export")
+    t = ManifestParquetTable(spark, args.table)
+    df = t.read(snapshot_id=args.snapshot)
+    if args.weight_col not in df.columns:
+        print(f"weight column {args.weight_col!r} not in table schema",
+              file=sys.stderr)
+        return 2
+    assigned = assign_shards(
+        df,
+        tokens_per_shard=args.tokens_per_shard,
+        order_col=t.key,
+        weight_col=args.weight_col,
+        keep_columns=True,
+    )
+    assigned.write.mode("overwrite").partitionBy("shard_id").parquet(args.out)
+    stats = shard_stats(
+        _spark("rap-etl-export").read.parquet(args.out), args.weight_col
+    ).collect()
+    print(
+        json.dumps(
+            {
+                "out": args.out,
+                "n_shards": len(stats),
+                "rows": int(sum(r["n_docs"] for r in stats)),
+                "tokens": int(sum(r["total_tokens"] for r in stats)),
+                "tokens_per_shard": args.tokens_per_shard,
+            }
+        )
+    )
+    return 0
+
+
 def cmd_changes(args) -> int:
     """Incremental CDC read: emit row-level changes for one committed
     batch (--batch) or between two snapshots (--from/--to). Writes parquet
@@ -478,6 +521,14 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--snapshot")
     sp.add_argument("--mode", choices=["hardlink", "copy"], default="hardlink")
     sp.set_defaults(fn=cmd_clone)
+
+    sp = sub.add_parser("export")
+    sp.add_argument("--table", required=True)
+    sp.add_argument("--out", required=True)
+    sp.add_argument("--tokens-per-shard", type=int, required=True)
+    sp.add_argument("--weight-col", default="n_tok")
+    sp.add_argument("--snapshot")
+    sp.set_defaults(fn=cmd_export)
 
     sp = sub.add_parser("changes")
     sp.add_argument("--table", required=True)

@@ -44,15 +44,21 @@ def assign_shards(
     order_col: str = "doc_id",
     weight_col: str = "n_tok",
     num_partitions: int | None = None,
+    keep_columns: bool = False,
 ) -> DataFrame:
     """(order_col, weight_col) → (order_col, weight_col, shard_id).
 
     order_col must be a total order (unique values); the output is then
     deterministic regardless of where the range boundaries fall.
+    ``keep_columns=True`` carries the full row through the scan (for
+    export: rows leave the pass already range-clustered by shard, so a
+    partitioned write needs no further shuffle) — the persisted working
+    set grows from 16 bytes/row to the full row width, the honest cost of
+    single-pass export.
     """
     if tokens_per_shard <= 0:
         raise ValueError("tokens_per_shard must be positive")
-    proj = df.select(order_col, weight_col)
+    proj = df if keep_columns else df.select(order_col, weight_col)
     n = num_partitions or proj.sparkSession.sparkContext.defaultParallelism
     ranged = (
         proj.repartitionByRange(n, F.col(order_col))

@@ -4,6 +4,8 @@ against the session fixture (cli reuses the active SparkSession)."""
 
 import json
 
+from pyspark.sql import functions as F
+
 from rap_etl_spark.cli import main
 
 
@@ -88,6 +90,39 @@ def test_cli_inspect_and_query(spark, sf_small, tmp_path, capsys):
     rec = _run(capsys, "clone", "--table", table, "--dest", clone_dir)
     st = _run(capsys, "status", "--table", clone_dir)
     assert st[-1]["rows"] == n_live
+
+
+def test_cli_export_training_shards(spark, sf_small, tmp_path, capsys):
+    log = str(tmp_path / "log")
+    table = str(tmp_path / "t")
+    _run(capsys, "synth", "--out", log, "--events", "1500",
+         "--sf", sf_small, "--batches", "1")
+    _run(capsys, "init", "--table", table, "--buckets", "8")
+    _run(capsys, "replay", "--table", table, "--log", log)
+
+    out = str(tmp_path / "shards")
+    rec = _run(capsys, "export", "--table", table, "--out", out,
+               "--tokens-per-shard", "500")
+    from rap_etl_spark.lake import ManifestParquetTable
+
+    t = ManifestParquetTable(spark, table)
+    exported = spark.read.parquet(out)
+    assert rec[-1]["rows"] == exported.count() == t.read().count()
+    assert rec[-1]["n_shards"] >= 2
+    # every shard except the straddler-tailed last stays near budget
+    per = {r["shard_id"]: r["total_tokens"]
+           for r in exported.groupBy("shard_id")
+           .agg(F.sum("n_tok").alias("total_tokens")).collect()}
+    max_w = max(r["n_tok"] for r in t.read().select("n_tok").collect())
+    last = max(per)
+    for sid, tot in per.items():
+        assert tot < 500 + max_w
+        if sid != last:
+            assert tot > 500 - max_w
+
+    # unknown weight column -> usable error
+    assert main(["export", "--table", table, "--out", out,
+                 "--tokens-per-shard", "10", "--weight-col", "nope"]) == 2
 
 
 def test_cli_stream_to_wap_branch(spark, sf_small, tmp_path, capsys):
