@@ -316,6 +316,37 @@ def q_set_distinct(spark, sf):
     return _t(spark, sf, "orders").select("o_orderpriority", "o_orderstatus").distinct()
 
 
+def q_set_intersect_all(spark, sf):
+    """U2 multiset variant: INTERSECT ALL keeps min(multiplicity) copies —
+    physically a count-per-value agg on each side + min, not a distinct."""
+    a = (
+        _t(spark, sf, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderpriority")
+    )
+    b = (
+        _t(spark, sf, "orders")
+        .filter(F.col("o_orderstatus") == "O")
+        .select("o_orderpriority")
+    )
+    return a.intersectAll(b)
+
+
+def q_set_except_all(spark, sf):
+    """U3 multiset variant: EXCEPT ALL subtracts multiplicities."""
+    a = (
+        _t(spark, sf, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderpriority")
+    )
+    b = (
+        _t(spark, sf, "orders")
+        .filter(F.col("o_orderstatus") == "O")
+        .select("o_orderpriority")
+    )
+    return a.exceptAll(b)
+
+
 # --------------------------------------------------------------------------
 # scalar functions
 # --------------------------------------------------------------------------
@@ -561,6 +592,8 @@ QUERIES = {
     "set_intersect": q_set_intersect,
     "set_except": q_set_except,
     "set_distinct": q_set_distinct,
+    "set_intersect_all": q_set_intersect_all,
+    "set_except_all": q_set_except_all,
     "fn_string": q_fn_string,
     "fn_hash": q_fn_hash,
     "fn_date": q_fn_date,
@@ -709,6 +742,16 @@ ORACLES = {
         " EXCEPT SELECT s_nationkey AS nk FROM supplier"
     ),
     "set_distinct": "SELECT DISTINCT o_orderpriority, o_orderstatus FROM orders",
+    "set_intersect_all": (
+        "SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'F'"
+        " INTERSECT ALL"
+        " SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'O'"
+    ),
+    "set_except_all": (
+        "SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'F'"
+        " EXCEPT ALL"
+        " SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'O'"
+    ),
     "fn_string": (
         "SELECT doc_id, upper(lang) AS lang_up, substr(text, 1, 12) AS prefix,"
         " len(string_split(text, ' ')) AS n_words,"
