@@ -30,6 +30,7 @@ Subcommands::
              [--metrics JSONL] [--continuous] [--format parquet|binlog]
              [--branch NAME]             (use a branch-specific checkpoint)
     branch   create|list|publish|drop --table PATH [--name NAME]
+    tag      create|list|drop --table PATH [--name NAME] [--snapshot SID]
     compact  --table PATH [--tombstone-horizon LSN] [--keep-snapshots K]
              [--materialize]
              [--ledger-horizon BATCH] [--sort COL,COL]
@@ -300,6 +301,27 @@ def cmd_branch(args) -> int:
     return 0
 
 
+def cmd_tag(args) -> int:
+    """Immutable snapshot tags (lake.py tags): create pins a snapshot
+    against expire_snapshots forever; `query --snapshot <tagged sid>` or
+    read_tag() reproduces it."""
+    from rap_etl_spark.lake import ManifestParquetTable
+
+    if args.action != "list" and not args.name:
+        print("--name is required for create/drop", file=sys.stderr)
+        return 2
+    t = ManifestParquetTable(_spark("rap-etl-tag"), args.table)
+    if args.action == "create":
+        sid = t.create_tag(args.name, snapshot_id=args.snapshot)
+        print(json.dumps({"tag": args.name, "snapshot": sid}))
+    elif args.action == "drop":
+        t.drop_tag(args.name)
+        print(json.dumps({"dropped": args.name}))
+    else:
+        print(json.dumps(t.list_tags()))
+    return 0
+
+
 def cmd_inspect(args) -> int:
     """Metadata tables (the Iceberg `.files` / `.snapshots` analogues):
     JSON-lines of live data files (with zone maps and tombstone flags) or
@@ -498,6 +520,13 @@ def build_parser() -> argparse.ArgumentParser:
     sp = sub.add_parser("status")
     sp.add_argument("--table", required=True)
     sp.set_defaults(fn=cmd_status)
+
+    sp = sub.add_parser("tag")
+    sp.add_argument("action", choices=["create", "list", "drop"])
+    sp.add_argument("--table", required=True)
+    sp.add_argument("--name")
+    sp.add_argument("--snapshot")
+    sp.set_defaults(fn=cmd_tag)
 
     sp = sub.add_parser("inspect")
     sp.add_argument("--table", required=True)

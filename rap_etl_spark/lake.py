@@ -558,9 +558,7 @@ class ManifestParquetTable(LakeTable):
     def read(self, snapshot_id: str | None = None) -> DataFrame:
         m = self._manifest()
         if snapshot_id is not None and snapshot_id != m["snapshot_id"]:
-            mpath = os.path.join(self.path, "manifests", f"manifest-{snapshot_id}.json")
-            with open(mpath) as f:
-                m = json.load(f)
+            m = self._manifest_of(snapshot_id)  # ValueError if expired
             schema = _schema_from_json(m["schema_versions"][str(m["current_schema_version"])])
             return self._read_files_of(m, m["files"], schema)
         return self._read_resolved(m["files"], self.schema())
@@ -1215,11 +1213,18 @@ class ManifestParquetTable(LakeTable):
         return out
 
     def read_range(self, col: str, lo=None, hi=None) -> DataFrame:
-        """Range read with MANIFEST-LEVEL file skipping on any column that
-        has recorded zone maps (`col_stats`, written from parquet footers
-        at commit time; the key column uses its min_key/max_key bounds).
-        Files whose [min,max] cannot intersect [lo, hi] are never opened —
-        after `compact(sort_cols=[col], max_rows_per_file=...)` lays out
+        """Single-column form of :meth:`read_where`."""
+        return self.read_where({col: (lo, hi)})
+
+    def read_where(self, ranges: dict[str, tuple]) -> DataFrame:
+        """Conjunctive range read ({col: (lo, hi), ...}; None = open end)
+        with MANIFEST-LEVEL file skipping on any column that has recorded
+        zone maps (`col_stats`, written from parquet footers at commit
+        time; the key column uses its min_key/max_key bounds). A file is
+        skipped when ANY predicate's [lo, hi] cannot intersect its bounds
+        — multi-column predicates compound the pruning (after a z-order
+        compact both dimensions prune). After
+        `compact(sort_cols=[col], max_rows_per_file=...)` lays out
         contiguous ranges, a narrow range touches one file per bucket.
         Merge-on-read buckets are pruned at BUCKET granularity (delta
         resolution needs the bucket's full file stack); files without
@@ -1229,20 +1234,21 @@ class ManifestParquetTable(LakeTable):
         files = m["files"]
         dirty = {fe["bucket"] for fe in files if fe.get("kind") == "delta"}
 
-        def bounds(fe):
+        def bounds(fe, col):
             if col == self.key:
                 return fe.get("min_key"), fe.get("max_key")
             cs = fe.get("col_stats", {}).get(col)
             return (cs[0], cs[1]) if cs else (None, None)
 
         def overlaps(fe):
-            b_lo, b_hi = bounds(fe)
-            if b_lo is None or b_hi is None:
-                return True
-            if lo is not None and b_hi < lo:
-                return False
-            if hi is not None and b_lo > hi:
-                return False
+            for col, (lo, hi) in ranges.items():
+                b_lo, b_hi = bounds(fe, col)
+                if b_lo is None or b_hi is None:
+                    continue
+                if lo is not None and b_hi < lo:
+                    return False
+                if hi is not None and b_lo > hi:
+                    return False
             return True
 
         keep_dirty = {
@@ -1258,11 +1264,11 @@ class ManifestParquetTable(LakeTable):
             )
         ]
         df = self._read_resolved(kept, self.schema())
-        c = F.col(col)
-        if lo is not None:
-            df = df.filter(c >= F.lit(lo))
-        if hi is not None:
-            df = df.filter(c <= F.lit(hi))
+        for col, (lo, hi) in ranges.items():
+            if lo is not None:
+                df = df.filter(F.col(col) >= F.lit(lo))
+            if hi is not None:
+                df = df.filter(F.col(col) <= F.lit(hi))
         return df
 
     # ---------- maintenance ----------
@@ -1647,6 +1653,53 @@ class ManifestParquetTable(LakeTable):
             raise FileNotFoundError(f"no such branch: {name}")
         os.remove(rp)
 
+    # ---------- tags (immutable snapshot refs) ----------
+    def _tag_path(self, name: str) -> str:
+        if not re.fullmatch(r"[A-Za-z0-9._-]{1,64}", name) or name == "main":
+            raise ValueError(f"invalid tag name: {name!r}")
+        return os.path.join(self.path, f"_tag-{name}.json")
+
+    def create_tag(self, name: str, snapshot_id: str | None = None) -> str:
+        """Pin a snapshot under an immutable name (Iceberg tag): the
+        tagged manifest — and therefore its data files — survives
+        expire_snapshots regardless of retention depth, until drop_tag.
+        The audit/compliance handle: `read_tag("q3-release")` reproduces
+        that exact state forever. Tags never move; re-creating an existing
+        name raises."""
+        sid = snapshot_id or self.snapshot_id()
+        self._manifest_of(sid)  # must exist (and not be expired)
+        tp = self._tag_path(name)
+        if os.path.exists(tp):
+            raise FileExistsError(f"tag already exists: {name}")
+        tmp = tp + f".tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            json.dump({"snapshot_id": sid}, f)
+        os.replace(tmp, tp)
+        return sid
+
+    def list_tags(self) -> dict[str, str]:
+        """{tag: snapshot_id}."""
+        out: dict[str, str] = {}
+        for fn in sorted(os.listdir(self.path)):
+            if fn.startswith("_tag-") and fn.endswith(".json"):
+                with open(os.path.join(self.path, fn)) as f:
+                    out[fn[len("_tag-") : -len(".json")]] = json.load(f)[
+                        "snapshot_id"
+                    ]
+        return out
+
+    def drop_tag(self, name: str) -> None:
+        tp = self._tag_path(name)
+        if not os.path.exists(tp):
+            raise ValueError(f"no such tag: {name}")
+        os.remove(tp)
+
+    def read_tag(self, name: str) -> DataFrame:
+        tags = self.list_tags()
+        if name not in tags:
+            raise ValueError(f"no such tag: {name}")
+        return self.read(snapshot_id=tags[name])
+
     def publish_branch(self, name: str) -> CommitInfo:
         """Atomically fast-forward main to the branch head and delete the
         branch ref — the WAP publish. Requires main to still be at the
@@ -1748,6 +1801,11 @@ class ManifestParquetTable(LakeTable):
             # pin head + fork point so publish/diff against base stays possible
             pins.add(f"manifest-{ref['snapshot_id']}.json")
             pins.add(f"manifest-{ref['base']}.json")
+        for sid in self.list_tags().values():
+            # tags pin their snapshot (and, via the surviving manifest,
+            # its data files) indefinitely — Iceberg tag retention
+            roots.append(sid)
+            pins.add(f"manifest-{sid}.json")
         reachable: set[str] = set()
         for sid in roots:
             while sid in by_sid and by_sid[sid][0] not in reachable:
