@@ -76,13 +76,88 @@ def q_sketch_kll_quantiles(spark, sf):
     )
 
 
+def heavy_hitters(df, col: str, k: int = 10, capacity: int = 4096):
+    """Misra-Gries frequent items — the heavy-hitter sketch Spark lacks.
+
+    Per-partition bounded counter summaries (mapInPandas: one pandas
+    ``value_counts`` per Arrow batch, folded, then the batch-MG trim —
+    subtract the (capacity+1)-th largest count and keep positives), merged
+    by ONE groupBy-sum over <= capacity rows per partition, then top-k
+    with a deterministic (count desc, value) tie-break.
+
+    Scale: the shuffle carries at most capacity rows per partition no
+    matter how large or skewed the column is (the point of the sketch);
+    counts are lower bounds with per-partition undercount <= the trimmed
+    threshold. EXACT whenever each partition's distinct count fits in
+    `capacity` (no trim happens) — which is how the driver oracle checks
+    it, same exact-regime pattern as the HLL/theta entries above.
+    """
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [
+            df.schema[col],
+            T.StructField("_cnt", T.LongType(), False),
+        ]
+    )
+
+    def summarize(batches):
+        acc: dict = {}
+        for pdf in batches:
+            for v, c in pdf[col].value_counts(dropna=True).items():
+                acc[v] = acc.get(v, 0) + int(c)
+        if not acc:
+            return
+        s = pd.Series(acc).sort_values(ascending=False)
+        if len(s) > capacity:
+            s = (s - int(s.iloc[capacity])).iloc[:capacity]
+            s = s[s > 0]
+        yield pd.DataFrame({col: s.index, "_cnt": s.to_numpy()})
+
+    merged = (
+        df.select(col)
+        .mapInPandas(summarize, schema=out_schema)
+        .groupBy(col)
+        .agg(F.sum("_cnt").alias("est_count"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("est_count").desc(), F.col(col))
+    return (
+        merged.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(col, "est_count", "rank")
+    )
+
+
+def q_sketch_heavy_hitters(spark, sf):
+    """Top-10 corpus words by frequency via the Misra-Gries sketch. At
+    driver scale the synthetic vocabulary (~40 words) sits far inside
+    capacity, so the sketch is exact and the oracle is the plain exact
+    top-k; the pytest property gate covers the trimmed regime."""
+    d = _t(spark, sf, "documents")
+    words = d.select(F.explode(F.split("text", " ")).alias("word"))
+    return heavy_hitters(words, "word", k=10, capacity=4096)
+
+
 SKETCH_QUERIES = {
+    "sketch_heavy_hitters": q_sketch_heavy_hitters,
     "sketch_hll_union": q_sketch_hll_union,
     "sketch_theta_setops": q_sketch_theta_setops,
     "sketch_kll_quantiles": q_sketch_kll_quantiles,
 }
 
 SKETCH_ORACLES = {
+    "sketch_heavy_hitters": (
+        " WITH w AS (SELECT unnest(string_split(text, ' ')) AS word"
+        "   FROM documents),"
+        " c AS (SELECT word, CAST(count(*) AS BIGINT) AS est_count FROM w"
+        "   GROUP BY word)"
+        " SELECT word, est_count, CAST(row_number() OVER"
+        "   (ORDER BY est_count DESC, word) AS INT) AS rank"
+        " FROM c QUALIFY rank <= 10"
+    ),
     "sketch_hll_union": (
         "SELECT l_returnflag, count(DISTINCT l_suppkey) AS n_suppliers"
         " FROM lineitem GROUP BY l_returnflag"

@@ -63,3 +63,38 @@ def test_kll_quantiles_within_rank_epsilon(spark, sf_small):
         e = exact[r["l_returnflag"]]
         for c in ("q25", "median", "q75"):
             assert abs(r[c] - e[c]) <= 1.0, (r["l_returnflag"], c, r[c], e[c])
+
+
+def test_heavy_hitters_exact_when_uncapped(spark):
+    from rap_etl_spark.operators.sketches import heavy_hitters
+
+    rows = [(f"w{i % 7}",) for i in range(700)] + [("rare",)] * 3
+    df = spark.createDataFrame(rows, "word string").repartition(8)
+    got = {r["word"]: r["est_count"] for r in heavy_hitters(df, "word", k=8).collect()}
+    assert got == {**{f"w{i}": 100 for i in range(7)}, "rare": 3}
+
+
+def test_heavy_hitters_trimmed_regime_bounds(spark):
+    """capacity << distincts: the true heavy hitter must still surface at
+    rank 1 and every estimate is a lower bound on the true count."""
+    import random
+
+    from rap_etl_spark.operators.sketches import heavy_hitters
+
+    rng = random.Random(3)
+    rows = [("HOT",) for _ in range(5000)] + [
+        (f"t{rng.randrange(2000)}",) for _ in range(5000)
+    ]
+    rng.shuffle(rows)
+    df = spark.createDataFrame(rows, "word string").repartition(8)
+    out = heavy_hitters(df, "word", k=5, capacity=16).collect()
+    assert out[0]["word"] == "HOT"
+    true = {
+        r["word"]: r["n"]
+        for r in df.groupBy("word").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    for r in out:
+        assert r["est_count"] <= true[r["word"]]
+    # MG guarantee: undercount of any value <= total_rows / (capacity+1)
+    # summed over partitions; HOT's estimate must stay dominant
+    assert out[0]["est_count"] >= 5000 - 10000 // 17
