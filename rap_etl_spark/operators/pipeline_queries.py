@@ -679,7 +679,44 @@ def q_bm25_search(spark, sf):
     )
 
 
+def q_recipe_plan(spark, sf):
+    """The FULL dataloader-prep recipe as one oracled plan: epoch-weighted
+    source mixing (X32) → deterministic cross-engine shuffle (md5 of
+    doc+epoch — range-partitioning on a uniform hash key means the
+    prefix-sum pass can never skew) → fixed-token-budget shard assignment
+    via the X45 distributed prefix sum → per-shard audit stats. Every
+    stage is a pure function of (doc_id, epoch), so the whole recipe is
+    reproducible run-to-run and engine-to-engine — the property a
+    training-data build must have to be debuggable."""
+    from rap_etl_spark.operators.sampling import mix_sources
+    from rap_etl_spark.operators.sharding import assign_shards, shard_stats
+
+    weights = {"src0": 2.0, "src1": 1.5, "src2": 0.25}
+    d = _t(spark, sf, "documents").select("doc_id", "source", "text")
+    mixed = mix_sources(d, "doc_id", "source", weights)
+    base = mixed.select(
+        F.md5(
+            F.concat_ws(
+                "-",
+                F.col("doc_id").cast("string"),
+                F.col("epoch").cast("string"),
+            )
+        ).alias("h"),
+        F.size(F.regexp_extract_all("text", F.lit(r"\S+"), F.lit(0)))
+        .cast("long")
+        .alias("n_tok"),
+    )
+    assigned = assign_shards(
+        base, tokens_per_shard=3000, order_col="h", weight_col="n_tok",
+        num_partitions=8,
+    )
+    return shard_stats(assigned).select(
+        "shard_id", "n_docs", F.col("total_tokens").cast("long").alias("total_tokens")
+    )
+
+
 QUERIES2 = {
+    "recipe_plan": q_recipe_plan,
     "bm25_search": q_bm25_search,
     "profile_table": q_profile_table,
     "shard_plan": q_shard_plan,
@@ -721,6 +758,27 @@ QUERIES2 = {
 }
 
 ORACLES2 = {
+    "recipe_plan": (
+        " WITH base AS (SELECT doc_id, source, text,"
+        "  CASE source WHEN 'src0' THEN 2.0 WHEN 'src1' THEN 1.5"
+        "  WHEN 'src2' THEN 0.25 ELSE 0.0 END AS w FROM documents),"
+        " e AS (SELECT doc_id, text, w,"
+        "   unnest(range(CAST(greatest(ceil(w), 1) AS INTEGER))) AS epoch"
+        "   FROM base),"
+        " mixed AS (SELECT doc_id, text, epoch FROM e"
+        "   WHERE epoch < floor(w)"
+        "   OR (doc_id % 1000) < 1000 * (w - floor(w))),"
+        " t AS (SELECT md5(doc_id || '-' || epoch) AS h,"
+        r"   len(regexp_extract_all(text, '\S+')) AS n_tok FROM mixed),"
+        " c AS (SELECT h, n_tok,"
+        "   coalesce(sum(n_tok) OVER (ORDER BY h"
+        "     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS ex"
+        "   FROM t)"
+        " SELECT CAST(ex // 3000 AS BIGINT) AS shard_id,"
+        "  CAST(count(*) AS BIGINT) AS n_docs,"
+        "  CAST(sum(n_tok) AS BIGINT) AS total_tokens"
+        " FROM c GROUP BY 1"
+    ),
     "bm25_search": (
         " WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),"
         " dl AS (SELECT doc_id, len(w) AS dl FROM d),"
