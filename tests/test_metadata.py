@@ -96,3 +96,42 @@ def test_snapshots_df_lineage(spark, tmp_path):
     parents = [r["parent"] for r in snaps]
     assert parents[1:] == ids[:-1]  # linear lineage
     assert snaps[-1]["snapshot_id"] == t.snapshot_id()
+
+
+def test_fast_count_invariant_under_op_sequences(spark, tmp_path):
+    """Stateful gate: fast_count() must equal read().count() after EVERY
+    point in a mixed op sequence (append / merge with deletes / DML /
+    compact / materialize / rebucket), in both merge modes — the metadata
+    bookkeeping (per-file rows + has_dels) can never drift from the data."""
+    import itertools
+
+    seqs = {
+        "cow": ["merge", "delete", "compact", "merge", "update", "rebucket"],
+        "mor": ["merge", "delete", "merge", "materialize", "compact", "merge"],
+    }
+    for mode, ops in seqs.items():
+        t = mk(spark, str(tmp_path / f"t-{mode}"), merge_mode=mode)
+        lsn = itertools.count(100)
+        bid = itertools.count(1)
+        for i, op in enumerate(ops):
+            if op == "merge":
+                ch = spark.createDataFrame(
+                    [
+                        (f"k{i}", "U", next(lsn), 900 + i, "wiki"),
+                        (f"new{i}", "U", next(lsn), i, "books"),
+                        (f"k{i + 4}", "D", next(lsn), None, None),
+                    ],
+                    "doc_id string, op string, lsn long, val long, src string",
+                )
+                t.merge(ch, batch_id=next(bid))
+            elif op == "delete":
+                t.delete_where("val >= 380")
+            elif op == "update":
+                t.update_where("val < 20", {"val": "val + 1"})
+            elif op == "compact":
+                t.compact(tombstone_horizon_lsn=1 << 60)
+            elif op == "materialize":
+                t.materialize_deltas()
+            elif op == "rebucket":
+                t.rebucket(8)
+            assert t.fast_count() == t.read().count(), (mode, i, op)
