@@ -26,6 +26,8 @@ Subcommands::
     replay   --table PATH --log DIR [--lineage DIR] [--batches a,b,...]
              [--format parquet|binlog]   (binlog --batches = segment indices)
              [--branch NAME]             (WAP: stage commits on a branch)
+             [--publish DIR [--publish-format parquet|binlog]]
+                                         (downstream delta publishing)
     stream   --table PATH --log DIR --checkpoint DIR [--max-files N]
              [--metrics JSONL] [--continuous] [--format parquet|binlog]
              [--branch NAME]             (use a branch-specific checkpoint)
@@ -136,17 +138,23 @@ def cmd_replay(args) -> int:
         batch_ids = discovered
     for b in batch_ids:
         m = engine.apply_batch(load(b), batch_id=b)
-        print(
-            json.dumps(
-                {
-                    "batch_id": m.batch_id,
-                    "applied_rows": m.applied_rows,
-                    "skipped": m.skipped,
-                    "snapshot": m.snapshot_id,
-                    "seconds": round(m.seconds, 3),
-                }
+        rec = {
+            "batch_id": m.batch_id,
+            "applied_rows": m.applied_rows,
+            "skipped": m.skipped,
+            "snapshot": m.snapshot_id,
+            "seconds": round(m.seconds, 3),
+        }
+        if getattr(args, "publish", None):
+            # downstream delta publishing (publish.py): idempotent per
+            # batch, so redelivered/skipped batches repair a missing
+            # publish without ever double-publishing
+            from rap_etl_spark.publish import publish_changes
+
+            rec["publish"] = publish_changes(
+                t, b, args.publish, fmt=args.publish_format
             )
-        )
+        print(json.dumps(rec))
     return 0
 
 
@@ -488,6 +496,10 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--batches")
     sp.add_argument("--format", choices=["parquet", "binlog"], default="parquet")
     sp.add_argument("--branch", help="stage the replay on a WAP branch")
+    sp.add_argument("--publish", help="publish each batch's delta to this dir")
+    sp.add_argument(
+        "--publish-format", choices=["parquet", "binlog"], default="parquet"
+    )
     sp.set_defaults(fn=cmd_replay)
 
     sp = sub.add_parser("stream")

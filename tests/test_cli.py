@@ -92,6 +92,39 @@ def test_cli_inspect_and_query(spark, sf_small, tmp_path, capsys):
     assert st[-1]["rows"] == n_live
 
 
+def test_cli_replay_with_publish(spark, sf_small, tmp_path, capsys):
+    import os
+
+    log = str(tmp_path / "log")
+    table = str(tmp_path / "t")
+    feed = str(tmp_path / "feed")
+    _run(capsys, "synth", "--out", log, "--events", "1000",
+         "--sf", sf_small, "--batches", "2")
+    _run(capsys, "init", "--table", table, "--buckets", "8")
+    rec = _run(capsys, "replay", "--table", table, "--log", log,
+               "--publish", feed)
+    applied = [r for r in rec if "batch_id" in r]
+    assert all(r["publish"]["published"] for r in applied)
+    assert sorted(os.listdir(feed)) == ["batch=0", "batch=1"]
+
+    # redelivery: batch skip AND publish no-op
+    rec = _run(capsys, "replay", "--table", table, "--log", log,
+               "--batches", "1", "--publish", feed)
+    assert rec[-1]["skipped"] and not rec[-1]["publish"]["published"]
+
+    # downstream consumer converges
+    from rap_etl_spark.engine import assert_equivalent
+    from rap_etl_spark.lake import ManifestParquetTable
+    from rap_etl_spark.publish import apply_published
+
+    t = ManifestParquetTable(spark, table)
+    d = ManifestParquetTable.create(
+        spark, str(tmp_path / "dst"), t.schema(), n_buckets=8
+    )
+    apply_published(d, feed)
+    assert_equivalent(t.read(), d.read())
+
+
 def test_cli_export_training_shards(spark, sf_small, tmp_path, capsys):
     log = str(tmp_path / "log")
     table = str(tmp_path / "t")

@@ -1,0 +1,124 @@
+"""Downstream delta publishing (publish.py): exactly-once per-batch
+publish + downstream replay convergence — the engine's generalization of
+the reference's add/remove diff-publishing (sync-to-downstream) model."""
+
+import os
+
+import pytest
+from pyspark.sql import types as T
+
+from rap_etl_spark.lake import ManifestParquetTable
+from rap_etl_spark.publish import apply_published, publish_changes
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("val", T.LongType()),
+        T.StructField("src", T.StringType()),
+    ]
+)
+
+
+def mk(spark, path):
+    return ManifestParquetTable.create(spark, path, SCHEMA, n_buckets=4)
+
+
+def ch(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id string, op string, lsn long, val long, src string"
+    )
+
+
+def _drive(spark, t):
+    t.merge(ch(spark, [("a", "U", 1, 10, "w"), ("b", "U", 2, 20, "w")]), batch_id=0)
+    t.merge(
+        ch(spark, [("a", "U", 3, 11, "w"), ("c", "U", 4, 30, "x"),
+                   ("b", "D", 5, None, None)]),
+        batch_id=1,
+    )
+
+
+def test_publish_and_converge(spark, tmp_path):
+    t = mk(spark, str(tmp_path / "src"))
+    _drive(spark, t)
+    log = str(tmp_path / "feed")
+    for b in (0, 1):
+        rec = publish_changes(t, b, log)
+        assert rec["published"] and rec["rows"] > 0
+    assert sorted(os.listdir(log)) == ["batch=0", "batch=1"]
+
+    # idempotent republish
+    assert publish_changes(t, 0, log)["published"] is False
+
+    d = mk(spark, str(tmp_path / "dst"))
+    res = apply_published(d, log)
+    assert [r["skipped"] for r in res] == [False, False]
+    src_state = {(r["doc_id"], r["val"]) for r in t.read().collect()}
+    dst_state = {(r["doc_id"], r["val"]) for r in d.read().collect()}
+    assert src_state == dst_state == {("a", 11), ("c", 30)}
+
+    # re-consuming the feed is a ledger no-op
+    res = apply_published(d, log)
+    assert all(r["skipped"] for r in res)
+
+
+def test_publish_repairs_after_partial(spark, tmp_path):
+    """Crash between commit and publish: re-running publish for the
+    committed batch emits identical rows (derived from immutable
+    snapshots), completing the downstream feed."""
+    t = mk(spark, str(tmp_path / "src"))
+    _drive(spark, t)
+    log = str(tmp_path / "feed")
+    publish_changes(t, 0, log)  # batch 1's publish "crashed"
+    publish_changes(t, 1, log)  # repair run
+    d = mk(spark, str(tmp_path / "dst"))
+    apply_published(d, log)
+    assert {(r["doc_id"], r["val"]) for r in d.read().collect()} == {
+        ("a", 11),
+        ("c", 30),
+    }
+
+
+def test_publish_unknown_batch_reported_not_raised(spark, tmp_path):
+    t = mk(spark, str(tmp_path / "src"))
+    rec = publish_changes(t, 9, str(tmp_path / "feed"))
+    assert rec["published"] is False and "not in ledger" in rec["error"]
+    with pytest.raises(ValueError, match="fmt must be"):
+        publish_changes(t, 0, str(tmp_path / "feed"), fmt="bogus")
+
+
+def test_publish_binlog_roundtrip(spark, tmp_path):
+    """Tokenized-sequence shape over the .rapwal wire: publish binlog
+    segments, downstream consumes them to the same state."""
+    from rap_etl_spark.schemas import DOCS_SCHEMA
+
+    t = ManifestParquetTable.create(
+        spark, str(tmp_path / "src"), DOCS_SCHEMA, n_buckets=4
+    )
+    ev = spark.createDataFrame(
+        [("d1", "U", 1, [1, 2, 3], 3, "s0"), ("d2", "U", 2, [4], 1, "s1")],
+        "doc_id string, op string, lsn long, tokens array<int>, n_tok int, source string",
+    )
+    t.merge(ev, batch_id=0)
+    log = str(tmp_path / "feed")
+    rec = publish_changes(t, 0, log, fmt="binlog")
+    assert rec["published"] and rec["rows"] == 2
+    d = ManifestParquetTable.create(
+        spark, str(tmp_path / "dst"), DOCS_SCHEMA, n_buckets=4
+    )
+    apply_published(d, log, fmt="binlog")
+    assert {(r["doc_id"], tuple(r["tokens"])) for r in d.read().collect()} == {
+        ("d1", (1, 2, 3)),
+        ("d2", (4,)),
+    }
+
+
+def test_publish_after_retention_degrades(spark, tmp_path):
+    """Snapshots expired before publish: the publish reports the gap
+    instead of raising (a replay driving it must not die)."""
+    t = mk(spark, str(tmp_path / "src"))
+    _drive(spark, t)
+    t.compact()
+    t.expire_snapshots(keep=1, orphan_grace_sec=0)
+    rec = publish_changes(t, 0, str(tmp_path / "feed"))
+    assert rec["published"] is False and "error" in rec
