@@ -351,7 +351,57 @@ def q_read_range(spark, sf):
         shutil.rmtree(work, ignore_errors=True)
 
 
+def q_publish_roundtrip(spark, sf):
+    """The sync-to-downstream contract end-to-end, oracled: source table
+    driven through two version-conditional merges (same derivation as
+    cdc_merge), each batch's changefeed published exactly-once
+    (publish.py), a DOWNSTREAM table replays the feed — and the
+    downstream state must equal the plain LWW window SQL. Proves the
+    whole chain: merge semantics → manifest diff → delta publish →
+    downstream apply."""
+    from pyspark.sql import types as T
+
+    from rap_etl_spark.lake import ManifestParquetTable
+    from rap_etl_spark.operators.cdc import lww_latest
+    from rap_etl_spark.publish import apply_published, publish_changes
+
+    ev = _t(spark, sf, "orders").select(
+        F.col("o_custkey").cast("string").alias("doc_id"),
+        F.col("o_orderkey").alias("lsn"),
+        F.col("o_totalprice").alias("price"),
+        F.when(F.col("o_orderkey") % 10 == 0, "D").otherwise("U").alias("op"),
+    )
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType()),
+            T.StructField("lsn", T.LongType()),
+            T.StructField("price", T.DoubleType()),
+        ]
+    )
+    work = tempfile.mkdtemp(prefix="rap-etl-publish-rt-")
+    try:
+        src = ManifestParquetTable.create(
+            spark, os.path.join(work, "src"), schema, n_buckets=8
+        )
+        feed = os.path.join(work, "feed")
+        for batch_id in (0, 1):
+            batch = ev.filter(F.col("lsn") % 2 == batch_id)
+            src.merge(lww_latest(batch), batch_id=batch_id)
+            assert publish_changes(src, batch_id, feed)["published"]
+        dst = ManifestParquetTable.create(
+            spark, os.path.join(work, "dst"), schema, n_buckets=8
+        )
+        apply_published(dst, feed)
+        rows = dst.read().select("doc_id", "lsn", "price").collect()
+        return spark.createDataFrame(rows, schema)
+    finally:
+        import shutil
+
+        shutil.rmtree(work, ignore_errors=True)
+
+
 TPCH_QUERIES2 = {
+    "publish_roundtrip": q_publish_roundtrip,
     "read_range_prune": q_read_range,
     "q4_order_priority": q4_order_priority,
     "q6_forecast_revenue": q6_forecast_revenue,
@@ -368,6 +418,15 @@ TPCH_QUERIES2 = {
 }
 
 TPCH_ORACLES2 = {
+    "publish_roundtrip": (
+        "WITH ev AS (SELECT CAST(o_custkey AS VARCHAR) AS doc_id,"
+        " o_orderkey AS lsn, o_totalprice AS price,"
+        " CASE WHEN o_orderkey % 10 = 0 THEN 'D' ELSE 'U' END AS op"
+        " FROM orders),"
+        " w AS (SELECT *, row_number() OVER"
+        " (PARTITION BY doc_id ORDER BY lsn DESC) AS rn FROM ev)"
+        " SELECT doc_id, lsn, price FROM w WHERE rn = 1 AND op <> 'D'"
+    ),
     "read_range_prune": (
         "SELECT CAST(c_custkey AS VARCHAR) AS doc_id, c_acctbal AS bal,"
         " c_mktsegment AS seg FROM customer"
