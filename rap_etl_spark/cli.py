@@ -34,6 +34,7 @@ Subcommands::
     branch   create|list|publish|drop --table PATH [--name NAME]
     tag      create|list|drop --table PATH [--name NAME] [--snapshot SID]
     compact  --table PATH [--tombstone-horizon LSN] [--keep-snapshots K]
+             [--zorder COL,COL] [--max-rows-per-file N]
              [--materialize]
              [--ledger-horizon BATCH] [--sort COL,COL]
     rebucket --table PATH --buckets N
@@ -234,6 +235,8 @@ def cmd_compact(args) -> int:
         expire_snapshots_keep=args.keep_snapshots,
         ledger_horizon_batch_id=args.ledger_horizon,
         sort_cols=args.sort.split(",") if args.sort else None,
+        zorder=args.zorder.split(",") if args.zorder else None,
+        max_rows_per_file=args.max_rows_per_file,
     )
     print(json.dumps({"snapshot": info.snapshot_id}))
     return 0
@@ -521,6 +524,8 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--keep-snapshots", type=int)
     sp.add_argument("--ledger-horizon", type=int)
     sp.add_argument("--sort")
+    sp.add_argument("--zorder", help="two comma-separated columns: Morton layout")
+    sp.add_argument("--max-rows-per-file", type=int)
     sp.add_argument("--materialize", action="store_true")
     sp.set_defaults(fn=cmd_compact)
 

@@ -730,6 +730,7 @@ class ManifestParquetTable(LakeTable):
         kind: str = "base",
         seq: int | None = None,
         max_rows_per_file: int | None = None,
+        drop_after_sort: list[str] | None = None,
     ) -> list[dict]:
         """Write df (must contain a `_b` bucket column) as one-or-more parquet
         files per bucket; returns manifest file entries. Files are written via
@@ -747,6 +748,11 @@ class ManifestParquetTable(LakeTable):
             # sort order, so row-group min/max statistics become selective
             # for point/range predicates on the sort columns
             clustered = clustered.sortWithinPartitions("_b", *sort_cols)
+        if drop_after_sort:
+            # sort key is layout-only (e.g. the z-order Morton key): drop
+            # it AFTER the in-partition sort — a narrow projection keeps
+            # row order, so the layout survives without persisting the key
+            clustered = clustered.drop(*drop_after_sort)
         writer = clustered.write.mode("overwrite").partitionBy("_b")
         # parquet bloom filter on the key column: row-group-level point
         # lookup skipping for files whose [min,max] zone map overlaps the
@@ -1279,6 +1285,8 @@ class ManifestParquetTable(LakeTable):
         ledger_horizon_batch_id: int | None = None,
         sort_cols: list[str] | None = None,
         max_rows_per_file: int | None = None,
+        zorder: list[str] | None = None,
+        zorder_bits: int = 16,
     ) -> CommitInfo:
         """Table maintenance, Iceberg rewrite_data_files-style:
 
@@ -1309,11 +1317,63 @@ class ManifestParquetTable(LakeTable):
                     & (F.coalesce(F.col(META_LSN), F.lit(-1)) <= tombstone_horizon_lsn)
                 )
             )
+        drop_after_sort = None
+        if zorder is not None:
+            # OPTIMIZE ZORDER BY: lay rows out along a Morton curve over
+            # TWO dimensions so the per-file zone maps (col_stats) become
+            # selective for range predicates on EITHER column — a plain
+            # sort makes only its leading column selective. Quantization
+            # is linear over each column's [min, max] (one tiny 4-value
+            # agg; the maintenance pass reads the table anyway); the z-key
+            # is a pure codegen bit-interleave (functions/zorder.py) and
+            # is dropped after the in-partition sort, never written.
+            if sort_cols:
+                raise ValueError("sort_cols and zorder are mutually exclusive")
+            if len(zorder) != 2:
+                raise ValueError("zorder takes exactly two columns")
+            for zc in zorder:
+                if zc not in schema.names or not isinstance(
+                    schema[zc].dataType, T.NumericType
+                ):
+                    raise ValueError(
+                        f"zorder column {zc!r} must be a numeric table "
+                        "column (linear quantization needs an ordered "
+                        "numeric domain)"
+                    )
+            from rap_etl_spark.functions.zorder import zorder_key
+
+            a, b = zorder
+            mm = df.agg(
+                F.min(a).alias("alo"), F.max(a).alias("ahi"),
+                F.min(b).alias("blo"), F.max(b).alias("bhi"),
+            ).first()
+            top = (1 << zorder_bits) - 1
+
+            def quant(col, lo, hi):
+                if lo is None or hi is None or hi == lo:
+                    return F.lit(0).cast("long")
+                return (
+                    (F.col(col).cast("double") - float(lo))
+                    * top
+                    / (float(hi) - float(lo))
+                ).cast("long")
+
+            df = df.withColumn(
+                "_zkey",
+                zorder_key(
+                    quant(a, mm["alo"], mm["ahi"]),
+                    quant(b, mm["blo"], mm["bhi"]),
+                    bits=zorder_bits,
+                ),
+            )
+            sort_cols = ["_zkey"]
+            drop_after_sort = ["_zkey"]
         data = df.withColumn("_b", self._bucket_expr(self.key))
         nxt = self._next_manifest(m)
         entries = self._write_data_files(
             data, nxt["snapshot_id"], m["current_schema_version"],
             sort_cols=sort_cols, max_rows_per_file=max_rows_per_file,
+            drop_after_sort=drop_after_sort,
         )
         nxt["files"] = entries
         if ledger_horizon_batch_id is not None:

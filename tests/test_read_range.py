@@ -76,3 +76,59 @@ def test_read_range_sees_merged_changes(spark, tmp_path, mode):
     assert got.get("zzz") == 60  # new in-range row visible
     assert "k070" not in got  # deleted
     assert t.read_range("val", 2, 2).count() == 2  # k002 and updated k060
+
+
+def test_zorder_compact_prunes_both_dimensions(spark, tmp_path):
+    """OPTIMIZE ZORDER: after compact(zorder=[x, y]) BOTH single-column
+    range reads skip files; after a plain sort by x, only x does — the
+    measurable difference z-ordering exists to produce."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType()),
+            T.StructField("x", T.LongType()),
+            T.StructField("y", T.LongType()),
+        ]
+    )
+    rows = [(f"k{i:04d}", i % 64, (i * 37) % 64) for i in range(1024)]
+
+    def build(path, **compact_kw):
+        t = ManifestParquetTable.create(spark, path, schema, n_buckets=1)
+        t.append(
+            spark.createDataFrame(rows, "doc_id string, x long, y long"),
+            batch_id=0,
+            assume_unique=True,
+        )
+        t.compact(max_rows_per_file=64, **compact_kw)
+        return t
+
+    tz = build(str(tmp_path / "z"), zorder=["x", "y"])
+    ts = build(str(tmp_path / "s"), sort_cols=["x"])
+    total = len(tz._manifest()["files"])
+    assert total >= 8
+
+    # correctness: exact rows either way
+    want = sorted(r[0] for r in rows if 8 <= r[1] <= 15)
+    got = sorted(r["doc_id"] for r in tz.read_range("x", 8, 15).collect())
+    assert got == want
+
+    zx = len(tz.read_range("x", 8, 15).inputFiles())
+    zy = len(tz.read_range("y", 8, 15).inputFiles())
+    sx = len(ts.read_range("x", 8, 15).inputFiles())
+    sy = len(ts.read_range("y", 8, 15).inputFiles())
+    assert zx < total and zy < total  # z-order prunes BOTH dims
+    assert sx < total
+    assert zy < sy  # z-order prunes the NON-sort dim strictly better
+    # zorder must not leak its sort key into the data files
+    assert "_zkey" not in tz.read().columns
+
+
+def test_zorder_compact_validation(spark, tmp_path):
+    t = mk(spark, str(tmp_path / "t"))
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="mutually exclusive"):
+        t.compact(sort_cols=["val"], zorder=["val", "val"])
+    with _pytest.raises(ValueError, match="exactly two"):
+        t.compact(zorder=["val"])
