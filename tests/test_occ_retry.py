@@ -90,3 +90,39 @@ def test_retries_exhausted_raises(spark, tmp_path):
     eng = CdcEngine(spark, t, occ_retries=1)
     with pytest.raises(CommitConflictError):
         eng.apply_batch(events(spark, [("k4", "U", 400, 4)]), batch_id=10)
+
+
+def test_genuine_concurrent_writers_race(spark, tmp_path):
+    """Two REAL concurrent engines (separate table handles, separate
+    threads, disjoint batches) race on the same table: the CAS loser
+    rebases and retries, both batches land, final state is the union."""
+    import threading
+
+    t0 = mk(spark, str(tmp_path / "t"))
+    results, errors = {}, []
+
+    def writer(tag, batch_id, key, lsn):
+        try:
+            t = ManifestParquetTable(spark, t0.path)
+            eng = CdcEngine(spark, t, occ_retries=5)
+            m = eng.apply_batch(
+                events(spark, [(key, "U", lsn, lsn)]), batch_id=batch_id
+            )
+            results[tag] = m
+        except Exception as e:  # noqa: BLE001
+            errors.append((tag, e))
+
+    threads = [
+        threading.Thread(target=writer, args=(f"w{i}", 20 + i, f"rk{i}", 500 + i))
+        for i in range(3)
+    ]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join(timeout=300)
+    assert not errors, errors
+    assert len(results) == 3 and not any(m.skipped for m in results.values())
+    t0.refresh()
+    got = {r["doc_id"]: r["val"] for r in t0.read().collect()}
+    assert {f"rk{i}": 500 + i for i in range(3)}.items() <= got.items()
+    assert all(t0.is_committed(20 + i) for i in range(3))
