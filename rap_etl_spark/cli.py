@@ -194,6 +194,8 @@ def cmd_stream(args) -> int:
         available_now=not args.continuous,
         schema=EVENTS_SCHEMA_PACKED if args.packed else EVENTS_SCHEMA,
         source=args.format,
+        publish_dir=args.publish,
+        publish_format=args.publish_format,
     )
     q.awaitTermination()
     if listener is not None:
@@ -516,6 +518,10 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--continuous", action="store_true")
     sp.add_argument("--format", choices=["parquet", "binlog"], default="parquet")
     sp.add_argument("--branch", help="stage the stream's commits on a WAP branch")
+    sp.add_argument("--publish", help="publish each micro-batch's delta here")
+    sp.add_argument(
+        "--publish-format", choices=["parquet", "binlog"], default="parquet"
+    )
     sp.set_defaults(fn=cmd_stream)
 
     sp = sub.add_parser("compact")

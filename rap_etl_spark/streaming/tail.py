@@ -36,6 +36,8 @@ def stream_tail(
     schema=None,
     prune_ledger_every: int | None = None,
     source: str = "parquet",
+    publish_dir: str | None = None,
+    publish_format: str = "parquet",
 ) -> StreamingQuery:
     """Tail `src_dir` (parquet change-event files, or `.rapwal` binlog
     segments with ``source="binlog"``) into `table`.
@@ -78,6 +80,14 @@ def stream_tail(
         # ledger + version-conditional merge turn that into exactly-once
         # table state (BASELINE.json north_star)
         engine.apply_batch(batch_df, batch_id=batch_id)
+        if publish_dir is not None and hasattr(table, "changes_for_batch"):
+            # downstream delta publishing per micro-batch (publish.py):
+            # idempotent per batch, so foreachBatch's at-least-once
+            # redelivery can only repair a missing publish, never double-
+            # publish — the streaming twin of `replay --publish`
+            from rap_etl_spark.publish import publish_changes
+
+            publish_changes(table, batch_id, publish_dir, fmt=publish_format)
         if (
             prune_ledger_every
             and batch_id > 0

@@ -122,3 +122,32 @@ def test_publish_after_retention_degrades(spark, tmp_path):
     t.expire_snapshots(keep=1, orphan_grace_sec=0)
     rec = publish_changes(t, 0, str(tmp_path / "feed"))
     assert rec["published"] is False and "error" in rec
+
+
+def test_stream_publish_converges(spark, sf_small, tmp_path):
+    """Streaming twin: stream_tail(publish_dir=...) publishes every
+    micro-batch's delta; a downstream table consuming the feed converges
+    to the streamed table's state."""
+    from rap_etl_spark.cli import main as cli_main
+    from rap_etl_spark.engine import assert_equivalent
+    from rap_etl_spark.schemas import DOCS_SCHEMA
+    from rap_etl_spark.streaming.tail import stream_tail
+
+    log = str(tmp_path / "log")
+    assert cli_main(["synth", "--out", log, "--events", "800",
+                     "--sf", sf_small, "--batches", "2"]) == 0
+    t = ManifestParquetTable.create(
+        spark, str(tmp_path / "t"), DOCS_SCHEMA, n_buckets=4
+    )
+    feed = str(tmp_path / "feed")
+    q = stream_tail(
+        spark, log, str(tmp_path / "cp"), t,
+        max_files_per_trigger=1, publish_dir=feed,
+    )
+    q.awaitTermination()
+    assert len(os.listdir(feed)) >= 1
+    d = ManifestParquetTable.create(
+        spark, str(tmp_path / "dst"), DOCS_SCHEMA, n_buckets=4
+    )
+    apply_published(d, feed)
+    assert_equivalent(t.read(), d.read())
