@@ -85,6 +85,12 @@ class CdcEngine:
     # fingerprint scan with both joins broadcast-small). Runs on the
     # already-reduced winner delta (small), never on the raw event scan.
     dedup_policy: str | None = None
+    # CoW small-file policy: after a commit, buckets whose live file count
+    # reached this threshold are rewritten in place by the bucket-scoped
+    # compact (lake.compact_buckets) — O(triggered buckets) per batch, so
+    # read amplification stays bounded over an unbounded run without ever
+    # paying a full-table compact on the ingest path. None = out-of-band.
+    auto_compact_files: int | None = None
     # MoR maintenance cadence: after a commit, if any bucket has stacked
     # at least this many delta files, fold exactly those buckets back into
     # base (lake.materialize_deltas) — bounds read amplification to
@@ -337,6 +343,20 @@ class CdcEngine:
                     _t = time.monotonic()
                     self.table.materialize_deltas(buckets=deep)
                     _tlog("engine.auto_materialize", _t)
+            if (
+                self.auto_compact_files is not None
+                and not info.skipped
+                and isinstance(self.table, ManifestParquetTable)
+            ):
+                frag = {
+                    b
+                    for b, n in self.table.files_per_bucket().items()
+                    if n >= self.auto_compact_files
+                }
+                if frag:
+                    _t = time.monotonic()
+                    self.table.compact_buckets(frag)
+                    _tlog("engine.auto_compact", _t)
         finally:
             if winners is not None:
                 winners.unpersist()

@@ -1420,6 +1420,53 @@ class ManifestParquetTable(LakeTable):
         self._write_manifest(nxt)
         return CommitInfo(nxt["snapshot_id"], None, -1)
 
+    def compact_buckets(
+        self, buckets: set[int], tombstone_horizon_lsn: int | None = None
+    ) -> CommitInfo:
+        """Targeted CoW maintenance (Iceberg binpack strategy, bucket-
+        scoped): merge the SELECTED buckets' accumulated file fragments
+        (and any stacked MoR deltas) into one file per bucket — other
+        buckets' files pass through the commit untouched, so cost is
+        O(selected buckets), not O(table). The small-file answer for a
+        long CDC run: drive it from a file-count trigger (see
+        CdcEngine.auto_compact_files) instead of scheduling full
+        compact()s. Optionally GCs tombstones at/below the horizon, same
+        safety rule as compact()."""
+        m = self._manifest()
+        sel = {int(b) for b in buckets}
+        target = [fe for fe in m["files"] if fe["bucket"] in sel]
+        keep = [fe for fe in m["files"] if fe["bucket"] not in sel]
+        if not target:
+            return CommitInfo(m["snapshot_id"], None, 0, skipped=True)
+        schema = self.schema()
+        df = self._read_resolved(target, schema, with_meta=True)
+        if tombstone_horizon_lsn is not None:
+            df = df.filter(
+                ~(
+                    F.coalesce(F.col(META_DEL), F.lit(False))
+                    & (
+                        F.coalesce(F.col(META_LSN), F.lit(-1))
+                        <= tombstone_horizon_lsn
+                    )
+                )
+            )
+        data = df.withColumn("_b", self._bucket_expr(self.key))
+        nxt = self._next_manifest(m)
+        entries = self._write_data_files(
+            data, nxt["snapshot_id"], m["current_schema_version"]
+        )
+        nxt["files"] = keep + entries
+        self._write_manifest(nxt)
+        return CommitInfo(nxt["snapshot_id"], None, -1)
+
+    def files_per_bucket(self) -> dict[int, int]:
+        """Live file count per bucket — the auto-compact trigger input.
+        O(manifest), no job."""
+        out: dict[int, int] = {}
+        for fe in self._manifest()["files"]:
+            out[fe["bucket"]] = out.get(fe["bucket"], 0) + 1
+        return out
+
     # ---------- predicate DML (DELETE FROM / UPDATE ... WHERE) ----------
     def _dml_commit(
         self,

@@ -104,3 +104,62 @@ def test_history_lineage(spark, sf_small, tmp_path):
         if h["parent"] is not None:
             assert h["parent"] in by_sid
     assert hist[0]["snapshot_id"] == t.snapshot_id()
+
+
+def test_compact_buckets_targeted(spark, tmp_path):
+    """Bucket-scoped binpack: selected buckets' fragments merge to one
+    file; unselected buckets' FILE PATHS are untouched by the commit."""
+    from pyspark.sql import types as T
+
+    from rap_etl_spark.lake import ManifestParquetTable
+
+    schema = T.StructType(
+        [T.StructField("doc_id", T.StringType()), T.StructField("val", T.LongType())]
+    )
+    t = ManifestParquetTable.create(spark, str(tmp_path / "t"), schema, n_buckets=4)
+    for b in range(4):
+        t.append(
+            spark.createDataFrame(
+                [(f"k{b}-{i}", b * 10 + i) for i in range(8)],
+                "doc_id string, val long",
+            ),
+            batch_id=b,
+            assume_unique=True,
+        )
+    per = t.files_per_bucket()
+    assert max(per.values()) >= 2  # fragments accumulated
+    target = {b for b, n in per.items() if n >= 2}
+    before = {fe["path"] for fe in t._manifest()["files"] if fe["bucket"] not in target}
+    state_before = {r["doc_id"]: r["val"] for r in t.read().collect()}
+    t.compact_buckets(target)
+    after_per = t.files_per_bucket()
+    assert all(after_per[b] == 1 for b in target)
+    untouched = {fe["path"] for fe in t._manifest()["files"] if fe["bucket"] not in target}
+    assert untouched == before  # no collateral rewrite
+    assert {r["doc_id"]: r["val"] for r in t.read().collect()} == state_before
+    # no-op when selection has no files
+    assert t.compact_buckets({99}).skipped
+
+
+def test_engine_auto_compact_bounds_files(spark, tmp_path):
+    """auto_compact_files: fragment count per bucket stays bounded across
+    many small batches, and replayed state is exact."""
+    from pyspark.sql import types as T
+
+    from rap_etl_spark.engine import CdcEngine
+    from rap_etl_spark.lake import ManifestParquetTable
+
+    schema = T.StructType(
+        [T.StructField("doc_id", T.StringType()), T.StructField("val", T.LongType())]
+    )
+    t = ManifestParquetTable.create(spark, str(tmp_path / "t"), schema, n_buckets=2)
+    eng = CdcEngine(spark, t, auto_compact_files=3)
+    for b in range(8):
+        ev = spark.createDataFrame(
+            [(f"k{b}-{i}", "U", b * 100 + i, i) for i in range(4)],
+            "doc_id string, op string, lsn long, val long",
+        )
+        eng.apply_batch(ev, batch_id=b)
+    assert max(t.files_per_bucket().values()) < 3 + 1
+    assert t.read().count() == 32
+    assert t.fast_count() == 32
