@@ -267,6 +267,45 @@ def q_win_ntile(spark, sf):
     return o.select("o_orderkey", F.ntile(4).over(w).alias("tile"))
 
 
+def q_win_dense_cume(spark, sf):
+    """W1 completion: dense_rank + cume_dist over a keyed ordering."""
+    ev = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("value", "event_id")
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.dense_rank().over(w).alias("drank"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+    )
+
+
+def q_fn_bitwise(spark, sf):
+    """F4 completion: bitwise AND/OR/XOR, shifts, popcount — the hash/
+    partitioning primitives (z-order, salting) exercised as expressions."""
+    ev = _t(spark, sf, "events")
+    v = F.col("event_id").cast("long")
+    return ev.select(
+        "event_id",
+        v.bitwiseAND(F.lit(255)).alias("b_and"),
+        v.bitwiseOR(F.lit(4096)).alias("b_or"),
+        v.bitwiseXOR(F.lit(0x5A5A)).alias("b_xor"),
+        F.shiftleft(v, 3).alias("b_shl"),
+        F.shiftright(v, 2).alias("b_shr"),
+        F.bit_count(v).alias("b_pop"),
+    )
+
+
+def q_agg_histogram(spark, sf):
+    """Equi-width histogram of order totals (20 buckets over [0, 500000))
+    — the profiling/EDA staple, one groupBy on a computed bucket id."""
+    o = _t(spark, sf, "orders")
+    b = F.floor(F.col("o_totalprice") / 25000).cast("long")
+    return (
+        o.groupBy(F.least(b, F.lit(19)).alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
 # --------------------------------------------------------------------------
 # sort / top-k / set ops
 # --------------------------------------------------------------------------
@@ -585,6 +624,9 @@ QUERIES = {
     "win_lag": q_win_lag,
     "win_running_sum": q_win_running_sum,
     "win_ntile": q_win_ntile,
+    "win_dense_cume": q_win_dense_cume,
+    "fn_bitwise": q_fn_bitwise,
+    "agg_histogram": q_agg_histogram,
     "sort_orders": q_sort_orders,
     "topk_orders": q_topk_orders,
     "topk_per_group": q_topk_per_group,
@@ -714,6 +756,27 @@ ORACLES = {
     "win_ntile": (
         "SELECT o_orderkey, ntile(4) OVER (ORDER BY o_totalprice, o_orderkey) AS tile"
         " FROM orders"
+    ),
+    "win_dense_cume": (
+        "SELECT user_id, event_id,"
+        " CAST(dense_rank() OVER (PARTITION BY user_id ORDER BY value, event_id)"
+        "   AS INT) AS drank,"
+        " round(cume_dist() OVER (PARTITION BY user_id ORDER BY value, event_id),"
+        "   6) AS cdist FROM events"
+    ),
+    "fn_bitwise": (
+        "SELECT event_id,"
+        " event_id & 255 AS b_and,"
+        " event_id | 4096 AS b_or,"
+        " xor(event_id, 23130) AS b_xor,"
+        " event_id << 3 AS b_shl,"
+        " event_id >> 2 AS b_shr,"
+        " CAST(bit_count(event_id) AS INT) AS b_pop"
+        " FROM events"
+    ),
+    "agg_histogram": (
+        "SELECT least(CAST(floor(o_totalprice / 25000) AS BIGINT), 19) AS bucket,"
+        " count(*) AS n FROM orders GROUP BY 1"
     ),
     "sort_orders": (
         "SELECT o_orderkey, o_totalprice FROM orders"
