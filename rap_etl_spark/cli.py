@@ -38,6 +38,8 @@ Subcommands::
              [--materialize]
              [--ledger-horizon BATCH] [--sort COL,COL]
     rebucket --table PATH --buckets N
+    vacuum   --table PATH [--keep N] [--grace SEC]   (expire + orphan GC only)
+    profile  --table PATH [--exact]                  (per-column stats)
     status   --table PATH
     inspect  --table PATH (--files | --snapshots)   (metadata tables)
     query    --table PATH --sql SQL [--name VIEW] [--branch NAME]
@@ -314,6 +316,31 @@ def cmd_branch(args) -> int:
     return 0
 
 
+def cmd_vacuum(args) -> int:
+    """Retention WITHOUT a rewrite: expire old snapshot manifests and
+    sweep orphan data files (lake.expire_snapshots). The cheap scheduled
+    half of maintenance — compact rewrites data, vacuum only reclaims."""
+    from rap_etl_spark.lake import ManifestParquetTable
+
+    t = ManifestParquetTable(_spark("rap-etl-vacuum"), args.table)
+    deleted = t.expire_snapshots(keep=args.keep, orphan_grace_sec=args.grace)
+    print(json.dumps({"deleted_files": deleted, "snapshots": len(t.history())}))
+    return 0
+
+
+def cmd_profile(args) -> int:
+    """Per-column quality stats of the table in one scan
+    (operators/profiling.py; HLL distincts by default, --exact for
+    small audits)."""
+    from rap_etl_spark.lake import ManifestParquetTable
+    from rap_etl_spark.operators.profiling import profile
+
+    t = ManifestParquetTable(_spark("rap-etl-profile"), args.table)
+    for r in profile(t.read(), approx=not args.exact).collect():
+        print(json.dumps(r.asDict()))
+    return 0
+
+
 def cmd_tag(args) -> int:
     """Immutable snapshot tags (lake.py tags): create pins a snapshot
     against expire_snapshots forever; `query --snapshot <tagged sid>` or
@@ -543,6 +570,17 @@ def build_parser() -> argparse.ArgumentParser:
     sp = sub.add_parser("status")
     sp.add_argument("--table", required=True)
     sp.set_defaults(fn=cmd_status)
+
+    sp = sub.add_parser("vacuum")
+    sp.add_argument("--table", required=True)
+    sp.add_argument("--keep", type=int, default=3)
+    sp.add_argument("--grace", type=float, default=3600.0)
+    sp.set_defaults(fn=cmd_vacuum)
+
+    sp = sub.add_parser("profile")
+    sp.add_argument("--table", required=True)
+    sp.add_argument("--exact", action="store_true")
+    sp.set_defaults(fn=cmd_profile)
 
     sp = sub.add_parser("tag")
     sp.add_argument("action", choices=["create", "list", "drop"])

@@ -91,6 +91,17 @@ def test_cli_inspect_and_query(spark, sf_small, tmp_path, capsys):
     st = _run(capsys, "status", "--table", clone_dir)
     assert st[-1]["rows"] == n_live
 
+    prof = _run(capsys, "profile", "--table", table)
+    cols = {p["column"] for p in prof}
+    assert {"doc_id", "n_tok", "source"} <= cols
+    assert all(p["n_rows"] == n_live for p in prof)
+
+    _run(capsys, "compact", "--table", table)
+    rec = _run(capsys, "vacuum", "--table", table, "--keep", "1", "--grace", "0")
+    assert rec[-1]["snapshots"] <= 2
+    st2 = _run(capsys, "status", "--table", table)
+    assert st2[-1]["rows"] == n_live  # vacuum reclaims, never mutates state
+
 
 def test_cli_replay_with_publish(spark, sf_small, tmp_path, capsys):
     import os
