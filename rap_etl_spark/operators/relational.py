@@ -267,34 +267,6 @@ def q_win_ntile(spark, sf):
     return o.select("o_orderkey", F.ntile(4).over(w).alias("tile"))
 
 
-def q_win_dense_cume(spark, sf):
-    """W1 completion: dense_rank + cume_dist over a keyed ordering."""
-    ev = _t(spark, sf, "events")
-    w = Window.partitionBy("user_id").orderBy("value", "event_id")
-    return ev.select(
-        "user_id",
-        "event_id",
-        F.dense_rank().over(w).alias("drank"),
-        F.round(F.cume_dist().over(w), 6).alias("cdist"),
-    )
-
-
-def q_fn_bitwise(spark, sf):
-    """F4 completion: bitwise AND/OR/XOR, shifts, popcount — the hash/
-    partitioning primitives (z-order, salting) exercised as expressions."""
-    ev = _t(spark, sf, "events")
-    v = F.col("event_id").cast("long")
-    return ev.select(
-        "event_id",
-        v.bitwiseAND(F.lit(255)).alias("b_and"),
-        v.bitwiseOR(F.lit(4096)).alias("b_or"),
-        v.bitwiseXOR(F.lit(0x5A5A)).alias("b_xor"),
-        F.shiftleft(v, 3).alias("b_shl"),
-        F.shiftright(v, 2).alias("b_shr"),
-        F.bit_count(v).alias("b_pop"),
-    )
-
-
 def q_agg_histogram(spark, sf):
     """Equi-width histogram of order totals (20 buckets over [0, 500000))
     — the profiling/EDA staple, one groupBy on a computed bucket id."""
@@ -355,35 +327,6 @@ def q_set_distinct(spark, sf):
     return _t(spark, sf, "orders").select("o_orderpriority", "o_orderstatus").distinct()
 
 
-def q_set_intersect_all(spark, sf):
-    """U2 multiset variant: INTERSECT ALL keeps min(multiplicity) copies —
-    physically a count-per-value agg on each side + min, not a distinct."""
-    a = (
-        _t(spark, sf, "orders")
-        .filter(F.col("o_orderstatus") == "F")
-        .select("o_orderpriority")
-    )
-    b = (
-        _t(spark, sf, "orders")
-        .filter(F.col("o_orderstatus") == "O")
-        .select("o_orderpriority")
-    )
-    return a.intersectAll(b)
-
-
-def q_set_except_all(spark, sf):
-    """U3 multiset variant: EXCEPT ALL subtracts multiplicities."""
-    a = (
-        _t(spark, sf, "orders")
-        .filter(F.col("o_orderstatus") == "F")
-        .select("o_orderpriority")
-    )
-    b = (
-        _t(spark, sf, "orders")
-        .filter(F.col("o_orderstatus") == "O")
-        .select("o_orderpriority")
-    )
-    return a.exceptAll(b)
 
 
 # --------------------------------------------------------------------------
@@ -624,8 +567,6 @@ QUERIES = {
     "win_lag": q_win_lag,
     "win_running_sum": q_win_running_sum,
     "win_ntile": q_win_ntile,
-    "win_dense_cume": q_win_dense_cume,
-    "fn_bitwise": q_fn_bitwise,
     "agg_histogram": q_agg_histogram,
     "sort_orders": q_sort_orders,
     "topk_orders": q_topk_orders,
@@ -634,8 +575,6 @@ QUERIES = {
     "set_intersect": q_set_intersect,
     "set_except": q_set_except,
     "set_distinct": q_set_distinct,
-    "set_intersect_all": q_set_intersect_all,
-    "set_except_all": q_set_except_all,
     "fn_string": q_fn_string,
     "fn_hash": q_fn_hash,
     "fn_date": q_fn_date,
@@ -757,23 +696,6 @@ ORACLES = {
         "SELECT o_orderkey, ntile(4) OVER (ORDER BY o_totalprice, o_orderkey) AS tile"
         " FROM orders"
     ),
-    "win_dense_cume": (
-        "SELECT user_id, event_id,"
-        " CAST(dense_rank() OVER (PARTITION BY user_id ORDER BY value, event_id)"
-        "   AS INT) AS drank,"
-        " round(cume_dist() OVER (PARTITION BY user_id ORDER BY value, event_id),"
-        "   6) AS cdist FROM events"
-    ),
-    "fn_bitwise": (
-        "SELECT event_id,"
-        " event_id & 255 AS b_and,"
-        " event_id | 4096 AS b_or,"
-        " xor(event_id, 23130) AS b_xor,"
-        " event_id << 3 AS b_shl,"
-        " event_id >> 2 AS b_shr,"
-        " CAST(bit_count(event_id) AS INT) AS b_pop"
-        " FROM events"
-    ),
     "agg_histogram": (
         "SELECT least(CAST(floor(o_totalprice / 25000) AS BIGINT), 19) AS bucket,"
         " count(*) AS n FROM orders GROUP BY 1"
@@ -805,16 +727,6 @@ ORACLES = {
         " EXCEPT SELECT s_nationkey AS nk FROM supplier"
     ),
     "set_distinct": "SELECT DISTINCT o_orderpriority, o_orderstatus FROM orders",
-    "set_intersect_all": (
-        "SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'F'"
-        " INTERSECT ALL"
-        " SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'O'"
-    ),
-    "set_except_all": (
-        "SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'F'"
-        " EXCEPT ALL"
-        " SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'O'"
-    ),
     "fn_string": (
         "SELECT doc_id, upper(lang) AS lang_up, substr(text, 1, 12) AS prefix,"
         " len(string_split(text, ' ')) AS n_words,"
