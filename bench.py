@@ -92,6 +92,11 @@ HEADLINE_QUERIES = [
     "topk_per_group",
     "token_recount",
     "cdc_lww",
+    # round-2 pipeline ops: the composed curation build, the distributed
+    # prefix-sum shard plan, and the heavy-hitter sketch
+    "curate_pipeline",
+    "shard_plan",
+    "sketch_heavy_hitters",
 ]
 
 
