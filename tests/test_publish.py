@@ -151,3 +151,36 @@ def test_stream_publish_converges(spark, sf_small, tmp_path):
     )
     apply_published(d, feed)
     assert_equivalent(t.read(), d.read())
+
+
+def test_published_feed_is_streamable(spark, sf_small, tmp_path):
+    """Cascade replication: source replay publishes the feed; a DOWNSTREAM
+    stream_tail tails the feed directory itself (it is just an event log)
+    into a second table and converges — source → feed → replica with
+    exactly-once on both hops."""
+    from rap_etl_spark.cli import main as cli_main
+    from rap_etl_spark.engine import CdcEngine, assert_equivalent
+    from rap_etl_spark.schemas import DOCS_SCHEMA
+    from rap_etl_spark.streaming.tail import stream_tail
+
+    log = str(tmp_path / "log")
+    assert cli_main(["synth", "--out", log, "--events", "800",
+                     "--sf", sf_small, "--batches", "2"]) == 0
+    t = ManifestParquetTable.create(
+        spark, str(tmp_path / "t"), DOCS_SCHEMA, n_buckets=4
+    )
+    eng = CdcEngine(spark, t)
+    feed = str(tmp_path / "feed")
+    for b in (0, 1):
+        eng.apply_batch(spark.read.parquet(f"{log}/batch={b}"), batch_id=b)
+        publish_changes(t, b, feed)
+
+    d = ManifestParquetTable.create(
+        spark, str(tmp_path / "replica"), DOCS_SCHEMA, n_buckets=4
+    )
+    q = stream_tail(
+        spark, feed, str(tmp_path / "cp"), d,
+        schema=t.read().schema.add("op", "string").add("lsn", "long"),
+    )
+    q.awaitTermination()
+    assert_equivalent(t.read(), d.read())
