@@ -344,9 +344,20 @@ def main() -> None:
     # object store's aggregate bandwidth scales with executor count, and
     # tmpfs is the single-node stand-in for that property.
     default_base = "/dev/shm" if os.path.isdir("/dev/shm") else None
-    work = os.environ.get("SPARK_GRAFT_BENCH_WORK") or tempfile.mkdtemp(
+    explicit_work = os.environ.get("SPARK_GRAFT_BENCH_WORK")
+    work = explicit_work or tempfile.mkdtemp(
         prefix="rap-etl-bench-", dir=default_base
     )
+    prepare_only = len(sys.argv) > 1 and sys.argv[1] == "--prepare-only"
+    if not explicit_work and not prepare_only:
+        # the work dir lives on tmpfs (= RAM): leaking it across runs
+        # starves later JVM heaps of the very memory they benchmark with.
+        # An explicit SPARK_GRAFT_BENCH_WORK (or --prepare-only) means the
+        # caller wants the prepared log kept and owns the cleanup.
+        import atexit
+        import shutil
+
+        atexit.register(shutil.rmtree, work, ignore_errors=True)
     os.makedirs(work, exist_ok=True)
     log_dir = os.path.join(work, "log-packed" if PACKED else "log-array")
     if not os.path.exists(os.path.join(log_dir, "batch=0")):
