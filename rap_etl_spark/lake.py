@@ -920,6 +920,11 @@ class ManifestParquetTable(LakeTable):
             prev = m["committed"].get(str(batch_id), {"snapshot_id": m["snapshot_id"]})
             return CommitInfo(prev["snapshot_id"], batch_id, 0, skipped=True)
         data = self._with_meta(df, self.schema())
+        _pinned = None
+        if m.get("constraints"):
+            # same hazard as merge(): validation and the write are separate
+            # jobs over the same frame — pin it so both see identical rows
+            data = _pinned = data.persist()
         self._validate_constraints(data)
         if not assume_unique:
             from pyspark.sql import Window
@@ -948,18 +953,24 @@ class ManifestParquetTable(LakeTable):
                         "for upserts (or assume_unique=True if keys are "
                         "known-disjoint)"
                     )
-        data = data.withColumn("_b", self._bucket_expr(self.key))
-        nxt = self._next_manifest(m)
-        entries = self._write_data_files(data, nxt["snapshot_id"], m["current_schema_version"])
-        nxt["files"] = m["files"] + entries
-        rows = int(df.count())
-        if batch_id is not None:
-            nxt["committed"][str(batch_id)] = {
-                "snapshot_id": nxt["snapshot_id"],
-                "event_count": rows,
-            }
-        self._write_manifest(nxt)
-        return CommitInfo(nxt["snapshot_id"], batch_id, rows)
+        try:
+            data = data.withColumn("_b", self._bucket_expr(self.key))
+            nxt = self._next_manifest(m)
+            entries = self._write_data_files(
+                data, nxt["snapshot_id"], m["current_schema_version"]
+            )
+            nxt["files"] = m["files"] + entries
+            rows = int(df.count())
+            if batch_id is not None:
+                nxt["committed"][str(batch_id)] = {
+                    "snapshot_id": nxt["snapshot_id"],
+                    "event_count": rows,
+                }
+            self._write_manifest(nxt)
+            return CommitInfo(nxt["snapshot_id"], batch_id, rows)
+        finally:
+            if _pinned is not None:
+                _pinned.unpersist()
 
     def merge(
         self,
@@ -1044,37 +1055,47 @@ class ManifestParquetTable(LakeTable):
             )
         schema = self.schema()
         ch = self._with_meta(changes, schema).withColumn("_b", self._bucket_expr(self.key))
-        self._validate_constraints(ch)
         persisted = False
+        if m.get("constraints"):
+            # constraint validation is one job over ch and the write job
+            # recomputes the frame — pin it so a nondeterministic upstream
+            # cannot pass validation yet write different (violating) rows
+            ch = ch.persist()
+            persisted = True
+        self._validate_constraints(ch)
         if mode == "mor":
             # write-optimized path: ONE job (bucket-clustered write of the
             # change rows as delta files), no read of existing data at all.
             # The exact ledger count falls out of the written files' parquet
             # footers (changes has one row per key by contract), so the
             # change frame is consumed exactly once even without a hint.
-            nxt = self._next_manifest(m)
-            _t0 = time.monotonic()
-            entries = self._write_data_files(
-                ch,
-                nxt["snapshot_id"],
-                m["current_schema_version"],
-                kind="delta",
-                seq=nxt["seq"],
-            )
-            _tlog("merge.write_delta_files", _t0)
-            rows = (
-                int(n_rows)
-                if n_rows is not None
-                else sum(fe["rows"] for fe in entries)
-            )
-            nxt["files"] = m["files"] + entries
-            if batch_id is not None:
-                nxt["committed"][str(batch_id)] = {
-                    "snapshot_id": nxt["snapshot_id"],
-                    "event_count": rows,
-                }
-            self._write_manifest(nxt)
-            return CommitInfo(nxt["snapshot_id"], batch_id, rows)
+            try:
+                nxt = self._next_manifest(m)
+                _t0 = time.monotonic()
+                entries = self._write_data_files(
+                    ch,
+                    nxt["snapshot_id"],
+                    m["current_schema_version"],
+                    kind="delta",
+                    seq=nxt["seq"],
+                )
+                _tlog("merge.write_delta_files", _t0)
+                rows = (
+                    int(n_rows)
+                    if n_rows is not None
+                    else sum(fe["rows"] for fe in entries)
+                )
+                nxt["files"] = m["files"] + entries
+                if batch_id is not None:
+                    nxt["committed"][str(batch_id)] = {
+                        "snapshot_id": nxt["snapshot_id"],
+                        "event_count": rows,
+                    }
+                self._write_manifest(nxt)
+                return CommitInfo(nxt["snapshot_id"], batch_id, rows)
+            finally:
+                if persisted:
+                    ch.unpersist()
         if affected_buckets is not None:
             affected_set = {int(b) for b in affected_buckets}
             rows = int(n_rows) if n_rows is not None else -1
@@ -1083,8 +1104,9 @@ class ManifestParquetTable(LakeTable):
             # affected-bucket set and the change-row count (n_buckets tiny
             # groups) — these driver-side barriers are the serial floor on
             # a real batch cadence, which is why the hinted path exists
-            ch = ch.persist()
-            persisted = True
+            if not persisted:  # constraints may have pinned it already
+                ch = ch.persist()
+                persisted = True
             _t0 = time.monotonic()
             _stats = ch.groupBy("_b").agg(F.count(F.lit(1)).alias("_n")).collect()
             affected_set = {r["_b"] for r in _stats}
@@ -1251,10 +1273,17 @@ class ManifestParquetTable(LakeTable):
                 b_lo, b_hi = bounds(fe, col)
                 if b_lo is None or b_hi is None:
                     continue
-                if lo is not None and b_hi < lo:
-                    return False
-                if hi is not None and b_lo > hi:
-                    return False
+                try:
+                    if lo is not None and b_hi < lo:
+                        return False
+                    if hi is not None and b_lo > hi:
+                        return False
+                except TypeError:
+                    # caller-supplied bound vs JSON-restored stat of a
+                    # different type (int vs str, ...): pruning is an
+                    # OPTIMIZATION — keep the file, the residual filter
+                    # below stays exact
+                    continue
             return True
 
         keep_dirty = {

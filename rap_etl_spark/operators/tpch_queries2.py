@@ -1181,7 +1181,11 @@ def q_binlog_roundtrip(spark, sf):
     spark.read.format("rap-etl-binlog"), return every row. The oracle is
     the same derivation in plain SQL: any framing/offset/encoding bug in
     the wire format breaks the value hash. Deletes carry empty (not null)
-    token lists on the wire — the derivation builds them that way."""
+    token lists on the wire — the derivation builds them that way. The
+    tokens column is serialized to a CSV string in the output (and via
+    array_to_string in the oracle): identical value coverage, but the
+    driver's canonicalizer cannot hash bare array<> cells (round-2
+    CORRECTNESS ERR "unhashable type: 'list'")."""
     from rap_etl_spark.sources.binlog import register, write_binlog_segments
 
     ev = _t(spark, sf, "events").select(
@@ -1212,7 +1216,13 @@ def q_binlog_roundtrip(spark, sf):
         )
         # materialize before the tempdir disappears (same as cdc_merge)
         rows = got.collect()
-        return spark.createDataFrame(rows, got.schema)
+        return spark.createDataFrame(rows, got.schema).select(
+            "op",
+            "doc_id",
+            "lsn",
+            F.concat_ws(",", "tokens").alias("tokens"),
+            "source",
+        )
     finally:
         import shutil
 
@@ -1225,8 +1235,9 @@ TPCH_ORACLES2["binlog_roundtrip"] = (
     " WHEN event_id % 10 = 1 THEN 'I' ELSE 'U' END AS op,"
     " 'u' || CAST(user_id AS VARCHAR) AS doc_id,"
     " event_id AS lsn,"
-    " CASE WHEN event_id % 10 = 0 THEN CAST([] AS INTEGER[])"
-    " ELSE CAST(range(1, CAST(event_id % 7 AS INTEGER) + 2) AS INTEGER[])"
+    " CASE WHEN event_id % 10 = 0 THEN ''"
+    " ELSE array_to_string("
+    "   range(1, CAST(event_id % 7 AS INTEGER) + 2), ',')"
     " END AS tokens,"
     " event_type AS source"
     " FROM events"

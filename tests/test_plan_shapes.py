@@ -215,3 +215,50 @@ def test_decontaminate_broadcasts_eval_ngrams(spark, sf_oracle):
 
     plan = formatted_plan(q_decontaminate(spark, sf_oracle))
     assert "BroadcastHashJoin" in plan
+
+
+def test_posting_list_caps_before_collect(spark, sf_oracle):
+    """Round-2 VERDICT scale bug: collect_list-then-slice buffered the FULL
+    posting list per word (O(corpus) for a stop word). The fixed plan must
+    (a) cap rows per word BEFORE the aggregate — Spark materializes the
+    rank filter as a WindowGroupLimit below the Window — and (b) reuse the
+    word hash partitioning for the final agg: exactly two exchanges
+    (distinct, then word), none between the window and the collect."""
+    from rap_etl_spark.operators.pipeline_queries import q_posting_list
+
+    df = q_posting_list(spark, sf_oracle)
+    plan = formatted_plan(df)
+    assert "WindowGroupLimit" in plan
+    assert count_exchanges(df) == 2
+
+
+def test_read_range_type_mismatch_keeps_file(spark, tmp_path):
+    """A caller bound whose type mismatches a file's JSON-restored col_stats
+    must degrade to 'keep the file' (pruning is an optimization), not raise
+    TypeError (ADVICE r2)."""
+    from pyspark.sql import types as T
+
+    from rap_etl_spark.lake import ManifestParquetTable
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType()),
+            T.StructField("val", T.StringType()),
+        ]
+    )
+    t = ManifestParquetTable.create(spark, str(tmp_path / "t"), schema, n_buckets=2)
+    t.append(
+        spark.createDataFrame(
+            [(f"k{i}", f"v{i}") for i in range(20)], "doc_id string, val string"
+        ),
+        batch_id=0,
+        assume_unique=True,
+    )
+    # int bounds against string stats: the driver-side prune (overlaps())
+    # runs inside read_range — it must not raise TypeError and must keep
+    # every file. Executing the residual filter is the caller's problem
+    # (Spark ANSI cast semantics), so only the plan is built here.
+    df = t.read_range("val", 1, 2)
+    assert df is not None
+    got = {r["val"] for r in t.read_range("val", "v1", "v1").collect()}
+    assert got == {"v1"}

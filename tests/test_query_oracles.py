@@ -56,7 +56,23 @@ ORACLED = sorted(set(entrymod.queries()) & set(entrymod.oracle_sql()))
 
 @pytest.mark.parametrize("name", ORACLED)
 def test_query_matches_oracle(spark, sf_small, ddb, name):
-    got = entrymod.queries()[name](spark, sf_small).toPandas()
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    sdf = entrymod.queries()[name](spark, sf_small)
+    # Driver-compat guard: the external driver's canonicalizer (pandas
+    # sort_values + hash) dies on list/dict cells — round 2 recorded two
+    # "unhashable type: 'list'" ERRs for locally-green queries. Oracled
+    # outputs must be scalar columns only (serialize arrays to strings).
+    bad = [
+        f.name
+        for f in sdf.schema.fields
+        if isinstance(f.dataType, (ArrayType, MapType, StructType))
+    ]
+    assert not bad, (
+        f"{name} returns non-scalar columns {bad}: the driver canonicalizer "
+        "cannot hash them — serialize with to_json/concat_ws"
+    )
+    got = sdf.toPandas()
     want = ddb.execute(entrymod.oracle_sql()[name]).fetchdf()
     gc, gr = _canon_rows(got)
     wc, wr = _canon_rows(want)
