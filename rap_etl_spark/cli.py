@@ -13,12 +13,13 @@ Packaging for a cluster::
         --conf spark.sql.shuffle.partitions=<3x total cores> \
         launcher.py replay --table /shared/lake/docs --log /shared/wal/events
 
-Storage note: ``ManifestParquetTable`` requires a single-writer-host POSIX
-path (its manifest pointer swap uses os.replace + flock, and replay's
-batch discovery uses os.listdir) — a cluster deployment points --table at
-a POSIX-mounted shared filesystem (NFS/Lustre) or uses the IcebergTable
-backend, which is the object-store (s3a://) path: a real catalog provides
-the transactional commit this backend implements locally.
+Storage note: ``ManifestParquetTable``'s metadata/commit I/O goes through
+the ``fsio`` seam; the shipped ``PosixFS`` backend needs a
+single-writer-host POSIX path (pointer swap = os.replace + flock), so a
+cluster deployment points --table at a POSIX-mounted shared filesystem
+(NFS/Lustre), plugs an HDFS/S3 ``fsio`` backend (deployment matrix in
+fsio.py/README), or uses the IcebergTable backend, where a real catalog
+provides the transactional commit this backend implements locally.
 
 Subcommands::
 

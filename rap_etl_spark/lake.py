@@ -34,7 +34,6 @@ Two backends behind one ABC:
 
 from __future__ import annotations
 
-import fcntl
 import json
 import os
 import re
@@ -194,12 +193,23 @@ class ManifestParquetTable(LakeTable):
     DEFAULT_BUCKETS = 32
 
     def __init__(
-        self, spark: SparkSession, path: str, key: str = "doc_id", ref: str = "main"
+        self,
+        spark: SparkSession,
+        path: str,
+        key: str = "doc_id",
+        ref: str = "main",
+        fs=None,
     ):
+        from rap_etl_spark.fsio import POSIX_FS
+
         self.spark = spark
         self.path = path
         self.key = key
         self.ref = ref
+        # every driver-side metadata/commit/maintenance byte goes through
+        # this seam (fsio.TableFS interface) — POSIX here; HDFS/S3 plug in
+        # without touching commit logic (deployment matrix in fsio.py)
+        self.fs = fs or POSIX_FS
         self._manifest_cache: dict | None = None
 
     # ---------- creation ----------
@@ -213,14 +223,15 @@ class ManifestParquetTable(LakeTable):
         n_buckets: int = DEFAULT_BUCKETS,
         overwrite: bool = False,
         merge_mode: str = "cow",
+        fs=None,
     ) -> "ManifestParquetTable":
         if merge_mode not in ("cow", "mor"):
             raise ValueError(f"merge_mode must be 'cow' or 'mor', got {merge_mode!r}")
-        if os.path.exists(os.path.join(path, "_current.json")) and not overwrite:
+        t = cls(spark, path, key=key, fs=fs)
+        if t.fs.exists(os.path.join(path, "_current.json")) and not overwrite:
             raise FileExistsError(f"table already exists at {path}")
-        os.makedirs(os.path.join(path, "data"), exist_ok=True)
-        os.makedirs(os.path.join(path, "manifests"), exist_ok=True)
-        t = cls(spark, path, key=key)
+        t.fs.makedirs(os.path.join(path, "data"))
+        t.fs.makedirs(os.path.join(path, "manifests"))
         manifest = {
             "snapshot_id": t._new_snapshot_id(0),
             "parent": None,
@@ -249,12 +260,51 @@ class ManifestParquetTable(LakeTable):
 
     def _manifest(self, refresh: bool = False) -> dict:
         if self._manifest_cache is None or refresh:
-            with open(self._pointer_path()) as f:
-                ptr = json.load(f)
+            try:
+                ptr = json.loads(self.fs.read_text(self._pointer_path()))
+            except FileNotFoundError:
+                raise FileNotFoundError(
+                    f"no table at {self.path!r} (ref {self.ref!r}): pointer "
+                    f"file missing — create it first (ManifestParquetTable"
+                    f".create / CLI `init`)"
+                ) from None
             mpath = os.path.join(self.path, "manifests", f"manifest-{ptr['snapshot_id']}.json")
-            with open(mpath) as f:
-                self._manifest_cache = json.load(f)
+            self._manifest_cache = self._load_manifest_file(mpath)
         return self._manifest_cache
+
+    # ---------- manifest paging (format 2) ----------
+    # The file list is PAGED PER BUCKET into immutable, content-addressed
+    # side files (manifests/bm-<sha>.json); the root manifest carries only
+    # scalar state plus a {bucket: bm-file} pointer map. A commit that
+    # touches k of B buckets therefore writes O(k) file-list bytes plus an
+    # O(B) root — NOT the whole table's file+stats list rewritten per
+    # commit (the reason Iceberg splits manifest lists from manifests: at
+    # 10^5-10^6 files the root rewrite becomes the commit bottleneck).
+    # Unchanged buckets are detected by ENTRY IDENTITY — file entries are
+    # immutable and structurally shared across snapshots via
+    # _next_manifest — so untouched buckets cost neither serialization nor
+    # hashing. In memory the manifest keeps the flat "files" list every
+    # caller already uses; "_bm_cache" ({bucket: (bm_name, entries)}) is
+    # the private load-time record that makes reuse detection O(1)/bucket.
+
+    def _bm_path(self, name: str) -> str:
+        return os.path.join(self.path, "manifests", name)
+
+    def _load_manifest_file(self, mpath: str) -> dict:
+        man = json.loads(self.fs.read_text(mpath))
+        if man.get("format", 1) >= 2:
+            files: list = []
+            cache: dict = {}
+            for b, name in sorted(
+                man.pop("bucket_manifests", {}).items(),
+                key=lambda kv: int(kv[0]),
+            ):
+                entries = json.loads(self.fs.read_text(self._bm_path(name)))
+                files.extend(entries)
+                cache[b] = (name, entries)
+            man["files"] = files
+            man["_bm_cache"] = cache
+        return man
 
     def _write_manifest(self, manifest: dict) -> None:
         """Commit a new snapshot with optimistic concurrency: under an
@@ -264,43 +314,76 @@ class ManifestParquetTable(LakeTable):
         caller re-reads and retries; the batch ledger keeps retries
         idempotent. Readers never take the lock (they see old or new
         pointer, never a mix, via the atomic rename)."""
-        import fcntl
+        import hashlib
 
         sid = manifest["snapshot_id"]
+        files = manifest.get("files", [])
+        by_bucket: dict[str, list] = {}
+        for fe in files:
+            by_bucket.setdefault(str(fe["bucket"]), []).append(fe)
+        prev_cache = manifest.get("_bm_cache") or {}
+        ptrs: dict[str, str] = {}
+        new_cache: dict[str, tuple] = {}
+        for b, entries in by_bucket.items():
+            pv = prev_cache.get(b)
+            if (
+                pv is not None
+                and len(pv[1]) == len(entries)
+                and all(x is y for x, y in zip(pv[1], entries))
+            ):
+                name = pv[0]  # bucket untouched since load: reuse, zero I/O
+            else:
+                payload = json.dumps(entries)
+                name = f"bm-{hashlib.sha1(payload.encode()).hexdigest()[:20]}.json"
+                bmp = self._bm_path(name)
+                if not self.fs.exists(bmp):  # content-addressed: write once
+                    self.fs.write_text(bmp, payload)
+            ptrs[b] = name
+            new_cache[b] = (name, entries)
+        root = {
+            k: v for k, v in manifest.items() if k not in ("files", "_bm_cache")
+        }
+        root["format"] = 2
+        root["bucket_manifests"] = ptrs
+        root["n_files"] = len(files)
         mpath = os.path.join(self.path, "manifests", f"manifest-{sid}.json")
-        with open(mpath, "w") as f:
-            json.dump(manifest, f)
+        self.fs.write_text(mpath, json.dumps(root))
         lock_path = os.path.join(self.path, "_commit.lock")
-        with open(lock_path, "w") as lock:
-            fcntl.flock(lock, fcntl.LOCK_EX)
-            try:
-                expected_parent = manifest.get("parent")
-                if expected_parent is not None and os.path.exists(self._pointer_path()):
-                    with open(self._pointer_path()) as f:
-                        current = json.load(f)["snapshot_id"]
-                    if current != expected_parent:
-                        os.remove(mpath)  # abandon this snapshot's manifest
-                        raise CommitConflictError(
-                            f"commit base {expected_parent} is stale; current "
-                            f"snapshot is {current}"
-                        )
-                # preserve pointer metadata beyond the snapshot id (branch
-                # refs carry their fork-point "base" for the publish CAS)
-                ptr = {}
-                if os.path.exists(self._pointer_path()):
-                    with open(self._pointer_path()) as f:
-                        ptr = json.load(f)
-                ptr["snapshot_id"] = sid
-                tmp = self._pointer_path() + f".tmp-{uuid.uuid4().hex[:8]}"
-                with open(tmp, "w") as f:
-                    json.dump(ptr, f)
-                os.replace(tmp, self._pointer_path())
-            finally:
-                fcntl.flock(lock, fcntl.LOCK_UN)
+        with self.fs.commit_lock(lock_path):
+            expected_parent = manifest.get("parent")
+            if expected_parent is not None and self.fs.exists(self._pointer_path()):
+                current = json.loads(
+                    self.fs.read_text(self._pointer_path())
+                )["snapshot_id"]
+                if current != expected_parent:
+                    self.fs.remove(mpath)  # abandon this snapshot's manifest
+                    raise CommitConflictError(
+                        f"commit base {expected_parent} is stale; current "
+                        f"snapshot is {current}"
+                    )
+            # preserve pointer metadata beyond the snapshot id (branch
+            # refs carry their fork-point "base" for the publish CAS)
+            ptr = {}
+            if self.fs.exists(self._pointer_path()):
+                ptr = json.loads(self.fs.read_text(self._pointer_path()))
+            ptr["snapshot_id"] = sid
+            self.fs.write_text_atomic(self._pointer_path(), json.dumps(ptr))
+        manifest["_bm_cache"] = new_cache
         self._manifest_cache = manifest
 
     def _next_manifest(self, m: dict) -> dict:
-        nxt = json.loads(json.dumps(m))  # deep copy
+        # Scalar state is deep-copied; FILE ENTRIES ARE SHARED (new list,
+        # same immutable dicts). The sharing is what lets _write_manifest
+        # prove a bucket untouched by identity and skip its page — a deep
+        # copy here would cost O(total files) JSON per commit AND defeat
+        # the reuse detection.
+        files = m.get("files", [])
+        bm = m.get("_bm_cache")
+        rest = {k: v for k, v in m.items() if k not in ("files", "_bm_cache")}
+        nxt = json.loads(json.dumps(rest))
+        nxt["files"] = list(files)
+        if bm is not None:
+            nxt["_bm_cache"] = bm
         nxt["parent"] = m["snapshot_id"]
         nxt["seq"] = m["seq"] + 1
         nxt["snapshot_id"] = self._new_snapshot_id(nxt["seq"])
@@ -588,13 +671,12 @@ class ManifestParquetTable(LakeTable):
         if snapshot_id == m["snapshot_id"]:
             return m
         mpath = os.path.join(self.path, "manifests", f"manifest-{snapshot_id}.json")
-        if not os.path.exists(mpath):
+        if not self.fs.exists(mpath):
             raise ValueError(
                 f"snapshot {snapshot_id} not found (expired or never existed); "
                 "incremental reads are bounded by snapshot retention"
             )
-        with open(mpath) as f:
-            return json.load(f)
+        return self._load_manifest_file(mpath)
 
     def table_changes(
         self, from_snapshot: str | None, to_snapshot: str | None = None
@@ -770,18 +852,18 @@ class ManifestParquetTable(LakeTable):
             writer = writer.option("maxRecordsPerFile", int(max_rows_per_file))
         writer.parquet(staging)
         entries: list[dict] = []
-        for bdir in sorted(os.listdir(staging)):
+        for bdir in sorted(self.fs.listdir(staging)):
             if not bdir.startswith("_b="):
                 continue
             bucket = int(bdir.split("=", 1)[1])
             i = 0
-            for fn in sorted(os.listdir(os.path.join(staging, bdir))):
+            for fn in sorted(self.fs.listdir(os.path.join(staging, bdir))):
                 if not fn.endswith(".parquet"):
                     continue
                 prefix = "d" if kind == "delta" else "b"
                 new_name = f"{prefix}{bucket:05d}-{sid}-{i:04d}.parquet"
                 dest = os.path.join(self.path, "data", new_name)
-                os.replace(os.path.join(staging, bdir, fn), dest)
+                self.fs.rename(os.path.join(staging, bdir, fn), dest)
                 # commit statistics from the parquet footer (driver-local
                 # metadata read, no job): exact row count (MoR ledger
                 # counts) + key-column min/max zone map (file skipping in
@@ -789,7 +871,8 @@ class ManifestParquetTable(LakeTable):
                 # Iceberg's manifest-entry column bounds)
                 import pyarrow.parquet as pq
 
-                md = pq.ParquetFile(dest).metadata
+                with self.fs.open_binary(dest) as _pf:
+                    md = pq.ParquetFile(_pf).metadata
                 entry = {
                     "path": os.path.join("data", new_name),
                     "bucket": bucket,
@@ -867,9 +950,7 @@ class ManifestParquetTable(LakeTable):
                 entries.append(entry)
                 i += 1
         # clean staging
-        import shutil
-
-        shutil.rmtree(staging, ignore_errors=True)
+        self.fs.rmtree(staging)
         return entries
 
     def _with_meta(self, df: DataFrame, schema: T.StructType) -> DataFrame:
@@ -1725,6 +1806,13 @@ class ManifestParquetTable(LakeTable):
             "merge_mode",
             "ledger_horizon",
         ):
+            if field == "files":
+                # share the target's (immutable) entries AND its bucket-page
+                # cache: a rollback commit then re-points at the target's
+                # existing bm pages instead of rewriting every bucket
+                nxt["files"] = list(target.get("files", []))
+                nxt["_bm_cache"] = target.get("_bm_cache")
+                continue
             if field in target:
                 nxt[field] = json.loads(json.dumps(target[field]))
             else:
@@ -1752,42 +1840,40 @@ class ManifestParquetTable(LakeTable):
         self._manifest_of(base)  # must exist
         rp = self._branch_ref_path(name)
         lock_path = os.path.join(self.path, "_commit.lock")
-        with open(lock_path, "w") as lock:
-            fcntl.flock(lock, fcntl.LOCK_EX)
-            try:
-                if os.path.exists(rp):
-                    raise FileExistsError(f"branch already exists: {name}")
-                tmp = rp + f".tmp-{uuid.uuid4().hex[:8]}"
-                with open(tmp, "w") as f:
-                    json.dump({"snapshot_id": base, "base": base}, f)
-                os.replace(tmp, rp)
-            finally:
-                fcntl.flock(lock, fcntl.LOCK_UN)
+        with self.fs.commit_lock(lock_path):
+            if self.fs.exists(rp):
+                raise FileExistsError(f"branch already exists: {name}")
+            self.fs.write_text_atomic(
+                rp, json.dumps({"snapshot_id": base, "base": base})
+            )
         return self.branch(name)
 
     def branch(self, name: str) -> "ManifestParquetTable":
         """Handle on an existing branch (see create_branch)."""
         rp = self._branch_ref_path(name)
-        if not os.path.exists(rp):
+        if not self.fs.exists(rp):
             raise FileNotFoundError(f"no such branch: {name}")
-        return ManifestParquetTable(self.spark, self.path, key=self.key, ref=name)
+        return ManifestParquetTable(
+            self.spark, self.path, key=self.key, ref=name, fs=self.fs
+        )
 
     def list_branches(self) -> dict[str, dict]:
         """{branch: {"snapshot_id": head, "base": fork point}}."""
         out: dict[str, dict] = {}
-        for fn in sorted(os.listdir(self.path)):
+        for fn in sorted(self.fs.listdir(self.path)):
             if fn.startswith("_ref-") and fn.endswith(".json"):
-                with open(os.path.join(self.path, fn)) as f:
-                    out[fn[len("_ref-") : -len(".json")]] = json.load(f)
+                out[fn[len("_ref-") : -len(".json")]] = json.loads(
+                    self.fs.read_text(os.path.join(self.path, fn))
+                )
         return out
 
     def drop_branch(self, name: str) -> None:
         """Abandon a branch. Its staged manifests/files become unreferenced
         and are reclaimed by expire_snapshots' orphan sweep."""
         rp = self._branch_ref_path(name)
-        if not os.path.exists(rp):
+        if not self.fs.exists(rp):
             raise FileNotFoundError(f"no such branch: {name}")
-        os.remove(rp)
+        self.fs.remove(rp)
 
     # ---------- tags (immutable snapshot refs) ----------
     def _tag_path(self, name: str) -> str:
@@ -1805,30 +1891,26 @@ class ManifestParquetTable(LakeTable):
         sid = snapshot_id or self.snapshot_id()
         self._manifest_of(sid)  # must exist (and not be expired)
         tp = self._tag_path(name)
-        if os.path.exists(tp):
+        if self.fs.exists(tp):
             raise FileExistsError(f"tag already exists: {name}")
-        tmp = tp + f".tmp-{uuid.uuid4().hex[:8]}"
-        with open(tmp, "w") as f:
-            json.dump({"snapshot_id": sid}, f)
-        os.replace(tmp, tp)
+        self.fs.write_text_atomic(tp, json.dumps({"snapshot_id": sid}))
         return sid
 
     def list_tags(self) -> dict[str, str]:
         """{tag: snapshot_id}."""
         out: dict[str, str] = {}
-        for fn in sorted(os.listdir(self.path)):
+        for fn in sorted(self.fs.listdir(self.path)):
             if fn.startswith("_tag-") and fn.endswith(".json"):
-                with open(os.path.join(self.path, fn)) as f:
-                    out[fn[len("_tag-") : -len(".json")]] = json.load(f)[
-                        "snapshot_id"
-                    ]
+                out[fn[len("_tag-") : -len(".json")]] = json.loads(
+                    self.fs.read_text(os.path.join(self.path, fn))
+                )["snapshot_id"]
         return out
 
     def drop_tag(self, name: str) -> None:
         tp = self._tag_path(name)
-        if not os.path.exists(tp):
+        if not self.fs.exists(tp):
             raise ValueError(f"no such tag: {name}")
-        os.remove(tp)
+        self.fs.remove(tp)
 
     def read_tag(self, name: str) -> DataFrame:
         tags = self.list_tags()
@@ -1848,30 +1930,23 @@ class ManifestParquetTable(LakeTable):
         stage→publish hop: a post-publish redelivery of a staged batch_id
         is skipped by main's ledger."""
         rp = self._branch_ref_path(name)
-        if not os.path.exists(rp):
+        if not self.fs.exists(rp):
             raise FileNotFoundError(f"no such branch: {name}")
         lock_path = os.path.join(self.path, "_commit.lock")
         main_ptr = os.path.join(self.path, "_current.json")
-        with open(lock_path, "w") as lock:
-            fcntl.flock(lock, fcntl.LOCK_EX)
-            try:
-                with open(rp) as f:
-                    ref = json.load(f)
-                with open(main_ptr) as f:
-                    current = json.load(f)["snapshot_id"]
-                if current != ref["base"]:
-                    raise CommitConflictError(
-                        f"main moved {ref['base']} -> {current} since branch "
-                        f"{name!r} forked; re-stage on a fresh branch"
-                    )
-                if ref["snapshot_id"] != current:
-                    tmp = main_ptr + f".tmp-{uuid.uuid4().hex[:8]}"
-                    with open(tmp, "w") as f:
-                        json.dump({"snapshot_id": ref["snapshot_id"]}, f)
-                    os.replace(tmp, main_ptr)
-                os.remove(rp)
-            finally:
-                fcntl.flock(lock, fcntl.LOCK_UN)
+        with self.fs.commit_lock(lock_path):
+            ref = json.loads(self.fs.read_text(rp))
+            current = json.loads(self.fs.read_text(main_ptr))["snapshot_id"]
+            if current != ref["base"]:
+                raise CommitConflictError(
+                    f"main moved {ref['base']} -> {current} since branch "
+                    f"{name!r} forked; re-stage on a fresh branch"
+                )
+            if ref["snapshot_id"] != current:
+                self.fs.write_text_atomic(
+                    main_ptr, json.dumps({"snapshot_id": ref["snapshot_id"]})
+                )
+            self.fs.remove(rp)
         if self.ref == "main":
             self._manifest(refresh=True)
         return CommitInfo(ref["snapshot_id"], None, -1)
@@ -1919,10 +1994,11 @@ class ManifestParquetTable(LakeTable):
         writers are active. Returns files deleted."""
         mdir = os.path.join(self.path, "manifests")
         manifests = []
-        for fn in os.listdir(mdir):
+        for fn in self.fs.listdir(mdir):
             if fn.startswith("manifest-"):
-                with open(os.path.join(mdir, fn)) as f:
-                    manifests.append((fn, json.load(f)))
+                manifests.append(
+                    (fn, self._load_manifest_file(os.path.join(mdir, fn)))
+                )
         manifests.sort(key=lambda t: t[1]["seq"])
         by_sid = {man["snapshot_id"]: (fn, man) for fn, man in manifests}
         # reachability: walk parent chains from every live root (main +
@@ -1955,7 +2031,7 @@ class ManifestParquetTable(LakeTable):
             fn
             for fn, _ in manifests
             if fn not in reachable
-            and now - os.path.getmtime(os.path.join(mdir, fn)) < orphan_grace_sec
+            and now - self.fs.getmtime(os.path.join(mdir, fn)) < orphan_grace_sec
         )
         live_files: set[str] = set()
         for fn, man in manifests:
@@ -1966,10 +2042,10 @@ class ManifestParquetTable(LakeTable):
             if fn not in keep_set:
                 for fe in man["files"]:
                     p = os.path.join(self.path, fe["path"])
-                    if fe["path"] not in live_files and os.path.exists(p):
-                        os.remove(p)
+                    if fe["path"] not in live_files and self.fs.exists(p):
+                        self.fs.remove(p)
                         deleted += 1
-                os.remove(os.path.join(mdir, fn))
+                self.fs.remove(os.path.join(mdir, fn))
         # orphan sweep: anything in data/ no surviving manifest references
         referenced: set[str] = set()
         for fn, man in manifests:
@@ -1979,14 +2055,33 @@ class ManifestParquetTable(LakeTable):
                 )
         ddir = os.path.join(self.path, "data")
         now = time.time()
-        for fn in os.listdir(ddir):
+        for fn in self.fs.listdir(ddir):
             if fn in referenced or not fn.endswith(".parquet"):
                 continue
             p = os.path.join(ddir, fn)
             try:
-                if now - os.path.getmtime(p) >= orphan_grace_sec:
-                    os.remove(p)
+                if now - self.fs.getmtime(p) >= orphan_grace_sec:
+                    self.fs.remove(p)
                     deleted += 1
+            except FileNotFoundError:
+                pass
+        # bucket-manifest GC: content-addressed bm-*.json pages referenced
+        # by no surviving root expire too; the same grace window protects
+        # an in-flight commit that wrote its pages but hasn't swapped the
+        # pointer yet
+        referenced_bm: set[str] = set()
+        for fn, man in manifests:
+            if fn in keep_set:
+                referenced_bm.update(
+                    name for name, _ in (man.get("_bm_cache") or {}).values()
+                )
+        for fn in self.fs.listdir(mdir):
+            if not fn.startswith("bm-") or fn in referenced_bm:
+                continue
+            p = os.path.join(mdir, fn)
+            try:
+                if now - self.fs.getmtime(p) >= orphan_grace_sec:
+                    self.fs.remove(p)
             except FileNotFoundError:
                 pass
         return deleted
@@ -1996,17 +2091,20 @@ class ManifestParquetTable(LakeTable):
         committed_at, file count — the Iceberg `.snapshots` analogue."""
         mdir = os.path.join(self.path, "manifests")
         out = []
-        for fn in os.listdir(mdir):
+        for fn in self.fs.listdir(mdir):
             if fn.startswith("manifest-"):
-                with open(os.path.join(mdir, fn)) as f:
-                    man = json.load(f)
+                # root-only read: format-2 roots carry the n_files summary
+                # so history never pages in bucket manifests
+                man = json.loads(self.fs.read_text(os.path.join(mdir, fn)))
                 out.append(
                     {
                         "seq": man["seq"],
                         "snapshot_id": man["snapshot_id"],
                         "parent": man["parent"],
                         "committed_at": man["committed_at"],
-                        "n_files": len(man["files"]),
+                        "n_files": man.get(
+                            "n_files", len(man.get("files", []))
+                        ),
                     }
                 )
         return sorted(out, key=lambda d: d["seq"], reverse=True)
@@ -2036,25 +2134,24 @@ class ManifestParquetTable(LakeTable):
         """
         if mode not in ("hardlink", "copy"):
             raise ValueError(f"mode must be 'hardlink' or 'copy', got {mode!r}")
-        if os.path.exists(os.path.join(dest_path, "_current.json")):
+        if self.fs.exists(os.path.join(dest_path, "_current.json")):
             raise FileExistsError(f"table already exists at {dest_path}")
         m = self._manifest_of(snapshot_id or self.snapshot_id())
-        os.makedirs(os.path.join(dest_path, "data"), exist_ok=True)
-        os.makedirs(os.path.join(dest_path, "manifests"), exist_ok=True)
-        import shutil
-
+        self.fs.makedirs(os.path.join(dest_path, "data"))
+        self.fs.makedirs(os.path.join(dest_path, "manifests"))
         for fe in m["files"]:
             src = os.path.join(self.path, fe["path"])
             dst = os.path.join(dest_path, fe["path"])
             if mode == "hardlink":
-                try:
-                    os.link(src, dst)
-                    continue
-                except OSError:
-                    pass  # cross-device / unsupported fs -> copy
-            shutil.copy2(src, dst)
-        out = ManifestParquetTable(self.spark, dest_path, key=self.key)
-        manifest = json.loads(json.dumps(m))
+                self.fs.link_or_copy(src, dst)
+            else:
+                self.fs.copy(src, dst)
+        out = ManifestParquetTable(
+            self.spark, dest_path, key=self.key, fs=self.fs
+        )
+        manifest = json.loads(
+            json.dumps({k: v for k, v in m.items() if k != "_bm_cache"})
+        )
         manifest["snapshot_id"] = out._new_snapshot_id(0)
         manifest["parent"] = None
         manifest["seq"] = 0
@@ -2108,7 +2205,7 @@ class ManifestParquetTable(LakeTable):
                     fe.get("kind", "base"),
                     int(fe.get("seq", 0)),
                     fe["rows"],
-                    os.path.getsize(p) if os.path.exists(p) else None,
+                    self.fs.getsize(p) if self.fs.exists(p) else None,
                     fe.get("min_key"),
                     fe.get("max_key"),
                     fe.get("has_dels"),
