@@ -137,12 +137,34 @@ def q_embed_topk(spark, sf):
     return brute_force_topk(e, q, k=10)
 
 
-def q_embed_lsh_topk(spark, sf):
-    """Rows-only: LSH-bucketed ANN (recall asserted in pytest)."""
+def _planted_query_corpus(spark, sf, n_planted: int = 10):
+    """Embeddings corpus plus `n_planted` EXACT copies of the vec_id=0
+    query vector under ids 1_000_001.. — the planted-value construction
+    that makes approximate-ANN output exact: identical vectors land in the
+    query's LSH bucket in every band and assign to the query's IVF
+    centroid deterministically, and their cosine is 1.0, strictly above
+    the corpus's max natural cosine (~0.6 at every sf, measured), so the
+    top-(n_planted+1) set is exactly {0} ∪ planted regardless of which
+    other candidates the probe surfaces."""
     e = _t(spark, sf, "embeddings")
+    ids = spark.range(1, n_planted + 1).select(
+        (F.col("id") + 1_000_000).alias("vec_id")
+    )
+    q_row = e.filter(F.col("vec_id") == 0).select("embedding", "label")
+    planted = F.broadcast(ids).crossJoin(F.broadcast(q_row))
+    return e.unionByName(planted.select("vec_id", "embedding", "label"))
+
+
+def q_embed_lsh_topk(spark, sf):
+    """LSH-bucketed ANN, oracled BY VALUE via the planted-query
+    construction (same trick as embed_neardup): top-11 of the planted
+    corpus is exactly the query row + its 10 exact copies, all cosine 1.0.
+    Natural-data recall stays pytest-gated (tests/test_pipeline_ops.py)."""
     q = _query_vec(spark, sf)
-    dim = len(q)
-    return lsh_topk(e, q, dim=dim, k=10, n_planes=10, probe_hamming=1)
+    corpus = _planted_query_corpus(spark, sf)
+    return lsh_topk(
+        corpus, q, dim=len(q), k=11, n_planes=10, probe_hamming=1
+    ).select("vec_id", F.round("cosine", 4).alias("cosine"))
 
 
 def q_embed_neardup(spark, sf):
@@ -171,10 +193,15 @@ def q_embed_neardup(spark, sf):
 
 
 def q_embed_ivf_topk(spark, sf):
-    """Rows-only: IVF coarse-quantized ANN (recall asserted in pytest)."""
-    e = _t(spark, sf, "embeddings")
+    """IVF coarse-quantized ANN, oracled BY VALUE via the planted-query
+    construction: the probe list always contains argmin_c d(q, c), which is
+    where every exact copy of q is assigned, so top-11 = {0} ∪ planted at
+    cosine 1.0. Natural-data recall stays pytest-gated."""
     q = _query_vec(spark, sf)
-    return ivf_topk(e, q, k=10, n_centroids=8, n_probe=3)
+    corpus = _planted_query_corpus(spark, sf)
+    return ivf_topk(corpus, q, k=11, n_centroids=8, n_probe=3).select(
+        "vec_id", F.round("cosine", 4).alias("cosine")
+    )
 
 
 # --------------------------------------------------------------------------
@@ -189,18 +216,29 @@ def q_media_features(spark, sf):
 
 
 def q_media_frame_sample(spark, sf):
-    """Rows-only: video frame-sampling explode plumbing."""
-    d = _t(spark, sf, "documents").limit(50)
-    return frame_sample(synth_media(d, kind="video"), every_ms=1000)
+    """Video frame-sampling explode plumbing, oracled by value: durations
+    are set deterministically from the doc id ((id % 9 + 1) seconds) so
+    the sampled timestamp grid is SQL-expressible (generate_series)."""
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 50)
+    media = synth_media(d, kind="video").withColumn(
+        "duration_ms",
+        (
+            (F.split("media_id", "-").getItem(1).cast("int") % 9 + 1) * 1000
+        ).cast("int"),
+    )
+    return frame_sample(media, every_ms=1000)
 
 
 def q_media_resize(spark, sf):
-    """Rows-only: image-resize plumbing — nearest-neighbor resample over
-    the (stub-)decoded array, payload rewritten in place, metadata
-    updated; sizes pytest-gated (tests/test_pipeline_ops.py)."""
+    """Image-resize plumbing, oracled by value — nearest-neighbor resample
+    over the (stub-)decoded array, payload rewritten in place. The output
+    geometry is deterministic (every payload becomes a 16x8 single-channel
+    buffer = 128 bytes), so metadata + buffer length are SQL-expressible;
+    pixel-level resample math stays pytest-gated
+    (tests/test_pipeline_ops.py)."""
     from rap_etl_spark.operators.multimodal import resize
 
-    d = _t(spark, sf, "documents").limit(100)
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 100)
     out = resize(synth_media(d, kind="image"), out_w=16, out_h=8)
     return out.select(
         "media_id", "width", "height", F.length("payload").alias("n_bytes")
@@ -1081,5 +1119,35 @@ ORACLES2 = {
     "token_assembly": (
         "SELECT source, CAST(sum(len(string_split(text, ' '))) AS INTEGER)"
         " AS n_tok FROM documents GROUP BY source"
+    ),
+    # Planted-query ANN oracles: the approximate search is exact on the
+    # planted construction (see _planted_query_corpus) — top-11 is the
+    # query row plus its 10 exact copies at cosine 1.0, independent of
+    # which other candidates the LSH probe / IVF partitions surface.
+    "embed_lsh_topk": (
+        "SELECT CAST(0 AS BIGINT) AS vec_id, CAST(1.0 AS DOUBLE) AS cosine"
+        " UNION ALL SELECT CAST(1000000 + g AS BIGINT), CAST(1.0 AS DOUBLE)"
+        " FROM generate_series(1, 10) t(g)"
+    ),
+    "embed_ivf_topk": (
+        "SELECT CAST(0 AS BIGINT) AS vec_id, CAST(1.0 AS DOUBLE) AS cosine"
+        " UNION ALL SELECT CAST(1000000 + g AS BIGINT), CAST(1.0 AS DOUBLE)"
+        " FROM generate_series(1, 10) t(g)"
+    ),
+    # Deterministic-geometry media oracles: the decode is a stub, but the
+    # plumbing contract (row fan-out, metadata, buffer length) is exact.
+    "media_frame_sample": (
+        "SELECT 'video-' || CAST(doc_id AS VARCHAR) AS media_id,"
+        " 'video' AS kind,"
+        " CAST(unnest(generate_series(0,"
+        "   CAST((doc_id % 9 + 1) * 1000 AS BIGINT), 1000)) AS INTEGER)"
+        "  AS frame_ts_ms"
+        " FROM documents WHERE doc_id < 50"
+    ),
+    "media_resize": (
+        "SELECT 'image-' || CAST(doc_id AS VARCHAR) AS media_id,"
+        " CAST(16 AS INTEGER) AS width, CAST(8 AS INTEGER) AS height,"
+        " CAST(128 AS INTEGER) AS n_bytes"
+        " FROM documents WHERE doc_id < 100"
     ),
 }
