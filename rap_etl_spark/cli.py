@@ -99,7 +99,12 @@ def cmd_replay(args) -> int:
             if args.branch in t.list_branches()
             else t.create_branch(args.branch)
         )
-    engine = CdcEngine(spark, t, lineage_dir=args.lineage)
+    engine = CdcEngine(
+        spark,
+        t,
+        lineage_dir=args.lineage,
+        auto_evolve=getattr(args, "auto_evolve", False),
+    )
     if args.format == "binlog":
         from rap_etl_spark.sources.binlog import _list_segments, as_events, register
 
@@ -533,6 +538,12 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument(
         "--publish-format", choices=["parquet", "binlog"], default="parquet"
     )
+    sp.add_argument(
+        "--auto-evolve",
+        action="store_true",
+        help="absorb upstream schema drift: nullable adds / type widenings "
+        "in the event payload evolve the table before the merge",
+    )
     sp.set_defaults(fn=cmd_replay)
 
     sp = sub.add_parser("stream")
@@ -549,6 +560,13 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--publish", help="publish each micro-batch's delta here")
     sp.add_argument(
         "--publish-format", choices=["parquet", "binlog"], default="parquet"
+    )
+    sp.add_argument(
+        "--auto-evolve",
+        action="store_true",
+        help="evolve the table for payload columns the stream carries that "
+        "the table lacks (takes effect per restart: a running query's "
+        "source schema is fixed)",
     )
     sp.set_defaults(fn=cmd_stream)
 

@@ -28,8 +28,10 @@ from rap_etl_spark.lake import (
     CommitInfo,
     LakeTable,
     ManifestParquetTable,
+    _is_widening,
     _tlog,
     cast_to_schema,
+    check_evolution,
 )
 from rap_etl_spark.operators.cdc import KEY, diff_against_table, lww_latest, winner_probe
 from rap_etl_spark.schemas import PAYLOAD_COLS
@@ -97,7 +99,61 @@ class CdcEngine:
     # O(depth) without giving up the O(change set) write path. None = the
     # operator runs maintenance out-of-band (CLI compact --materialize).
     auto_materialize_depth: int | None = None
+    # Upstream-DDL handling: when a batch carries payload columns the table
+    # doesn't know yet, or wider types for existing ones (int32->int64,
+    # float->double, incl. inside arrays), evolve the table schema BEFORE
+    # the merge — an upstream ALTER TABLE arriving mid-stream must not stop
+    # ingest (the standard CDC connector contract). Only legal evolutions
+    # happen automatically (nullable adds / widenings, the same
+    # check_evolution gate as explicit evolve()); an incompatible type is
+    # left to the existing cast path, which raises under ANSI mode rather
+    # than silently nulling. Off by default: schema changes are otherwise
+    # an explicit operator action.
+    auto_evolve: bool = False
     metrics: list[BatchMetrics] = field(default_factory=list)
+
+    # wire/meta columns that never map to table payload: the change-op
+    # marker, the version, ingest bookkeeping, the packed token wire form
+    # (unpacked to `tokens` post-LWW), and the partition-recovery column a
+    # batch=N directory read adds
+    _NON_PAYLOAD = frozenset({"op", "lsn", "ingest_ts", "batch", "tokens_bin"})
+
+    def _maybe_auto_evolve(self, events: DataFrame) -> None:
+        """Evolve the table to absorb a batch's schema drift (auto_evolve):
+        unknown payload columns become nullable adds, wider event types
+        widen the table column. Goes through the same check_evolution gate
+        and versioned evolve() commit as an explicit DDL, so readers
+        resolve old files exactly as before."""
+        from pyspark.sql import types as T
+
+        old = self.table.schema()
+        old_by_name = {f.name: f for f in old.fields}
+        fields, changed = [], False
+        ev_fields = {f.name: f for f in events.schema.fields}
+        for f in old.fields:
+            e = ev_fields.get(f.name)
+            if (
+                e is not None
+                and e.dataType != f.dataType
+                and _is_widening(f.dataType, e.dataType)
+            ):
+                fields.append(T.StructField(f.name, e.dataType, True))
+                changed = True
+            else:
+                fields.append(f)
+        for name, e in ev_fields.items():
+            if (
+                name in old_by_name
+                or name in self._NON_PAYLOAD
+                or name.startswith("_")
+            ):
+                continue
+            fields.append(T.StructField(name, e.dataType, True))
+            changed = True
+        if changed:
+            new = T.StructType(fields)
+            check_evolution(old, new)  # belt-and-braces: adds/widenings only
+            self.table.evolve(new)
 
     def apply_batch(self, events: DataFrame, batch_id: int) -> BatchMetrics:
         """Apply one micro-batch of change events. Idempotent per batch_id."""
@@ -107,6 +163,8 @@ class CdcEngine:
             m = BatchMetrics(batch_id, 0, 0, True, self.table.snapshot_id(), 0.0, 0.0)
             self.metrics.append(m)
             return m
+        if self.auto_evolve:
+            self._maybe_auto_evolve(events)
 
         # Caching the raw batch only pays when it is scanned more than once
         # (lineage and/or input counting). The pure apply path scans events

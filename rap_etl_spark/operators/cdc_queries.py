@@ -127,11 +127,58 @@ def q_cdc_merge_patch(spark, sf):
         shutil.rmtree(work, ignore_errors=True)
 
 
+def q_cdc_auto_evolve(spark, sf):
+    """Upstream-DDL handling end-to-end (engine.auto_evolve): batch 0's
+    events carry (price); batch 1 arrives with a NEW `priority` column —
+    the upstream ALTER TABLE mid-stream. The engine evolves the table
+    before the merge, so ingest never stops: keys whose LWW winner sits in
+    batch 1 carry the new column, keys won by batch 0 read NULL through
+    schema resolution. The oracle states the global LWW with the column
+    present only on odd-LSN winners (batch 1 = odd orderkeys)."""
+    from pyspark.sql import types as T
+
+    from rap_etl_spark.engine import CdcEngine
+    from rap_etl_spark.lake import ManifestParquetTable
+
+    ev = _t(spark, sf, "orders").select(
+        F.col("o_custkey").cast("string").alias("doc_id"),
+        F.col("o_orderkey").alias("lsn"),
+        F.col("o_totalprice").alias("price"),
+        F.col("o_orderpriority").alias("priority"),
+        F.lit("U").alias("op"),
+    )
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType()),
+            T.StructField("lsn", T.LongType()),
+            T.StructField("price", T.DoubleType()),
+        ]
+    )
+    out_schema = T.StructType(
+        list(schema.fields) + [T.StructField("priority", T.StringType())]
+    )
+    work = tempfile.mkdtemp(prefix="rap-etl-cdc-evolve-")
+    try:
+        table = ManifestParquetTable.create(
+            spark, os.path.join(work, "t"), schema, n_buckets=8
+        )
+        eng = CdcEngine(spark, table, auto_evolve=True, count_input=False)
+        eng.apply_batch(ev.filter(F.col("lsn") % 2 == 0).drop("priority"), 0)
+        eng.apply_batch(ev.filter(F.col("lsn") % 2 == 1), 1)
+        rows = table.read().select(
+            "doc_id", "lsn", "price", "priority"
+        ).collect()
+        return spark.createDataFrame(rows, out_schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 CDC_QUERIES = {
     "cdc_scd2": q_cdc_scd2,
     "cdc_changefeed": q_cdc_changefeed,
     "cdc_patch": q_cdc_patch,
     "cdc_merge_patch": q_cdc_merge_patch,
+    "cdc_auto_evolve": q_cdc_auto_evolve,
 }
 
 CDC_ORACLES = {
@@ -182,5 +229,15 @@ CDC_ORACLES = {
         "  coalesce(p.bal, c_acctbal) AS bal,"
         "  coalesce(p.seg, c_mktsegment) AS seg"
         " FROM customer c LEFT JOIN p ON p.doc_id = CAST(c_custkey AS VARCHAR)"
+    ),
+    "cdc_auto_evolve": (
+        "WITH ev AS (SELECT CAST(o_custkey AS VARCHAR) AS doc_id,"
+        " o_orderkey AS lsn, o_totalprice AS price,"
+        " o_orderpriority AS priority FROM orders),"
+        " w AS (SELECT *, row_number() OVER"
+        " (PARTITION BY doc_id ORDER BY lsn DESC) AS rn FROM ev)"
+        " SELECT doc_id, lsn, price,"
+        "  CASE WHEN lsn % 2 = 1 THEN priority END AS priority"
+        " FROM w WHERE rn = 1"
     ),
 }

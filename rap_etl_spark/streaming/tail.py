@@ -38,6 +38,7 @@ def stream_tail(
     source: str = "parquet",
     publish_dir: str | None = None,
     publish_format: str = "parquet",
+    auto_evolve: bool = False,
 ) -> StreamingQuery:
     """Tail `src_dir` (parquet change-event files, or `.rapwal` binlog
     segments with ``source="binlog"``) into `table`.
@@ -73,7 +74,13 @@ def stream_tail(
             reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
         events = reader.parquet(src_dir)
 
-    engine = CdcEngine(spark, table, lineage_dir=lineage_dir)
+    # auto_evolve note: a running file-stream's SOURCE schema is fixed at
+    # query start, so a new upstream column takes effect on query RESTART
+    # with the widened read schema — the engine then evolves the table on
+    # the first batch that carries it (no manual DDL step).
+    engine = CdcEngine(
+        spark, table, lineage_dir=lineage_dir, auto_evolve=auto_evolve
+    )
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         # foreachBatch gives at-least-once delivery; the engine's batch
