@@ -205,6 +205,7 @@ class CdcEngine:
             # filter -> parquet write. Dedup, payload unpacking and the
             # merge then all operate on the tiny staged delta.
             delta_path = None
+            stage_obs = None
             try:
                 if self.stage_delta:
                     if self.staging_dir:
@@ -227,17 +228,50 @@ class CdcEngine:
                     # -> serial driver-side commit renames). The shuffle
                     # moves only winner rows and keeps the scan at full
                     # parallelism (a coalesce would throttle the scan).
+                    # Hash by KEY rather than round-robin: duplicate
+                    # deliveries of a winner event are byte-identical, and
+                    # hashpartitioning(KEY) satisfies dropDuplicates'
+                    # clustering requirement, so the dedup collapses them
+                    # INSIDE the staging exchange — the staged delta lands
+                    # already one-row-per-key and the merge job loses its
+                    # separate dedup shuffle.
                     n_out = max(self.spark.sparkContext.defaultParallelism, 4)
-                    latest.repartition(n_out).write.mode("overwrite").parquet(
-                        delta_path
-                    )
+                    staged = latest.repartition(
+                        n_out, F.col(KEY)
+                    ).dropDuplicates([KEY])
+                    if (
+                        not self.diff_first
+                        and self.dedup_policy is None
+                        and isinstance(self.table, ManifestParquetTable)
+                    ):
+                        # Piggyback the merge hints on the staging job via
+                        # df.observe (zero extra scan, zero extra job): the
+                        # exact post-dedup row count and the affected-bucket
+                        # set fall out of the same pass that writes the
+                        # delta. This removes the former bucket-discovery
+                        # job from the per-batch serial floor — at a real
+                        # batch cadence every driver-side barrier between
+                        # scan and commit is pure serial time that caps the
+                        # N->4N scaling efficiency.
+                        from pyspark.sql import Observation
+
+                        stage_obs = Observation(f"stage-{batch_id}-{id(self)}")
+                        staged = staged.observe(
+                            stage_obs,
+                            F.count(F.lit(1)).alias("n"),
+                            F.collect_set(
+                                self.table._bucket_expr(KEY)
+                            ).alias("buckets"),
+                        )
+                    staged.write.mode("overwrite").parquet(delta_path)
                     _tlog("engine.stage_delta_write", _t)
                     latest = self.spark.read.parquet(delta_path)
-
-                # duplicate deliveries of the winner event are byte-identical
-                # — collapse them to strictly one row per key (tiny shuffle:
-                # only winner rows are left)
-                latest = latest.dropDuplicates([KEY])
+                else:
+                    # unstaged path: collapse duplicate deliveries to
+                    # strictly one row per key (tiny shuffle: only winner
+                    # rows are left). The staged path deduped during the
+                    # staging exchange above.
+                    latest = latest.dropDuplicates([KEY])
 
                 # packed WAL wire format: the scan/LWW above never decoded
                 # token arrays (binary blob per row); expand ONLY the winner
@@ -287,49 +321,34 @@ class CdcEngine:
                         changes = latest
 
                     payload = changes.select(KEY, "op", "lsn", *payload_cols)
-                # Bucket-discovery hint: a column-pruned scan of the staged
-                # delta (KEY only — no dedup shuffle, no unpack Python
-                # stage) yields the affected-bucket set and the exact
-                # post-dedup row count (winner rows per key are
-                # byte-identical duplicates, so countDistinct(KEY) == rows
-                # after dropDuplicates). With the hint, merge consumes the
-                # change frame exactly once — the persist/materialize pass
-                # disappears from the per-batch serial floor. Skipped when
-                # diff_first/dedup_policy shrink the key set (the hint must
-                # never miss a changed bucket; a superset would merely
-                # rewrite an unchanged bucket, but the default path is
-                # exact).
-                    use_hint = (
-                        delta_path is not None
-                        and not self.diff_first
-                        and self.dedup_policy is None
-                        and isinstance(self.table, ManifestParquetTable)
-                    )
-                    if use_hint and self.table.merge_mode() == "mor":
-                        # MoR needs no affected-bucket set (it reads
-                        # nothing), so the discovery job disappears
-                        # entirely; the exact ledger row count comes from
-                        # merge() itself, which persists the deduped change
-                        # frame and counts it (the staged file still holds
-                        # byte-identical duplicate winner rows, so a
-                        # file-level count would overstate).
-                        return self.table.merge(payload, batch_id=batch_id)
-                    if use_hint:
-                        _t = time.monotonic()
-                        staged_keys = self.spark.read.parquet(delta_path).select(KEY)
-                        stats = (
-                            staged_keys.groupBy(
-                                self.table._bucket_expr(KEY).alias("_b")
+                    # Merge hints came for free from the staging job's
+                    # observation (exact post-dedup row count + affected
+                    # bucket set — the staging dedup guarantees one row per
+                    # key, so count(1) there IS the change-row count). With
+                    # the hint, merge consumes the change frame exactly
+                    # once and runs no discovery job — every removed
+                    # driver-side barrier between scan and commit is serial
+                    # time that caps the N->4N scaling efficiency. The
+                    # observation is only attached when diff_first and
+                    # dedup_policy are off (those shrink the key set after
+                    # staging, which would make the hint a superset and the
+                    # count an overstatement).
+                    if stage_obs is not None:
+                        got = stage_obs.get  # staging job already ran
+                        hint_rows = int(got["n"])
+                        if self.table.merge_mode() == "mor":
+                            # MoR reads nothing, so it needs no
+                            # affected-bucket set — just the ledger count
+                            return self.table.merge(
+                                payload, batch_id=batch_id, n_rows=hint_rows
                             )
-                            .agg(F.countDistinct(KEY).alias("_n"))
-                            .collect()
-                        )
-                        _tlog("engine.bucket_discovery", _t)
                         return self.table.merge(
                             payload,
                             batch_id=batch_id,
-                            affected_buckets={r["_b"] for r in stats},
-                            n_rows=int(sum(r["_n"] for r in stats)),
+                            affected_buckets={
+                                int(b) for b in (got["buckets"] or [])
+                            },
+                            n_rows=hint_rows,
                         )
                     return self.table.merge(payload, batch_id=batch_id)
 

@@ -850,7 +850,10 @@ class ManifestParquetTable(LakeTable):
             # min/max zone maps selective (a point lookup then touches one
             # file per bucket, Iceberg write.target-file-size analogue)
             writer = writer.option("maxRecordsPerFile", int(max_rows_per_file))
+        _t_job = time.monotonic()
         writer.parquet(staging)
+        _tlog("wdf.write_job", _t_job)
+        _t_meta = time.monotonic()
         entries: list[dict] = []
         for bdir in sorted(self.fs.listdir(staging)):
             if not bdir.startswith("_b="):
@@ -949,6 +952,7 @@ class ManifestParquetTable(LakeTable):
                     entry["seq"] = int(seq) if seq is not None else 0
                 entries.append(entry)
                 i += 1
+        _tlog("wdf.footers", _t_meta)
         # clean staging
         self.fs.rmtree(staging)
         return entries
@@ -1216,6 +1220,32 @@ class ManifestParquetTable(LakeTable):
             # versioned event; equal (key, lsn) rows are byte-identical by
             # the WAL contract, so the >= tiebreak is content-neutral.
             data_cols = [c for c in old_df.columns if c != self.key]
+            if not old_entries:
+                # Bootstrap / all-new-bucket fast path: the affected buckets
+                # hold no files, so the full-outer reduction below
+                # degenerates to the change rows themselves (change_wins is
+                # TRUE for every row when the old key is absent — including
+                # a 'D' on an absent key, which lands as a _del=true
+                # tombstone row exactly as the join would emit it).
+                # Skipping the join removes two shuffle+sort stages from
+                # the write job — the initial-load case (and every commit's
+                # first write into a fresh bucket) is append-shaped, the
+                # same shortcut Iceberg's MERGE planner takes.
+                new_data = ch.select(self.key, *data_cols, "_b")
+                nxt = self._next_manifest(m)
+                _t0 = time.monotonic()
+                entries = self._write_data_files(
+                    new_data, nxt["snapshot_id"], m["current_schema_version"]
+                )
+                _tlog("merge.write_data_files", _t0)
+                nxt["files"] = keep_entries + entries
+                if batch_id is not None:
+                    nxt["committed"][str(batch_id)] = {
+                        "snapshot_id": nxt["snapshot_id"],
+                        "event_count": rows,
+                    }
+                self._write_manifest(nxt)
+                return CommitInfo(nxt["snapshot_id"], batch_id, rows)
             o = old_df.alias("o")
             c = ch.select(*old_df.columns).alias("c")
             o_key, c_key = F.col(f"o.{self.key}"), F.col(f"c.{self.key}")
