@@ -8,10 +8,20 @@ no active SparkSession exists, e.g. under plain ``python -m``).
 Packaging for a cluster::
 
     cd <repo> && zip -r rap_etl_spark.zip rap_etl_spark
-    printf 'import sys\\nfrom rap_etl_spark.cli import main\\nsys.exit(main())\\n' > launcher.py
+    # launcher.py — build the session FIRST via the plain builder so
+    # spark-submit's --master/--conf win (cli reuses the active session):
+    #   from pyspark.sql import SparkSession
+    #   import sys
+    #   SparkSession.builder.getOrCreate()
+    #   from rap_etl_spark.cli import main
+    #   sys.exit(main())
     spark-submit --py-files rap_etl_spark.zip \
         --conf spark.sql.shuffle.partitions=<3x total cores> \
         launcher.py replay --table /shared/lake/docs --log /shared/wal/events
+
+    (tests/test_spark_submit.py runs exactly this shape as a subprocess on
+    local-cluster[2,2] — the engine code reaches the executors only via
+    the --py-files zip.)
 
 Storage note: ``ManifestParquetTable``'s metadata/commit I/O goes through
 the ``fsio`` seam; the shipped ``PosixFS`` backend needs a
