@@ -331,3 +331,127 @@ def diff_against_table(
         .otherwise("N")
     )
     return joined.select("s.*", action.alias("action"))
+
+
+# --------------------------------------------------------------------------
+# CDC connector surface: envelope decode, dead-letter split, lag monitor
+# --------------------------------------------------------------------------
+ENVELOPE_DDL_TMPL = (
+    "op STRING, before STRUCT<{p}>, after STRUCT<{p}>, "
+    "source STRUCT<lsn: BIGINT, table: STRING>, ts_ms BIGINT, _corrupt STRING"
+)
+
+
+def parse_debezium_envelope(
+    df: DataFrame, env_col: str, payload_ddl: str
+) -> DataFrame:
+    """Decode a Debezium-style CDC envelope column into this engine's
+    change-event shape (the wire format every log-based connector emits:
+    {op: c|r|u|d, before, after, source:{lsn}, ts_ms}).
+
+    op mapping: c/r -> I (insert/snapshot-read), u -> U, d -> D. The key
+    comes from `after` for upserts and `before` for deletes (Debezium sends
+    no after-image on a delete). Malformed envelopes surface in `_corrupt`
+    (Spark's columnNameOfCorruptRecord idiom) instead of failing the batch —
+    feed them to split_dlq. One JVM json parse per row, no Python; the
+    payload stays inside the scan stage (zero exchanges).
+    """
+    ddl = ENVELOPE_DDL_TMPL.format(p=payload_ddl)
+    j = df.withColumn(
+        "_env",
+        F.from_json(F.col(env_col), ddl, {"columnNameOfCorruptRecord": "_corrupt"}),
+    )
+    payload_cols = [
+        f.split(":", 1)[0].strip() for f in payload_ddl.split(",")
+    ]
+    op = (
+        F.when(F.col("_env.op") == "d", "D")
+        .when(F.col("_env.op") == "u", "U")
+        .when(F.col("_env.op").isin("c", "r"), "I")
+    )
+    key = F.coalesce(F.col(f"_env.after.{KEY}"), F.col(f"_env.before.{KEY}"))
+    out = [
+        key.alias(KEY),
+        F.col("_env.source.lsn").alias("lsn"),
+        op.alias("op"),
+        *[
+            F.col(f"_env.after.{c}").alias(c)
+            for c in payload_cols
+            if c != KEY
+        ],
+        F.col("_env.ts_ms").alias("ts_ms"),
+        F.col("_env._corrupt").alias("_corrupt"),
+    ]
+    return j.select(*out)
+
+
+def split_dlq(
+    df: DataFrame, required: list[str], corrupt_col: str = "_corrupt"
+) -> tuple[DataFrame, DataFrame]:
+    """Dead-letter split: route rows the pipeline must not crash on —
+    unparseable envelopes (`corrupt_col` set) or envelopes missing a
+    required field — to a quarantine frame with a `dlq_reason`, and return
+    (good, dead). The ingest batch keeps flowing; the DLQ table is merge-
+    able downstream for replay-after-fix. Pure narrow projection + filter:
+    both frames reuse one scan, zero exchanges added."""
+    reason = F.when(F.col(corrupt_col).isNotNull(), "malformed_json")
+    for c in required:
+        reason = reason.when(F.col(c).isNull(), f"missing_field:{c}")
+    tagged = df.withColumn("dlq_reason", reason)
+    good = tagged.filter(F.col("dlq_reason").isNull()).drop(
+        "dlq_reason", corrupt_col
+    )
+    dead = tagged.filter(F.col("dlq_reason").isNotNull())
+    return good, dead
+
+
+def replication_lag(
+    source: DataFrame,
+    applied: DataFrame,
+    part_col: str,
+    lsn_col: str = "lsn",
+    ts_col: str | None = None,
+) -> DataFrame:
+    """C10 companion — consumer-lag monitor: per source partition, the
+    high-water LSN the source has produced vs the LSN the pipeline has
+    applied, the number of outstanding events, and (if a timestamp column
+    is given) the time lag in exact microseconds.
+
+    Two fixed-width aggregates sized to the PARTITION count (map-side
+    combine collapses each task to one row per partition) and one broadcast
+    join — nothing scales with event volume but the two scans."""
+    src_agg = [
+        F.max(lsn_col).alias("source_max_lsn"),
+        F.count(F.lit(1)).alias("source_events"),
+    ]
+    app_agg = [F.max(lsn_col).alias("applied_max_lsn")]
+    if ts_col is not None:
+        # parquet timestamps arrive NTZ; the session tz is pinned UTC
+        # (session.py) so the cast is the exact UTC epoch
+        ts_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+        src_agg.append(F.max(ts_us).alias("_src_us"))
+        app_agg.append(F.max(ts_us).alias("_app_us"))
+    src = source.groupBy(part_col).agg(*src_agg)
+    app = applied.groupBy(part_col).agg(*app_agg)
+    lagged = (
+        source.select(part_col, lsn_col)
+        .join(F.broadcast(app), on=part_col, how="left")
+        .filter(
+            F.col("applied_max_lsn").isNull()
+            | (F.col(lsn_col) > F.col("applied_max_lsn"))
+        )
+        .groupBy(part_col)
+        .agg(F.count(F.lit(1)).alias("lag_events"))
+    )
+    out = src.join(F.broadcast(app), on=part_col, how="left").join(
+        F.broadcast(lagged), on=part_col, how="left"
+    )
+    cols = [
+        F.col(part_col),
+        "source_max_lsn",
+        "applied_max_lsn",
+        F.coalesce("lag_events", F.lit(0)).alias("lag_events"),
+    ]
+    if ts_col is not None:
+        cols.append((F.col("_src_us") - F.col("_app_us")).alias("lag_us"))
+    return out.select(*cols)

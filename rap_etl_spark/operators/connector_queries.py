@@ -1,0 +1,308 @@
+"""CDC connector-surface queries (round 3): the pieces a real log-based
+connector deployment needs around the core merge — envelope decode,
+dead-letter quarantine, replication-lag monitoring, snapshot-bootstrap
+handoff — plus the tokens-axis distribution-drift monitor.
+
+Every query is value-oracled against DuckDB. Where a query consumes JSON,
+BOTH engines first construct byte-identical envelope strings from the same
+star-schema rows (pure string concat of integer/string casts — no
+float formatting in the wire text), then parse with their own native JSON
+machinery — so the oracle exercises the parse itself, not a shortcut.
+
+Scale notes per query in the docstrings; the common theme: envelope decode
+and DLQ classification are zero-exchange scan-stage work; the lag monitor
+aggregates to O(partitions) rows before anything joins; bootstrap handoff
+reuses the version-conditional merge (stale overlap rows lose by LSN, so
+replaying a COMPLETE log suffix from below the snapshot point is provably
+convergent); drift is exact-integer arithmetic on pre-combined counts.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import functions as F
+
+from rap_etl_spark.operators.relational import _t
+
+# ---------------------------------------------------------------------------
+# shared envelope construction (Spark side) — mirrored verbatim in the oracle
+# ---------------------------------------------------------------------------
+
+
+def _order_envelopes(spark, sf):
+    """Debezium-style envelope per order: op d on every 10th orderkey
+    (before-image only), u on odd keys, c on the rest (after-image only).
+    price travels as integer cents so the wire text is float-free."""
+    o = _t(spark, sf, "orders")
+    doc_id = F.col("o_custkey").cast("string")
+    lsn = F.col("o_orderkey")
+    price_c = F.round(F.col("o_totalprice") * 100).cast("long")
+    op = (
+        F.when(lsn % 10 == 0, "d").when(lsn % 2 == 1, "u").otherwise("c")
+    )
+    after = F.when(
+        op != "d",
+        F.concat(
+            F.lit('{"doc_id":"'),
+            doc_id,
+            F.lit('","price_c":'),
+            price_c.cast("string"),
+            F.lit("}"),
+        ),
+    ).otherwise(F.lit("null"))
+    before = F.when(
+        op == "d", F.concat(F.lit('{"doc_id":"'), doc_id, F.lit('"}'))
+    ).otherwise(F.lit("null"))
+    env = F.concat(
+        F.lit('{"op":"'),
+        op,
+        F.lit('","before":'),
+        before,
+        F.lit(',"after":'),
+        after,
+        F.lit(',"source":{"lsn":'),
+        lsn.cast("string"),
+        F.lit(',"table":"docs"},"ts_ms":'),
+        (lsn * 1000).cast("string"),
+        F.lit("}"),
+    )
+    return o.select(env.alias("env"))
+
+
+_ORACLE_ENVELOPES = (
+    "SELECT '{\"op\":\"' || opx || '\",\"before\":' ||"
+    " CASE WHEN opx = 'd' THEN '{\"doc_id\":\"' || doc_id || '\"}'"
+    "  ELSE 'null' END ||"
+    " ',\"after\":' ||"
+    " CASE WHEN opx = 'd' THEN 'null'"
+    "  ELSE '{\"doc_id\":\"' || doc_id || '\",\"price_c\":' ||"
+    "   CAST(price_c AS VARCHAR) || '}' END ||"
+    " ',\"source\":{\"lsn\":' || CAST(lsn AS VARCHAR) ||"
+    " ',\"table\":\"docs\"},\"ts_ms\":' || CAST(lsn * 1000 AS VARCHAR) || '}'"
+    " AS env FROM ("
+    "  SELECT CAST(o_custkey AS VARCHAR) AS doc_id, o_orderkey AS lsn,"
+    "   CAST(round(o_totalprice * 100) AS BIGINT) AS price_c,"
+    "   CASE WHEN o_orderkey % 10 = 0 THEN 'd'"
+    "    WHEN o_orderkey % 2 = 1 THEN 'u' ELSE 'c' END AS opx"
+    "  FROM orders)"
+)
+
+
+def q_cdc_envelope_parse(spark, sf):
+    """Debezium envelope decode (cdc.parse_debezium_envelope): construct
+    the connector wire format from `orders`, then decode it back to this
+    engine's change-event shape with ONE JVM from_json per row — key from
+    after (upserts) or before (deletes), LSN from source.lsn, op mapped
+    c/r->I u->U d->D. Zero exchanges: decode lives in the scan stage."""
+    from rap_etl_spark.operators.cdc import parse_debezium_envelope
+
+    env = _order_envelopes(spark, sf)
+    parsed = parse_debezium_envelope(
+        env, "env", "doc_id: STRING, price_c: BIGINT"
+    )
+    return parsed.select("doc_id", "lsn", "op", "price_c", "ts_ms")
+
+
+def q_cdc_dlq(spark, sf):
+    """Dead-letter quarantine audit (cdc.split_dlq): a poisoned event feed
+    — every 7th event's JSON truncated mid-token, every 11th valid but
+    missing the required field — classified malformed/missing/ok without
+    failing the batch, via Spark's columnNameOfCorruptRecord idiom (the
+    DuckDB oracle uses json_valid + guarded extract). Returns the per-type
+    disposition counts the DLQ dashboard would show. The classification is
+    a narrow projection; the only exchange is the final tiny rollup."""
+    e = _t(spark, sf, "events")
+    env = (
+        F.when(F.col("event_id") % 7 == 0, F.substring("props", 1, 4))
+        .when(F.col("event_id") % 11 == 0, F.lit('{"other": 1}'))
+        .otherwise(F.col("props"))
+    )
+    j = e.select(
+        "event_type",
+        F.from_json(
+            env, "k INT, _corrupt STRING", {"columnNameOfCorruptRecord": "_corrupt"}
+        ).alias("p"),
+    )
+    disposition = (
+        F.when(F.col("p._corrupt").isNotNull(), "malformed_json")
+        .when(F.col("p.k").isNull(), "missing_field:k")
+        .otherwise("ok")
+    )
+    return (
+        j.select("event_type", disposition.alias("disposition"))
+        .groupBy("event_type", "disposition")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def q_cdc_lag(spark, sf):
+    """Replication-lag monitor (cdc.replication_lag): per event_type
+    partition, the source high-water LSN vs the applied high-water LSN
+    (applied = everything committed before the cutoff wall-clock), the
+    outstanding-event count, and the exact time lag in microseconds —
+    the consumer-lag panel for the CDC tail. O(partitions) rows move."""
+    from rap_etl_spark.operators.cdc import replication_lag
+
+    e = _t(spark, sf, "events").select(
+        "event_type", F.col("event_id").alias("lsn"), "ts"
+    )
+    applied = e.filter(F.col("ts") <= F.lit("2024-01-20 00:00:00").cast("timestamp"))
+    return replication_lag(
+        e, applied, part_col="event_type", lsn_col="lsn", ts_col="ts"
+    )
+
+
+def q_cdc_bootstrap(spark, sf):
+    """Snapshot-bootstrap handoff end-to-end: the standard connector
+    startup — take a consistent snapshot at LSN L (initial_load bucketed
+    append), then tail the log from BELOW the snapshot point (lsn > L-L/4,
+    a deliberate overlap) in two version-conditional merges. The overlap
+    replays a COMPLETE log suffix, so every resent event either loses to
+    the stored LSN or reapplies its own final state — the oracle is the
+    plain global LWW over the whole log, independent of where the handoff
+    happened. Deletes on every 7th key exercise tombstones across the
+    boundary (a delete resent into a key the snapshot already dropped must
+    no-op)."""
+    from pyspark.sql import types as T
+
+    from rap_etl_spark.engine import initial_load
+    from rap_etl_spark.lake import ManifestParquetTable
+    from rap_etl_spark.operators.cdc import lww_latest
+
+    ev = _t(spark, sf, "orders").select(
+        F.col("o_custkey").cast("string").alias("doc_id"),
+        F.col("o_orderkey").alias("lsn"),
+        F.col("o_totalprice").alias("price"),
+        F.col("o_orderpriority").alias("priority"),
+        F.when(F.col("o_orderkey") % 7 == 3, "D").otherwise("U").alias("op"),
+    )
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType()),
+            T.StructField("lsn", T.LongType()),
+            T.StructField("price", T.DoubleType()),
+            T.StructField("priority", T.StringType()),
+        ]
+    )
+    max_lsn = ev.agg(F.max("lsn")).first()[0]
+    snap_lsn = max_lsn // 2
+    tail_from = snap_lsn - snap_lsn // 4  # replay overlap below the snapshot
+    work = tempfile.mkdtemp(prefix="rap-etl-bootstrap-")
+    try:
+        table = ManifestParquetTable.create(
+            spark, os.path.join(work, "t"), schema, n_buckets=8
+        )
+        snap = lww_latest(ev.filter(F.col("lsn") <= snap_lsn))
+        initial_load(
+            spark,
+            table,
+            snap.filter(F.col("op") != "D").select(
+                "doc_id", "lsn", "price", "priority"
+            ),
+            batch_id=0,
+        )
+        tail = ev.filter(F.col("lsn") > tail_from)
+        for batch_id in (1, 2):
+            batch = tail.filter(F.col("lsn") % 2 == batch_id - 1)
+            table.merge(lww_latest(batch), batch_id=batch_id)
+        rows = table.read().select(
+            "doc_id", "lsn", "price", "priority"
+        ).collect()
+        return spark.createDataFrame(rows, schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def q_token_drift(spark, sf):
+    """Source-distribution drift (text.unigram_drift): per source, the
+    total-variation distance between its unigram distribution and the
+    corpus-wide one, as an EXACT integer numerator (drift_num over
+    2*n_group*n_all) — bit-stable across engines because no float ever
+    sums. The mix monitor for a training-data pipeline."""
+    from rap_etl_spark.operators.text import unigram_drift
+
+    return unigram_drift(_t(spark, sf, "documents"), "text", "source")
+
+
+CONNECTOR_QUERIES = {
+    "cdc_envelope_parse": q_cdc_envelope_parse,
+    "cdc_dlq": q_cdc_dlq,
+    "cdc_lag": q_cdc_lag,
+    "cdc_bootstrap": q_cdc_bootstrap,
+    "token_drift": q_token_drift,
+}
+
+CONNECTOR_ORACLES = {
+    "cdc_envelope_parse": (
+        "WITH env AS (" + _ORACLE_ENVELOPES + ")"
+        " SELECT COALESCE(json_extract_string(env, '$.after.doc_id'),"
+        "   json_extract_string(env, '$.before.doc_id')) AS doc_id,"
+        " CAST(json_extract_string(env, '$.source.lsn') AS BIGINT) AS lsn,"
+        " CASE json_extract_string(env, '$.op') WHEN 'd' THEN 'D'"
+        "  WHEN 'u' THEN 'U' ELSE 'I' END AS op,"
+        " CAST(json_extract_string(env, '$.after.price_c') AS BIGINT)"
+        "  AS price_c,"
+        " CAST(json_extract_string(env, '$.ts_ms') AS BIGINT) AS ts_ms"
+        " FROM env"
+    ),
+    "cdc_dlq": (
+        "WITH fed AS (SELECT event_type,"
+        " CASE WHEN event_id % 7 = 0 THEN substr(props, 1, 4)"
+        "  WHEN event_id % 11 = 0 THEN '{\"other\": 1}'"
+        "  ELSE props END AS env FROM events)"
+        " SELECT event_type,"
+        " CASE WHEN NOT json_valid(env) THEN 'malformed_json'"
+        "  WHEN json_extract_string(env, '$.k') IS NULL"
+        "   THEN 'missing_field:k'"
+        "  ELSE 'ok' END AS disposition,"
+        " count(*) AS n FROM fed GROUP BY event_type, disposition"
+    ),
+    "cdc_lag": (
+        "WITH src AS (SELECT event_type, max(event_id) AS source_max_lsn,"
+        "  count(*) AS source_events, max(epoch_us(ts)) AS src_us"
+        "  FROM events GROUP BY event_type),"
+        " app AS (SELECT event_type, max(event_id) AS applied_max_lsn,"
+        "  max(epoch_us(ts)) AS app_us FROM events"
+        "  WHERE ts <= TIMESTAMP '2024-01-20 00:00:00' GROUP BY event_type),"
+        " lagc AS (SELECT e.event_type, count(*) AS lag_events FROM events e"
+        "  JOIN app ON e.event_type = app.event_type"
+        "  WHERE e.event_id > app.applied_max_lsn GROUP BY e.event_type)"
+        " SELECT src.event_type, src.source_max_lsn, app.applied_max_lsn,"
+        "  COALESCE(lagc.lag_events, 0) AS lag_events,"
+        "  src.src_us - app.app_us AS lag_us"
+        " FROM src LEFT JOIN app ON src.event_type = app.event_type"
+        " LEFT JOIN lagc ON src.event_type = lagc.event_type"
+    ),
+    "cdc_bootstrap": (
+        "WITH ev AS (SELECT CAST(o_custkey AS VARCHAR) AS doc_id,"
+        " o_orderkey AS lsn, o_totalprice AS price,"
+        " o_orderpriority AS priority,"
+        " CASE WHEN o_orderkey % 7 = 3 THEN 'D' ELSE 'U' END AS op"
+        " FROM orders),"
+        " w AS (SELECT *, row_number() OVER"
+        " (PARTITION BY doc_id ORDER BY lsn DESC) AS rn FROM ev)"
+        " SELECT doc_id, lsn, price, priority FROM w"
+        " WHERE rn = 1 AND op <> 'D'"
+    ),
+    "token_drift": (
+        "WITH words AS (SELECT source AS g,"
+        "  unnest(string_split(text, ' ')) AS word FROM documents),"
+        " pair AS (SELECT g, word, count(*) AS c_g FROM words"
+        "  GROUP BY g, word),"
+        " wtot AS (SELECT word, sum(c_g) AS c_all FROM pair GROUP BY word),"
+        " gtot AS (SELECT g, sum(c_g) AS n_g FROM pair GROUP BY g),"
+        " ntot AS (SELECT sum(n_g) AS n_all FROM gtot)"
+        " SELECT pair.g AS source,"
+        "  CAST(any_value(gtot.n_g) AS BIGINT) AS n_group,"
+        "  CAST(any_value(ntot.n_all) AS BIGINT) AS n_all,"
+        "  CAST(sum(abs(pair.c_g * ntot.n_all - wtot.c_all * gtot.n_g))"
+        "   + any_value(gtot.n_g)"
+        "     * (any_value(ntot.n_all) - sum(wtot.c_all)) AS BIGINT)"
+        "   AS drift_num"
+        " FROM pair JOIN wtot USING (word) JOIN gtot USING (g), ntot"
+        " GROUP BY pair.g"
+    ),
+}

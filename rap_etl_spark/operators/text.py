@@ -215,3 +215,49 @@ def unigram_lm_scores(
             ).alias("n_oov"),
         )
     )
+
+
+def unigram_drift(
+    df: DataFrame, text_col: str = "text", group_col: str = "source"
+) -> DataFrame:
+    """Per-group unigram-distribution drift vs the whole corpus — the
+    data-mix monitor that catches one source's token distribution shifting
+    between snapshots (vocabulary churn, language drift, template spam).
+
+    Reports the total-variation distance as an EXACT integer numerator so
+    the result is bit-stable across engines (no float summation order):
+
+        drift_num(g) = sum_w | c_g(w)*N - c(w)*N_g |   over w present in g
+                     + N_g * (N - sum_{w in g} c(w))    (the absent words)
+
+    and TV(g, corpus) = drift_num / (2 * N_g * N). The absent-word term
+    needs NO join against the full vocabulary: sum over words missing from
+    g of c(w) equals N minus the sum of corpus counts of g's own words.
+
+    Plan: one explode -> one (group, word) aggregate; corpus word totals
+    re-aggregated from those pre-combined pairs (never a second pass over
+    raw tokens); group/corpus totals broadcast. Nothing after the first
+    aggregate scales with token volume."""
+    words = df.select(
+        F.col(group_col).alias("g"),
+        F.explode(F.split(F.col(text_col), " ")).alias("word"),
+    )
+    pair = words.groupBy("g", "word").agg(F.count(F.lit(1)).alias("c_g"))
+    wtot = pair.groupBy("word").agg(F.sum("c_g").alias("c_all"))
+    gtot = pair.groupBy("g").agg(F.sum("c_g").alias("n_g"))
+    ntot = gtot.agg(F.sum("n_g").alias("n_all"))
+    per_word = (
+        pair.join(wtot, on="word")
+        .join(F.broadcast(gtot), on="g")
+        .crossJoin(F.broadcast(ntot))
+    )
+    return per_word.groupBy("g").agg(
+        F.first("n_g").alias("n_group"),
+        F.first("n_all").alias("n_all"),
+        (
+            F.sum(
+                F.abs(F.col("c_g") * F.col("n_all") - F.col("c_all") * F.col("n_g"))
+            )
+            + F.first("n_g") * (F.first("n_all") - F.sum("c_all"))
+        ).alias("drift_num"),
+    ).withColumnRenamed("g", group_col)
