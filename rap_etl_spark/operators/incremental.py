@@ -131,3 +131,76 @@ def maintain_join_view(
     fresh = post.join(dim, on, how).select(*view.columns)
     kept = view.join(F.broadcast(changed_keys), on=key, how="left_anti")
     return kept.unionByName(fresh)
+
+
+def maintain_minmax(
+    base_agg: DataFrame,
+    changes: DataFrame,
+    fact: DataFrame,
+    group_cols: list[str],
+    val_col: str,
+    count_col: str = "n",
+) -> DataFrame:
+    """Incrementally maintain per-group (count, MIN, MAX) — the
+    NON-distributive IVM class. MIN/MAX absorb inserts for free
+    (new_min = least(old, batch_min)) but a delete can remove the stored
+    extremum, and the second-smallest value is not in the aggregate state.
+    The classical answer (maintaining a full value multiset per group) is
+    O(table) state; this operator instead re-aggregates from the fact
+    table ONLY the groups whose removed-value range touches their stored
+    extremum:
+
+        dirty(g)  ⇔  min(removed_g) <= stored_min(g)
+                  or  max(removed_g) >= stored_max(g)
+
+    Clean groups update in closed form from the batch alone. Dirty groups
+    re-aggregate via a broadcast LEFT SEMI join of the fact scan against
+    the (tiny) dirty-group set — one column-pruned pass over the fact
+    table touching only matching groups' rows, and ZERO passes when no
+    delete hits an extremum (the common case: random deletes hit an
+    extremum with probability ~2/|group|). `fact` must be the
+    POST-change state (read the table after the merge; at 10^10 rows use
+    the bucket-pruned snapshot read).
+
+    `base_agg`: group_cols + [count_col, min_v, max_v] (as produced by
+    this function or a bootstrap groupBy). Groups whose maintained count
+    reaches 0 drop out; brand-new groups enter from the batch side.
+    """
+    sign = _sign()
+    d = changes.groupBy(*group_cols).agg(
+        F.sum(sign).alias("_dn"),
+        F.min(F.when(sign == 1, F.col(val_col))).alias("_pos_min"),
+        F.max(F.when(sign == 1, F.col(val_col))).alias("_pos_max"),
+        F.min(F.when(sign == -1, F.col(val_col))).alias("_neg_min"),
+        F.max(F.when(sign == -1, F.col(val_col))).alias("_neg_max"),
+    )
+    cur = base_agg.alias("cur")
+    dd = d.alias("d")
+    cond = [cur[c].eqNullSafe(dd[c]) for c in group_cols]
+    joined = cur.join(dd, cond, "full_outer")
+    n_new = F.coalesce(cur[count_col], F.lit(0)) + F.coalesce(dd["_dn"], F.lit(0))
+    dirty = (
+        (dd["_neg_min"].isNotNull() & (dd["_neg_min"] <= cur["min_v"]))
+        | (dd["_neg_max"].isNotNull() & (dd["_neg_max"] >= cur["max_v"]))
+    )
+    merged = joined.select(
+        *[F.coalesce(cur[c], dd[c]).alias(c) for c in group_cols],
+        n_new.alias(count_col),
+        F.least(cur["min_v"], dd["_pos_min"]).alias("min_v"),
+        F.greatest(cur["max_v"], dd["_pos_max"]).alias("max_v"),
+        F.coalesce(dirty, F.lit(False)).alias("_dirty"),
+    ).filter(F.col(count_col) > 0)
+    clean = merged.filter(~F.col("_dirty")).drop("_dirty")
+    dirty_groups = merged.filter(F.col("_dirty")).select(*group_cols)
+    # one fact pass, only if some delete touched an extremum; only the
+    # dirty groups' rows survive the broadcast semi probe
+    reagg = (
+        fact.join(F.broadcast(dirty_groups), on=group_cols, how="left_semi")
+        .groupBy(*group_cols)
+        .agg(
+            F.count(F.lit(1)).alias(count_col),
+            F.min(val_col).alias("min_v"),
+            F.max(val_col).alias("max_v"),
+        )
+    )
+    return clean.unionByName(reagg)

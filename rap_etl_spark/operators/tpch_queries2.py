@@ -1242,3 +1242,91 @@ TPCH_ORACLES2["binlog_roundtrip"] = (
     " event_type AS source"
     " FROM events"
 )
+
+
+# --------------------------------------------------------------------------
+# round 3: non-distributive IVM — MIN/MAX maintenance with dirty-group
+# re-aggregation (operators/incremental.py maintain_minmax)
+# --------------------------------------------------------------------------
+def q_incr_minmax_maintain(spark, sf):
+    """MIN/MAX IVM end-to-end, oracled: maintain per-group
+    (count, min, max) of the lake table across a merge batch. Inserts
+    fold in closed form; groups where a delete removed the stored
+    extremum re-aggregate from the post-merge table via ONE broadcast
+    semi-joined pass over exactly those groups (deletes on every 10th
+    orderkey guarantee both clean and dirty groups exist). Oracle:
+    min/max/count of the final LWW state."""
+    from pyspark.sql import types as T
+
+    from rap_etl_spark.lake import ManifestParquetTable
+    from rap_etl_spark.operators.cdc import lww_latest
+    from rap_etl_spark.operators.incremental import maintain_minmax
+
+    ev = _t(spark, sf, "orders").select(
+        F.col("o_custkey").cast("string").alias("doc_id"),
+        F.col("o_orderkey").alias("lsn"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("price_c"),
+        F.when(F.col("o_orderkey") % 10 == 0, "D").otherwise("U").alias("op"),
+    )
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType()),
+            T.StructField("lsn", T.LongType()),
+            T.StructField("price_c", T.LongType()),
+        ]
+    )
+    grp = (F.col("doc_id").cast("int") % 10).alias("grp")
+    out_schema = T.StructType(
+        [
+            T.StructField("grp", T.IntegerType()),
+            T.StructField("n_docs", T.LongType()),
+            T.StructField("min_v", T.LongType()),
+            T.StructField("max_v", T.LongType()),
+        ]
+    )
+    work = tempfile.mkdtemp(prefix="rap-etl-ivm-minmax-")
+    try:
+        table = ManifestParquetTable.create(
+            spark, os.path.join(work, "t"), schema, n_buckets=8
+        )
+        table.merge(lww_latest(ev.filter(F.col("lsn") % 2 == 0)), batch_id=0)
+        sid1 = table.snapshot_id()
+        base = (
+            table.read()
+            .groupBy(grp)
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.min("price_c").alias("min_v"),
+                F.max("price_c").alias("max_v"),
+            )
+        )
+        table.merge(lww_latest(ev.filter(F.col("lsn") % 2 == 1)), batch_id=1)
+        changes = table.table_changes(sid1).select(grp, "_change_type", "price_c")
+        maintained = maintain_minmax(
+            base,
+            changes,
+            table.read().select(grp, "price_c"),
+            ["grp"],
+            "price_c",
+            count_col="n_docs",
+        )
+        rows = maintained.select("grp", "n_docs", "min_v", "max_v").collect()
+        return spark.createDataFrame(rows, out_schema)
+    finally:
+        import shutil
+
+        shutil.rmtree(work, ignore_errors=True)
+
+
+TPCH_QUERIES2["incr_minmax_maintain"] = q_incr_minmax_maintain
+
+TPCH_ORACLES2["incr_minmax_maintain"] = (
+    "WITH ev AS (SELECT CAST(o_custkey AS VARCHAR) AS doc_id,"
+    " o_orderkey AS lsn, CAST(round(o_totalprice * 100) AS BIGINT) AS price_c,"
+    " CASE WHEN o_orderkey % 10 = 0 THEN 'D' ELSE 'U' END AS op FROM orders),"
+    " w AS (SELECT *, row_number() OVER"
+    "   (PARTITION BY doc_id ORDER BY lsn DESC) AS rn FROM ev),"
+    " live AS (SELECT * FROM w WHERE rn = 1 AND op <> 'D')"
+    " SELECT CAST(doc_id AS INT) % 10 AS grp, count(*) AS n_docs,"
+    " min(price_c) AS min_v, max(price_c) AS max_v FROM live GROUP BY grp"
+)

@@ -142,3 +142,99 @@ def test_maintain_join_view_left_outer(spark):
     )
     got = {r["doc_id"]: r["color"] for r in maintained.collect()}
     assert got == {"a": "red", "d": None, "z": None}
+
+
+# --------------------------------------------------------------------------
+# MIN/MAX IVM (maintain_minmax) — the non-distributive class
+# --------------------------------------------------------------------------
+def _mm_base(spark):
+    # g1: {1, 5, 9}, g2: {10, 20}
+    fact = spark.createDataFrame(
+        [("g1", 1), ("g1", 5), ("g1", 9), ("g2", 10), ("g2", 20)],
+        ["grp", "v"],
+    )
+    base = fact.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("v").alias("min_v"),
+        F.max("v").alias("max_v"),
+    )
+    return fact, base
+
+
+def test_minmax_insert_only_closed_form(spark):
+    from rap_etl_spark.operators.incremental import maintain_minmax
+
+    fact, base = _mm_base(spark)
+    ch = spark.createDataFrame(
+        [("g1", 0, "insert"), ("g2", 15, "insert")],
+        ["grp", "v", "_change_type"],
+    )
+    fact2 = fact.union(ch.select("grp", "v"))
+    out = {
+        r["grp"]: r
+        for r in maintain_minmax(base, ch, fact2, ["grp"], "v").collect()
+    }
+    assert (out["g1"]["min_v"], out["g1"]["max_v"], out["g1"]["n"]) == (0, 9, 4)
+    assert (out["g2"]["min_v"], out["g2"]["max_v"], out["g2"]["n"]) == (10, 20, 3)
+
+
+def test_minmax_delete_of_extremum_reaggregates(spark):
+    from rap_etl_spark.operators.incremental import maintain_minmax
+
+    fact, base = _mm_base(spark)
+    # delete g1's max (9): second-largest (5) is NOT in the aggregate state,
+    # so only a fact re-agg of g1 can produce it. g2 untouched.
+    ch = spark.createDataFrame(
+        [("g1", 9, "delete")], ["grp", "v", "_change_type"]
+    )
+    fact2 = fact.filter(~((F.col("grp") == "g1") & (F.col("v") == 9)))
+    out = {
+        r["grp"]: r
+        for r in maintain_minmax(base, ch, fact2, ["grp"], "v").collect()
+    }
+    assert (out["g1"]["min_v"], out["g1"]["max_v"], out["g1"]["n"]) == (1, 5, 2)
+    assert (out["g2"]["min_v"], out["g2"]["max_v"]) == (10, 20)
+
+
+def test_minmax_interior_delete_stays_closed_form(spark):
+    from rap_etl_spark.operators.incremental import maintain_minmax
+
+    fact, base = _mm_base(spark)
+    # delete g1's interior value (5): extremum untouched -> clean path
+    ch = spark.createDataFrame(
+        [("g1", 5, "delete")], ["grp", "v", "_change_type"]
+    )
+    fact2 = fact.filter(~((F.col("grp") == "g1") & (F.col("v") == 5)))
+    out = {
+        r["grp"]: r
+        for r in maintain_minmax(base, ch, fact2, ["grp"], "v").collect()
+    }
+    assert (out["g1"]["min_v"], out["g1"]["max_v"], out["g1"]["n"]) == (1, 9, 2)
+
+
+def test_minmax_update_new_group_and_group_death(spark):
+    from rap_etl_spark.operators.incremental import maintain_minmax
+
+    fact, base = _mm_base(spark)
+    # update g2's 20 -> 25 (pre+post images), birth g3, kill g1 entirely
+    ch = spark.createDataFrame(
+        [
+            ("g2", 20, "update_preimage"),
+            ("g2", 25, "update_postimage"),
+            ("g3", 7, "insert"),
+            ("g1", 1, "delete"),
+            ("g1", 5, "delete"),
+            ("g1", 9, "delete"),
+        ],
+        ["grp", "v", "_change_type"],
+    )
+    fact2 = spark.createDataFrame(
+        [("g2", 10), ("g2", 25), ("g3", 7)], ["grp", "v"]
+    )
+    out = {
+        r["grp"]: r
+        for r in maintain_minmax(base, ch, fact2, ["grp"], "v").collect()
+    }
+    assert "g1" not in out  # count reached 0
+    assert (out["g2"]["min_v"], out["g2"]["max_v"], out["g2"]["n"]) == (10, 25, 2)
+    assert (out["g3"]["min_v"], out["g3"]["max_v"], out["g3"]["n"]) == (7, 7, 1)
