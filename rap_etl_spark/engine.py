@@ -534,3 +534,53 @@ def initial_load(
 ) -> CommitInfo:
     """Bootstrap the target table from a full snapshot (bucketed append)."""
     return table.append(cast_to_schema(docs, table.schema()), batch_id=batch_id)
+
+
+def fanout_apply(
+    spark: SparkSession,
+    events: DataFrame,
+    tables: dict[str, ManifestParquetTable],
+    batch_id: int,
+    table_col: str = "_table",
+    strict: bool = True,
+    **engine_kwargs,
+) -> dict[str, BatchMetrics]:
+    """Route one change batch carrying a table-name column to multiple
+    lake tables — the Debezium-server / multi-topic shape where a single
+    WAL tail feeds every table of an upstream database.
+
+    Exactly-once semantics are PER TABLE: each route commits through its
+    own table's batch ledger under the shared ``batch_id``, so a crash
+    between table commits leaves a partial batch that a full retry
+    repairs — already-committed routes skip (ledger), missing routes
+    apply. Retrying until all routes report success yields the same
+    atomicity discipline as the single-table engine (the cross-table
+    batch is atomic at the retry level, not the commit level — the same
+    contract Kafka-connect sinks give, documented rather than pretended
+    away).
+
+    Scale: routes are applied in sorted-name order, each as a pushdown
+    filter on ``table_col`` over the batch scan — lay the event log out
+    partitioned by table (write_event_log partitionBy) and the filter
+    becomes partition pruning, making per-route input O(route), not
+    O(batch). ``strict=True`` spends one tiny distinct-names aggregate to
+    refuse batches carrying unknown tables (route them through
+    cdc.split_dlq instead when a quarantine is wanted).
+    """
+    if strict:
+        names = {
+            r[0]
+            for r in events.select(table_col).distinct().collect()
+        }
+        unknown = names - set(tables)
+        if unknown:
+            raise ValueError(
+                f"batch {batch_id} carries unrouted tables {sorted(unknown)}; "
+                "pass strict=False or quarantine via cdc.split_dlq"
+            )
+    out: dict[str, BatchMetrics] = {}
+    for name in sorted(tables):
+        route = events.filter(F.col(table_col) == name).drop(table_col)
+        eng = CdcEngine(spark, tables[name], **engine_kwargs)
+        out[name] = eng.apply_batch(route, batch_id=batch_id)
+    return out

@@ -125,6 +125,63 @@ def replay_stream(
     q.awaitTermination()
 
 
+def stream_envelope_tail(
+    spark: SparkSession,
+    src_dir: str,
+    checkpoint_dir: str,
+    table: LakeTable,
+    payload_ddl: str,
+    dlq_dir: str | None = None,
+    lineage_dir: str | None = None,
+    max_files_per_trigger: int | None = None,
+    available_now: bool = True,
+    auto_evolve: bool = False,
+) -> StreamingQuery:
+    """Tail a directory of JSON-lines Debezium-style envelope files into
+    `table` — the connector-wire twin of stream_tail: text readStream →
+    cdc.parse_debezium_envelope (one JVM from_json per row, malformed rows
+    surfaced instead of failing the query) → cdc.split_dlq inside
+    foreachBatch → good rows through the exactly-once engine apply, dead
+    rows to ``dlq_dir/batch=<id>`` (mode=overwrite keyed by the epoch id,
+    so foreachBatch's at-least-once redelivery can only rewrite the same
+    quarantine leaf, never duplicate it — the same idempotency discipline
+    as the table commit itself).
+
+    The decode and the DLQ classification are scan-stage work; everything
+    volume-bound downstream is the engine's existing one-shuffle LWW +
+    bucket merge."""
+    from rap_etl_spark.operators.cdc import parse_debezium_envelope, split_dlq
+
+    reader = spark.readStream
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    raw = reader.text(src_dir)
+    parsed = parse_debezium_envelope(raw, "value", payload_ddl)
+
+    engine = CdcEngine(
+        spark, table, lineage_dir=lineage_dir, auto_evolve=auto_evolve
+    )
+    required = ["doc_id", "lsn", "op"]
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        good, dead = split_dlq(batch_df, required=required)
+        if dlq_dir is not None:
+            # deterministic per-epoch leaf + overwrite = idempotent DLQ
+            dead.write.mode("overwrite").parquet(
+                os.path.join(dlq_dir, f"batch={batch_id}")
+            )
+        engine.apply_batch(good.drop("ts_ms"), batch_id=batch_id)
+
+    writer = (
+        parsed.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 # --------------------------------------------------------------------------
 # streaming operator wrappers (R1-R7)
 # --------------------------------------------------------------------------
