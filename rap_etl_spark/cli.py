@@ -183,11 +183,14 @@ def cmd_stream(args) -> int:
     from rap_etl_spark.streaming import metrics as m
     from rap_etl_spark.streaming.tail import stream_tail
 
-    if args.format == "binlog" and args.packed:
+    if args.format in ("binlog", "envelope") and args.packed:
         print(
-            "--packed is a parquet-WAL option; binlog has its own wire format",
+            "--packed is a parquet-WAL option; this format has its own wire",
             file=sys.stderr,
         )
+        return 2
+    if args.format == "envelope" and not args.payload_ddl:
+        print("--format envelope requires --payload-ddl", file=sys.stderr)
         return 2
     spark = _spark("rap-etl-stream")
     t = ManifestParquetTable(spark, args.table)
@@ -202,19 +205,36 @@ def cmd_stream(args) -> int:
             else t.create_branch(args.branch)
         )
     listener = m.attach(spark, args.metrics) if args.metrics else None
-    q = stream_tail(
-        spark,
-        args.log,
-        args.checkpoint,
-        t,
-        lineage_dir=args.lineage,
-        max_files_per_trigger=args.max_files,
-        available_now=not args.continuous,
-        schema=EVENTS_SCHEMA_PACKED if args.packed else EVENTS_SCHEMA,
-        source=args.format,
-        publish_dir=args.publish,
-        publish_format=args.publish_format,
-    )
+    if args.format == "envelope":
+        from rap_etl_spark.streaming.tail import stream_envelope_tail
+
+        q = stream_envelope_tail(
+            spark,
+            args.log,
+            args.checkpoint,
+            t,
+            payload_ddl=args.payload_ddl,
+            dlq_dir=args.dlq,
+            lineage_dir=args.lineage,
+            max_files_per_trigger=args.max_files,
+            available_now=not args.continuous,
+            auto_evolve=args.auto_evolve,
+        )
+    else:
+        q = stream_tail(
+            spark,
+            args.log,
+            args.checkpoint,
+            t,
+            lineage_dir=args.lineage,
+            max_files_per_trigger=args.max_files,
+            available_now=not args.continuous,
+            schema=EVENTS_SCHEMA_PACKED if args.packed else EVENTS_SCHEMA,
+            source=args.format,
+            publish_dir=args.publish,
+            publish_format=args.publish_format,
+            auto_evolve=args.auto_evolve,
+        )
     q.awaitTermination()
     if listener is not None:
         # progress events are delivered on a separate listener-bus thread;
@@ -565,7 +585,18 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--metrics")
     sp.add_argument("--packed", action="store_true")
     sp.add_argument("--continuous", action="store_true")
-    sp.add_argument("--format", choices=["parquet", "binlog"], default="parquet")
+    sp.add_argument(
+        "--format",
+        choices=["parquet", "binlog", "envelope"],
+        default="parquet",
+        help="envelope = JSON-lines Debezium-style envelopes "
+        "(requires --payload-ddl; malformed rows quarantine to --dlq)",
+    )
+    sp.add_argument(
+        "--payload-ddl",
+        help="envelope payload schema, e.g. 'doc_id: STRING, price_c: BIGINT'",
+    )
+    sp.add_argument("--dlq", help="quarantine dir for malformed envelopes")
     sp.add_argument("--branch", help="stage the stream's commits on a WAP branch")
     sp.add_argument("--publish", help="publish each micro-batch's delta here")
     sp.add_argument(

@@ -240,3 +240,51 @@ def test_cli_binlog_lifecycle(spark, sf_small, tmp_path, capsys):
     # out-of-range segment index -> usable error, not a traceback
     assert main(["replay", "--table", table, "--log", log,
                  "--format", "binlog", "--batches", "99"]) == 2
+
+
+def test_cli_envelope_stream(spark, tmp_path, capsys):
+    """`stream --format envelope`: JSON-lines Debezium envelopes through
+    the CLI into a docs table, malformed line quarantined to --dlq."""
+    import os
+
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    lines = [
+        '{"op":"c","before":null,"after":{"doc_id":"a","tokens":[1,2,3],'
+        '"n_tok":3,"source":"s0"},"source":{"lsn":1,"table":"docs"},"ts_ms":1000}',
+        '{"op":"u","before":null,"after":{"doc_id":"a","tokens":[4,5],'
+        '"n_tok":2,"source":"s0"},"source":{"lsn":2,"table":"docs"},"ts_ms":2000}',
+        '{"op":"c","before":null,"after":{"doc_id":"b","tokens":[9],'
+        '"n_tok":1,"source":"s1"},"source":{"lsn":3,"table":"docs"},"ts_ms":3000}',
+        '{"op":"d","before":{"doc_id":"b"},"after":null,'
+        '"source":{"lsn":4,"table":"docs"},"ts_ms":4000}',
+        '{"op":"u","truncated',
+    ]
+    (feed / "f0.jsonl").write_text("\n".join(lines) + "\n")
+    table = str(tmp_path / "t")
+    dlq = str(tmp_path / "dlq")
+
+    _run(capsys, "init", "--table", table, "--buckets", "4")
+    _run(
+        capsys, "stream", "--table", table, "--log", str(feed),
+        "--checkpoint", str(tmp_path / "cp"), "--format", "envelope",
+        "--payload-ddl",
+        "doc_id: STRING, tokens: ARRAY<INT>, n_tok: INT, source: STRING",
+        "--dlq", dlq,
+    )
+    rec = _run(capsys, "status", "--table", table)
+    assert rec[-1]["rows"] == 1  # a at lsn 2; b tombstoned
+    from rap_etl_spark.lake import ManifestParquetTable
+
+    t = ManifestParquetTable(spark, table)
+    row = t.read().collect()[0]
+    assert (row["doc_id"], list(row["tokens"]), row["n_tok"]) == ("a", [4, 5], 2)
+    bad = spark.read.parquet(os.path.join(dlq, "batch=0"))
+    assert bad.count() == 1 and bad.collect()[0]["dlq_reason"] == "malformed_json"
+
+
+def test_cli_envelope_requires_payload_ddl(tmp_path, capsys):
+    assert main(
+        ["stream", "--table", str(tmp_path / "t"), "--log", str(tmp_path / "l"),
+         "--checkpoint", str(tmp_path / "cp"), "--format", "envelope"]
+    ) == 2
