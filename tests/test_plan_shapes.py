@@ -262,3 +262,53 @@ def test_read_range_type_mismatch_keeps_file(spark, tmp_path):
     assert df is not None
     got = {r["val"] for r in t.read_range("val", "v1", "v1").collect()}
     assert got == {"v1"}
+
+
+# --------------------------------------------------------------------------
+# round 3: connector surface + non-distributive IVM plan pins
+# --------------------------------------------------------------------------
+def test_envelope_decode_is_zero_exchange(spark):
+    """parse_debezium_envelope + split_dlq must stay scan-stage work: no
+    Exchange anywhere — the decode never justifies a shuffle."""
+    from rap_etl_spark.operators.cdc import parse_debezium_envelope, split_dlq
+
+    df = spark.createDataFrame([("{}",)], ["env"])
+    parsed = parse_debezium_envelope(df, "env", "doc_id: STRING, price_c: BIGINT")
+    good, dead = split_dlq(parsed, required=["doc_id", "lsn"])
+    assert count_exchanges(good) == 0
+    assert count_exchanges(dead) == 0
+
+
+def test_replication_lag_broadcasts_watermarks(spark):
+    """The O(partitions) aggregates must broadcast into the outstanding-
+    event probe — the full source never shuffles on the join key."""
+    from rap_etl_spark.operators.cdc import replication_lag
+
+    src = spark.range(1000).select(
+        (F.col("id") % 5).cast("string").alias("part"), F.col("id").alias("lsn")
+    )
+    out = replication_lag(src, src.filter(F.col("lsn") < 500), part_col="part")
+    kinds = join_kinds(out)
+    assert kinds and all("Broadcast" in k for k in kinds)
+
+
+def test_minmax_ivm_dirty_probe_is_broadcast_semi(spark):
+    """maintain_minmax's fact re-aggregation must probe via a broadcast
+    LEFT SEMI join (only dirty groups' rows survive the scan), never a
+    shuffled join of the fact table."""
+    from rap_etl_spark.operators.incremental import maintain_minmax
+
+    fact = spark.range(1000).select(
+        (F.col("id") % 7).alias("grp"), F.col("id").alias("v")
+    )
+    base = fact.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("v").alias("min_v"),
+        F.max("v").alias("max_v"),
+    )
+    ch = spark.createDataFrame(
+        [(0, 994, "delete")], ["grp", "v", "_change_type"]
+    )
+    out = maintain_minmax(base, ch, fact, ["grp"], "v")
+    plan = formatted_plan(out)
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
