@@ -343,7 +343,7 @@ ENVELOPE_DDL_TMPL = (
 
 
 def parse_debezium_envelope(
-    df: DataFrame, env_col: str, payload_ddl: str
+    df: DataFrame, env_col: str, payload_ddl: str, include_table: bool = False
 ) -> DataFrame:
     """Decode a Debezium-style CDC envelope column into this engine's
     change-event shape (the wire format every log-based connector emits:
@@ -355,6 +355,11 @@ def parse_debezium_envelope(
     (Spark's columnNameOfCorruptRecord idiom) instead of failing the batch —
     feed them to split_dlq. One JVM json parse per row, no Python; the
     payload stays inside the scan stage (zero exchanges).
+
+    ``include_table=True`` additionally emits ``_table`` from
+    ``source.table`` — exactly the routing column engine.fanout_apply
+    consumes, so a single multi-table wire feed chains
+    decode -> split_dlq -> fanout_apply with no extra pass.
     """
     ddl = ENVELOPE_DDL_TMPL.format(p=payload_ddl)
     j = df.withColumn(
@@ -382,6 +387,8 @@ def parse_debezium_envelope(
         F.col("_env.ts_ms").alias("ts_ms"),
         F.col("_env._corrupt").alias("_corrupt"),
     ]
+    if include_table:
+        out.insert(0, F.col("_env.source.table").alias("_table"))
     return j.select(*out)
 
 

@@ -105,3 +105,46 @@ def test_fanout_lww_and_deletes_per_route(spark, two_tables):
     a_rows = [(r["doc_id"], r["lsn"], r["val"]) for r in two_tables["a"].read().collect()]
     assert a_rows == [("k1", 2, 11)]
     assert two_tables["b"].read().count() == 0
+
+
+def test_envelope_feed_fans_out_to_tables(spark, two_tables):
+    """The full Debezium-server pipeline in one chain: multi-table wire
+    envelopes -> decode (with _table from source.table) -> DLQ split ->
+    fanout_apply. One feed, two tables, a tombstone, and a poisoned line."""
+    from rap_etl_spark.engine import fanout_apply
+    from rap_etl_spark.operators.cdc import parse_debezium_envelope, split_dlq
+
+    def env(tbl, op, doc, lsn, val=None):
+        if op == "d":
+            before, after = '{"doc_id":"%s"}' % doc, "null"
+        else:
+            before = "null"
+            after = '{"doc_id":"%s","val":%d}' % (doc, val)
+        return (
+            '{"op":"%s","before":%s,"after":%s,'
+            '"source":{"lsn":%d,"table":"%s"},"ts_ms":%d}'
+            % (op, before, after, lsn, tbl, lsn * 1000)
+        )
+
+    feed = spark.createDataFrame(
+        [
+            (env("a", "c", "k1", 1, 10),),
+            (env("a", "u", "k1", 2, 11),),
+            (env("b", "c", "k7", 1, 70),),
+            (env("b", "d", "k7", 2),),
+            ('{"op":"c","oops',),
+        ],
+        ["env"],
+    )
+    parsed = parse_debezium_envelope(
+        feed, "env", "doc_id: STRING, val: BIGINT", include_table=True
+    )
+    good, dead = split_dlq(parsed, required=["doc_id", "lsn", "_table"])
+    assert dead.count() == 1
+    out = fanout_apply(
+        spark, good.drop("ts_ms"), two_tables, batch_id=0, count_input=False
+    )
+    assert out["a"].applied_rows == 1
+    a_rows = [(r["doc_id"], r["lsn"], r["val"]) for r in two_tables["a"].read().collect()]
+    assert a_rows == [("k1", 2, 11)]
+    assert two_tables["b"].read().count() == 0  # k7 tombstoned
