@@ -125,6 +125,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_theta_setops",
         "sketch_kll_quantiles",
         "sketch_heavy_hitters",
+        # round-3 first-class capabilities: a green driver row on a NEW
+        # operator class beats one more TPC-H variant from an
+        # already-verified family (q16-q21 slide to round 4 if squeezed)
+        "cdc_auto_evolve",
+        "cdc_envelope_parse",
+        "cdc_dlq",
+        "cdc_lag",
+        "cdc_bootstrap",
+        "token_drift",
+        "incr_minmax_maintain",
+        "sessionize",
+        "fn_zorder",
     ]
     oracles = oracle_sql()
     seen = _driver_checked_keys(set(oracles))
