@@ -303,3 +303,61 @@ def test_minhash_kernel_matches_spec_and_batch_invariant(texts, n_chunks):
             np.asarray(split["signature"].iloc[i]),
             np.asarray(whole["signature"].iloc[i]),
         )
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    docs=st.lists(
+        st.tuples(
+            st.text(
+                # JSON-meaningful characters included on purpose: quotes,
+                # backslashes, braces, unicode; surrogates excluded (not
+                # representable in parquet/UTF-8)
+                alphabet=st.characters(
+                    blacklist_categories=("Cs",), min_codepoint=1
+                ),
+                min_size=1,
+                max_size=20,
+            ),
+            st.integers(min_value=1, max_value=2**40),
+            st.integers(min_value=-(2**40), max_value=2**40),
+        ),
+        min_size=1,
+        max_size=20,
+        unique_by=lambda t: t[0],
+    )
+)
+def test_envelope_roundtrip_arbitrary_keys(spark, docs):
+    """Envelope decode is a true inverse of JSON envelope construction for
+    ARBITRARY key strings — quotes, backslashes, braces, unicode — because
+    construction goes through to_json (proper escaping) and decode through
+    from_json. The connector path cannot be broken by a hostile doc_id."""
+    from pyspark.sql import functions as F
+
+    from rap_etl_spark.operators.cdc import parse_debezium_envelope
+
+    df = spark.createDataFrame(docs, ["doc_id", "lsn", "val"])
+    env = df.select(
+        F.to_json(
+            F.struct(
+                F.lit("u").alias("op"),
+                F.lit(None).cast("struct<doc_id:string,val:bigint>").alias("before"),
+                F.struct(F.col("doc_id"), F.col("val")).alias("after"),
+                F.struct(
+                    F.col("lsn"), F.lit("docs").alias("table")
+                ).alias("source"),
+                (F.col("lsn") * 1000).alias("ts_ms"),
+            )
+        ).alias("env")
+    )
+    parsed = parse_debezium_envelope(env, "env", "doc_id: STRING, val: BIGINT")
+    got = {
+        r["doc_id"]: (r["lsn"], r["val"], r["op"], r["_corrupt"])
+        for r in parsed.collect()
+    }
+    want = {d: (lsn, val, "U", None) for d, lsn, val in docs}
+    assert got == want
