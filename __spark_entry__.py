@@ -133,6 +133,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_dlq",
         "cdc_lag",
         "cdc_bootstrap",
+        "cdc_fanout",
         "token_drift",
         "incr_minmax_maintain",
         "sessionize",

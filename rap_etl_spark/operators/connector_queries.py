@@ -306,3 +306,75 @@ CONNECTOR_ORACLES = {
         " GROUP BY pair.g"
     ),
 }
+
+
+def q_cdc_fanout(spark, sf):
+    """Multi-table fanout end-to-end (engine.fanout_apply): one change
+    stream carrying a route column (customers split by key parity) applied
+    to TWO lake tables across two interleaved-LSN batches — each route
+    commits through its own table's ledger under the shared batch id, and
+    the version-conditional merge makes each table's final state the
+    global LWW of its route. Returns both tables' states tagged by route;
+    the oracle states exactly that window per route."""
+    from pyspark.sql import types as T
+
+    from rap_etl_spark.engine import fanout_apply
+    from rap_etl_spark.lake import ManifestParquetTable
+
+    ev = _t(spark, sf, "orders").select(
+        F.when(F.col("o_custkey") % 2 == 0, "even").otherwise("odd").alias("_table"),
+        F.col("o_custkey").cast("string").alias("doc_id"),
+        F.col("o_orderkey").alias("lsn"),
+        F.col("o_totalprice").alias("price"),
+        F.when(F.col("o_orderkey") % 10 == 0, "D").otherwise("U").alias("op"),
+    )
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType()),
+            T.StructField("lsn", T.LongType()),
+            T.StructField("price", T.DoubleType()),
+        ]
+    )
+    out_schema = T.StructType(
+        [T.StructField("route", T.StringType())] + list(schema.fields)
+    )
+    work = tempfile.mkdtemp(prefix="rap-etl-fanout-")
+    try:
+        tables = {
+            name: ManifestParquetTable.create(
+                spark, os.path.join(work, name), schema, n_buckets=4
+            )
+            for name in ("even", "odd")
+        }
+        for batch_id in (0, 1):
+            fanout_apply(
+                spark,
+                ev.filter(F.col("lsn") % 2 == batch_id),
+                tables,
+                batch_id=batch_id,
+                count_input=False,
+            )
+        rows = []
+        for name, t in tables.items():
+            rows += [
+                (name, r["doc_id"], r["lsn"], r["price"])
+                for r in t.read().collect()
+            ]
+        return spark.createDataFrame(rows, out_schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+CONNECTOR_QUERIES["cdc_fanout"] = q_cdc_fanout
+
+CONNECTOR_ORACLES["cdc_fanout"] = (
+    "WITH ev AS (SELECT CASE WHEN o_custkey % 2 = 0 THEN 'even'"
+    "  ELSE 'odd' END AS route,"
+    " CAST(o_custkey AS VARCHAR) AS doc_id, o_orderkey AS lsn,"
+    " o_totalprice AS price,"
+    " CASE WHEN o_orderkey % 10 = 0 THEN 'D' ELSE 'U' END AS op"
+    " FROM orders),"
+    " w AS (SELECT *, row_number() OVER"
+    " (PARTITION BY doc_id ORDER BY lsn DESC) AS rn FROM ev)"
+    " SELECT route, doc_id, lsn, price FROM w WHERE rn = 1 AND op <> 'D'"
+)
