@@ -21,7 +21,7 @@ aggregate (|groups| rows) and the delta (|touched groups| rows) — at
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 # change types emitted by lake.table_changes
@@ -202,5 +202,76 @@ def maintain_minmax(
             F.min(val_col).alias("min_v"),
             F.max(val_col).alias("max_v"),
         )
+    )
+    return clean.unionByName(reagg)
+
+
+def maintain_topk(
+    state: DataFrame,
+    changes: DataFrame,
+    fact: DataFrame,
+    group_cols: list[str],
+    val_col: str,
+    key_col: str,
+    k: int,
+) -> DataFrame:
+    """Incrementally maintain per-group TOP-K rows (by ``val_col`` desc,
+    ties broken by ``key_col`` asc) — the order-statistic IVM class, one
+    step harder than MIN/MAX (k=1 degenerates to MAX with a witness row).
+
+    Inserts fold in closed form: a new row enters the stored top-k iff it
+    beats the stored k-th value, so ``rank(state ∪ inserted) <= k`` needs
+    no fact access. A delete/update-preimage is only a problem when the
+    removed row could BE in the stored top-k — the (k+1)-th value is not
+    in the state, so those groups re-aggregate from the post-change fact
+    table via ONE broadcast LEFT SEMI pass over exactly the dirty groups:
+
+        dirty(g) ⇔ exists removal r in g with val(r) >= stored_kth(g)
+                 ∨ |state_g| < k        (state holds the WHOLE group —
+                                         any removal changes it)
+                 ∨ g not in state       (removal from a never-seen group)
+
+    Random deletes hit a group's top-k with probability ~k/|group|, so at
+    10^10-row scale the common batch touches no fact rows at all; the
+    dirty path is bucket-prunable when ``fact`` is a lake-table read.
+
+    ``state``: group_cols + [key_col, val_col], at most k rows per group
+    (as produced by this function or a bootstrap rank-filter). New groups
+    enter from the batch side; groups whose rows all vanish drop out.
+    """
+    sign = _sign()
+    cols = [*group_cols, key_col, val_col]
+    ins = changes.filter(sign == 1).select(*cols)
+    rem = changes.filter(sign == -1).select(*cols)
+
+    floor = state.groupBy(*group_cols).agg(
+        F.min(val_col).alias("_kth"), F.count(F.lit(1)).alias("_sn")
+    )
+    dirty_groups = (
+        rem.join(floor, on=group_cols, how="left")
+        .filter(
+            F.col("_kth").isNull()  # removal from a group with no state
+            | (F.col(val_col) >= F.col("_kth"))
+            | (F.col("_sn") < k)
+        )
+        .select(*group_cols)
+        .distinct()
+    )
+    w = Window.partitionBy(*group_cols).orderBy(
+        F.col(val_col).desc(), F.col(key_col).asc()
+    )
+    clean = (
+        state.unionByName(ins)
+        .join(F.broadcast(dirty_groups), on=group_cols, how="left_anti")
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+    reagg = (
+        fact.select(*cols)
+        .join(F.broadcast(dirty_groups), on=group_cols, how="left_semi")
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
     )
     return clean.unionByName(reagg)

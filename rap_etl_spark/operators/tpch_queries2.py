@@ -1330,3 +1330,158 @@ TPCH_ORACLES2["incr_minmax_maintain"] = (
     " SELECT CAST(doc_id AS INT) % 10 AS grp, count(*) AS n_docs,"
     " min(price_c) AS min_v, max(price_c) AS max_v FROM live GROUP BY grp"
 )
+
+
+def q_incr_topk_maintain(spark, sf):
+    """TOP-K IVM end-to-end, oracled: maintain per-group top-3 rows (by
+    price desc, doc_id tiebreak) of the lake table across a merge batch.
+    Inserts fold in closed form (rank state ∪ batch); groups where a
+    delete removed a stored top-3 row re-rank from the post-merge table
+    via ONE broadcast-semi pass over exactly those groups (deletes on
+    every 10th orderkey guarantee both clean and dirty groups exist).
+    Oracle: top-3 per group of the final LWW live state."""
+    from pyspark.sql import types as T
+
+    from rap_etl_spark.lake import ManifestParquetTable
+    from rap_etl_spark.operators.cdc import lww_latest
+    from rap_etl_spark.operators.incremental import maintain_topk
+
+    ev = _t(spark, sf, "orders").select(
+        F.col("o_custkey").cast("string").alias("doc_id"),
+        F.col("o_orderkey").alias("lsn"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("price_c"),
+        F.when(F.col("o_orderkey") % 10 == 0, "D").otherwise("U").alias("op"),
+    )
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType()),
+            T.StructField("lsn", T.LongType()),
+            T.StructField("price_c", T.LongType()),
+        ]
+    )
+    grp = (F.col("doc_id").cast("int") % 10).alias("grp")
+    out_schema = T.StructType(
+        [
+            T.StructField("grp", T.IntegerType()),
+            T.StructField("doc_id", T.StringType()),
+            T.StructField("price_c", T.LongType()),
+        ]
+    )
+    work = tempfile.mkdtemp(prefix="rap-etl-ivm-topk-")
+    try:
+        table = ManifestParquetTable.create(
+            spark, os.path.join(work, "t"), schema, n_buckets=8
+        )
+        table.merge(lww_latest(ev.filter(F.col("lsn") % 2 == 0)), batch_id=0)
+        sid1 = table.snapshot_id()
+        w = Window.partitionBy("grp").orderBy(
+            F.col("price_c").desc(), F.col("doc_id").asc()
+        )
+        state = (
+            table.read()
+            .select(grp, "doc_id", "price_c")
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= 3)
+            .drop("_rn")
+        )
+        table.merge(lww_latest(ev.filter(F.col("lsn") % 2 == 1)), batch_id=1)
+        changes = table.table_changes(sid1).select(
+            grp, "_change_type", "doc_id", "price_c"
+        )
+        maintained = maintain_topk(
+            state,
+            changes,
+            table.read().select(grp, "doc_id", "price_c"),
+            ["grp"],
+            "price_c",
+            "doc_id",
+            k=3,
+        )
+        rows = maintained.select("grp", "doc_id", "price_c").collect()
+        return spark.createDataFrame(rows, out_schema)
+    finally:
+        import shutil
+
+        shutil.rmtree(work, ignore_errors=True)
+
+
+TPCH_QUERIES2["incr_topk_maintain"] = q_incr_topk_maintain
+
+TPCH_ORACLES2["incr_topk_maintain"] = (
+    "WITH ev AS (SELECT CAST(o_custkey AS VARCHAR) AS doc_id,"
+    " o_orderkey AS lsn, CAST(round(o_totalprice * 100) AS BIGINT) AS price_c,"
+    " CASE WHEN o_orderkey % 10 = 0 THEN 'D' ELSE 'U' END AS op FROM orders),"
+    " w AS (SELECT *, row_number() OVER"
+    "   (PARTITION BY doc_id ORDER BY lsn DESC) AS rn FROM ev),"
+    " live AS (SELECT CAST(doc_id AS INT) % 10 AS grp, doc_id, price_c"
+    "   FROM w WHERE rn = 1 AND op <> 'D'),"
+    " r AS (SELECT *, row_number() OVER"
+    "   (PARTITION BY grp ORDER BY price_c DESC, doc_id ASC) AS rk FROM live)"
+    " SELECT grp, doc_id, price_c FROM r WHERE rk <= 3"
+)
+
+
+def q_table_restore(spark, sf):
+    """Snapshot rollback/RESTORE end-to-end, oracled: bootstrap the table
+    from `customer`, apply an update batch (prices from even orderkeys),
+    capture the snapshot, apply a SECOND batch (odd orderkeys), then
+    ``rollback`` to the captured snapshot — a new commit whose state must
+    equal the post-batch-1 state exactly. The oracle states that state:
+    customer LEFT JOIN the even-orderkey LWW fold. Rollback is a commit,
+    not history erasure (the ledger keeps both batch ids), so the read
+    exercises the normal snapshot-resolution path."""
+    from pyspark.sql import types as T
+
+    from rap_etl_spark.lake import ManifestParquetTable
+    from rap_etl_spark.operators.cdc import lww_latest
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType()),
+            T.StructField("lsn", T.LongType()),
+            T.StructField("price", T.DoubleType()),
+        ]
+    )
+    ev = _t(spark, sf, "orders").select(
+        F.col("o_custkey").cast("string").alias("doc_id"),
+        F.col("o_orderkey").alias("lsn"),
+        F.col("o_totalprice").alias("price"),
+        F.lit("U").alias("op"),
+    )
+    boot = _t(spark, sf, "customer").select(
+        F.col("c_custkey").cast("string").alias("doc_id"),
+        F.lit(0).cast("long").alias("lsn"),
+        F.col("c_acctbal").alias("price"),
+    )
+    work = tempfile.mkdtemp(prefix="rap-etl-restore-")
+    try:
+        table = ManifestParquetTable.create(
+            spark, os.path.join(work, "t"), schema, n_buckets=8
+        )
+        table.append(boot, batch_id=0, assume_unique=True)
+        table.merge(lww_latest(ev.filter(F.col("lsn") % 2 == 0)), batch_id=1)
+        keep = table.snapshot_id()
+        table.merge(lww_latest(ev.filter(F.col("lsn") % 2 == 1)), batch_id=2)
+        table.rollback(keep)
+        rows = table.read().select("doc_id", "lsn", "price").collect()
+        return spark.createDataFrame(rows, schema)
+    finally:
+        import shutil
+
+        shutil.rmtree(work, ignore_errors=True)
+
+
+TPCH_QUERIES2["table_restore"] = q_table_restore
+
+TPCH_ORACLES2["table_restore"] = (
+    "WITH ev AS (SELECT CAST(o_custkey AS VARCHAR) AS doc_id,"
+    " o_orderkey AS lsn, o_totalprice AS price FROM orders"
+    " WHERE o_orderkey % 2 = 0),"
+    " w AS (SELECT *, row_number() OVER"
+    "   (PARTITION BY doc_id ORDER BY lsn DESC) AS rn FROM ev)"
+    " SELECT CAST(c_custkey AS VARCHAR) AS doc_id,"
+    "  coalesce(w.lsn, 0) AS lsn,"
+    "  coalesce(w.price, c_acctbal) AS price"
+    " FROM customer c LEFT JOIN (SELECT * FROM w WHERE rn = 1) w"
+    "  ON w.doc_id = CAST(c_custkey AS VARCHAR)"
+)

@@ -238,3 +238,120 @@ def test_minmax_update_new_group_and_group_death(spark):
     assert "g1" not in out  # count reached 0
     assert (out["g2"]["min_v"], out["g2"]["max_v"], out["g2"]["n"]) == (10, 25, 2)
     assert (out["g3"]["min_v"], out["g3"]["max_v"], out["g3"]["n"]) == (7, 7, 1)
+
+
+# --------------------------------------------------------------------------
+# TOP-K IVM (maintain_topk) — the order-statistic class
+# --------------------------------------------------------------------------
+def _tk_state(spark, fact, k=2):
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("grp").orderBy(F.col("v").desc(), F.col("id").asc())
+    return (
+        fact.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+def _tk_fact(spark, rows):
+    return spark.createDataFrame(rows, "grp string, id string, v long")
+
+
+def _tk_ch(spark, rows):
+    return spark.createDataFrame(rows, "grp string, id string, v long, _change_type string")
+
+
+def _tk_run(spark, fact_rows, ch_rows, fact2_rows, k=2):
+    from rap_etl_spark.operators.incremental import maintain_topk
+
+    fact = _tk_fact(spark, fact_rows)
+    fact2 = _tk_fact(spark, fact2_rows)
+    out = maintain_topk(
+        _tk_state(spark, fact, k), _tk_ch(spark, ch_rows), fact2,
+        ["grp"], "v", "id", k,
+    )
+    return {(r["grp"], r["id"], r["v"]) for r in out.collect()}
+
+
+def _tk_expect(spark, fact2_rows, k=2):
+    return {
+        (r["grp"], r["id"], r["v"])
+        for r in _tk_state(spark, _tk_fact(spark, fact2_rows), k).collect()
+    }
+
+
+def test_topk_insert_only_closed_form(spark):
+    fact = [("g1", "a", 10), ("g1", "b", 8), ("g1", "c", 5)]
+    ch = [("g1", "d", 9, "insert"), ("g1", "e", 1, "insert")]
+    fact2 = fact + [("g1", "d", 9), ("g1", "e", 1)]
+    assert _tk_run(spark, fact, ch, fact2) == _tk_expect(spark, fact2)
+
+
+def test_topk_delete_inside_topk_reaggregates(spark):
+    # removing the stored #1 must surface c (not in state) from the fact
+    fact = [("g1", "a", 10), ("g1", "b", 8), ("g1", "c", 5)]
+    ch = [("g1", "a", 10, "delete")]
+    fact2 = [("g1", "b", 8), ("g1", "c", 5)]
+    assert _tk_run(spark, fact, ch, fact2) == _tk_expect(spark, fact2)
+
+
+def test_topk_delete_below_floor_stays_closed_form(spark):
+    fact = [("g1", "a", 10), ("g1", "b", 8), ("g1", "c", 5)]
+    ch = [("g1", "c", 5, "delete")]
+    fact2 = [("g1", "a", 10), ("g1", "b", 8)]
+    assert _tk_run(spark, fact, ch, fact2) == _tk_expect(spark, fact2)
+
+
+def test_topk_update_new_group_small_group_and_death(spark):
+    # g1: update moves a row's value; g2 has < k rows (whole group stored,
+    # removal must re-derive); g3 is born; g4-style death via all-removed
+    fact = [
+        ("g1", "a", 10), ("g1", "b", 8), ("g1", "c", 5),
+        ("g2", "x", 3),
+    ]
+    ch = [
+        ("g1", "b", 8, "update_preimage"),
+        ("g1", "b", 12, "update_postimage"),
+        ("g2", "x", 3, "delete"),
+        ("g3", "n", 7, "insert"),
+    ]
+    fact2 = [("g1", "a", 10), ("g1", "b", 12), ("g1", "c", 5), ("g3", "n", 7)]
+    assert _tk_run(spark, fact, ch, fact2) == _tk_expect(spark, fact2)
+
+
+def test_topk_tie_break_deterministic(spark):
+    # equal values: id asc decides membership identically in both paths
+    fact = [("g1", "b", 5), ("g1", "c", 5), ("g1", "d", 5)]
+    ch = [("g1", "a", 5, "insert")]
+    fact2 = fact + [("g1", "a", 5)]
+    assert _tk_run(spark, fact, ch, fact2) == _tk_expect(spark, fact2)
+
+
+def test_topk_matches_recompute_randomized(spark):
+    import random
+
+    rnd = random.Random(47)
+    fact_rows = [
+        (f"g{rnd.randrange(6)}", f"id{i}", rnd.randrange(100))
+        for i in range(120)
+    ]
+    # derive a change stream: delete 25 random rows, update 25, insert 30
+    pool = list(fact_rows)
+    rnd.shuffle(pool)
+    dels, upds, keeps = pool[:25], pool[25:50], pool[50:]
+    ch = [(g, i, v, "delete") for g, i, v in dels]
+    upd2 = []
+    for g, i, v in upds:
+        nv = rnd.randrange(100)
+        ch += [(g, i, v, "update_preimage"), (g, i, nv, "update_postimage")]
+        upd2.append((g, i, nv))
+    ins = [
+        (f"g{rnd.randrange(8)}", f"new{i}", rnd.randrange(100))
+        for i in range(30)
+    ]
+    ch += [(g, i, v, "insert") for g, i, v in ins]
+    fact2 = keeps + upd2 + ins
+    assert _tk_run(spark, fact_rows, ch, fact2, k=3) == _tk_expect(
+        spark, fact2, k=3
+    )
