@@ -138,6 +138,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incr_minmax_maintain",
         "sessionize",
         "fn_zorder",
+        # round-3 session-2 capability proofs: order-statistic IVM,
+        # snapshot RESTORE, catalog-atomic multi-table fanout
+        "incr_topk_maintain",
+        "table_restore",
+        "cdc_fanout_txn",
+        "incr_count_distinct",
+        "incr_token_stats",
     ]
     oracles = oracle_sql()
     seen = _driver_checked_keys(set(oracles))

@@ -449,6 +449,45 @@ def _run_replay(
     return json.loads(line[-1])["seconds"], phases
 
 
+_PREP_KINDS = {
+    "log": prepare_log,
+    "lc": prepare_lc_log,
+    "merge": prepare_merge_log,
+    "soak": prepare_soak_log,
+}
+
+
+def _prep_sub(kind: str, work: str) -> str:
+    """Prepare a log in a SUBPROCESS so the prep JVM exits and returns its
+    heap to the OS before any timed worker starts. Running preps in-parent
+    left a ~30GB JVM resident for the whole bench (spark.stop() ends the
+    SparkContext, not the gateway JVM); together with the tmpfs logs and a
+    worker JVM that overran the host and got the parent OOM-killed
+    mid-run. Worker JVMs already run as subprocesses for isolation — preps
+    deserve the same."""
+    proc = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--prep-worker", kind, work],
+        capture_output=True, text=True, env=dict(os.environ), check=False,
+    )
+    line = [ln for ln in proc.stdout.splitlines() if ln.startswith("{")]
+    if not line:
+        print(proc.stdout[-2000:], file=sys.stderr)
+        print(proc.stderr[-4000:], file=sys.stderr)
+        raise RuntimeError(f"prep worker {kind!r} failed")
+    return json.loads(line[-1])["prepared"]
+
+
+def _free_log(path: str | None, keep: bool) -> None:
+    """Drop a phase's event log from tmpfs (= RAM) once no later phase
+    reads it, so peak memory is one phase's log + one worker JVM — unless
+    the caller owns the work dir (SPARK_GRAFT_BENCH_WORK) and wants the
+    prepared logs kept for re-runs."""
+    if path and not keep:
+        import shutil
+
+        shutil.rmtree(path, ignore_errors=True)
+
+
 def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "--replay-worker":
         nb = int(sys.argv[5]) if len(sys.argv) > 5 else 16
@@ -457,6 +496,9 @@ def main() -> None:
         return
     if len(sys.argv) > 1 and sys.argv[1] == "--soak-worker":
         soak_worker(sys.argv[2], sys.argv[3])
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "--prep-worker":
+        print(json.dumps({"prepared": _PREP_KINDS[sys.argv[2]](sys.argv[3])}))
         return
 
     # SPARK_GRAFT_BENCH_WORK: reuse a prepared work dir (log cached there) so
@@ -483,7 +525,7 @@ def main() -> None:
     os.makedirs(work, exist_ok=True)
     log_dir = os.path.join(work, "log-packed" if PACKED else "log-array")
     if not os.path.exists(os.path.join(log_dir, "batch=0")):
-        log_dir = prepare_log(work)
+        log_dir = _prep_sub("log", work)
     if len(sys.argv) > 1 and sys.argv[1] == "--prepare-only":
         print(json.dumps({"prepared": log_dir}))
         return
@@ -515,7 +557,7 @@ def main() -> None:
     if RUN_LC:
         try:
             if not os.path.exists(os.path.join(lc_log, "batch=0")):
-                lc_log = prepare_lc_log(work)
+                lc_log = _prep_sub("lc", work)
         except Exception as e:  # noqa: BLE001 - degrade, don't kill the bench
             print(f"lc log prep failed ({e}); skipping lc section", file=sys.stderr)
             lc_log = None
@@ -586,11 +628,14 @@ def main() -> None:
         if eff is not None:
             lc_section["efficiency_best"] = round(eff[0], 3)
             lc_section["efficiency_median"] = round(eff[1], 3)
+        # the LC log is the bench's largest tmpfs object (~100 bytes/event);
+        # nothing after this section reads it
+        _free_log(lc_log, keep=bool(explicit_work))
 
     # merge-heavy scenario: 2 rounds at the top level, min
     merge_log = os.path.join(work, "log-merge")
     if not os.path.exists(os.path.join(merge_log, "batch=0")):
-        merge_log = prepare_merge_log(work)
+        merge_log = _prep_sub("merge", work)
     mtimes: dict[str, list[float]] = {"cow": [], "mor": []}
     mor_mat: list[float] = []
     for _ in range(2):
@@ -616,6 +661,8 @@ def main() -> None:
         "mor_materialize_sec": round(min(mor_mat), 3) if mor_mat else None,
     }
 
+    _free_log(merge_log, keep=bool(explicit_work))
+
     # sustained-cadence soak (MoR, in-line maintenance) — one pass is the
     # measurement (32 batches ARE the samples)
     soak: dict = {}
@@ -624,7 +671,7 @@ def main() -> None:
         soak_log = os.path.join(work, "log-soak")
         try:
             if not os.path.exists(os.path.join(soak_log, "batch=0")):
-                soak_log = prepare_soak_log(work)
+                soak_log = _prep_sub("soak", work)
         except Exception as e:  # noqa: BLE001 - degrade, don't kill the bench
             print(f"soak log prep failed ({e}); skipping soak", file=sys.stderr)
             soak_log = None
@@ -659,6 +706,10 @@ def main() -> None:
                 print("soak worker failed (continuing)", file=sys.stderr)
                 print(proc.stdout[-2000:], file=sys.stderr)
                 print(proc.stderr[-4000:], file=sys.stderr)
+
+    if RUN_SOAK:
+        _free_log(os.path.join(work, "log-soak"), keep=bool(explicit_work))
+    _free_log(log_dir, keep=bool(explicit_work))
 
     platform = platform_calibration()
     qtimes = run_queries()

@@ -327,6 +327,30 @@ def cmd_status(args) -> int:
     return 0
 
 
+def cmd_restore(args) -> int:
+    """Roll the table back to a prior snapshot (or an immutable tag) as a
+    NEW commit — history and the batch ledger are preserved, so replay
+    idempotence is unaffected. The operator's 'undo the bad batch' tool."""
+    from rap_etl_spark.lake import ManifestParquetTable
+
+    t = ManifestParquetTable(_spark("rap-etl-restore"), args.table)
+    sid = args.snapshot
+    if sid is None and args.tag_name:
+        sid = t.list_tags()[args.tag_name]
+    info = t.rollback(sid)
+    print(
+        json.dumps(
+            {
+                "restored_to": sid,
+                "new_snapshot": t.snapshot_id(),
+                "skipped": info.skipped,
+                "rows": t.fast_count(),
+            }
+        )
+    )
+    return 0
+
+
 def cmd_branch(args) -> int:
     """WAP branch management: create/list/publish/drop (lake.py branches).
     Flow: `replay --branch audit` stages batches invisibly to main readers,
@@ -630,6 +654,13 @@ def build_parser() -> argparse.ArgumentParser:
     sp = sub.add_parser("status")
     sp.add_argument("--table", required=True)
     sp.set_defaults(fn=cmd_status)
+
+    sp = sub.add_parser("restore")
+    sp.add_argument("--table", required=True)
+    g = sp.add_mutually_exclusive_group(required=True)
+    g.add_argument("--snapshot")
+    g.add_argument("--tag", dest="tag_name")
+    sp.set_defaults(fn=cmd_restore)
 
     sp = sub.add_parser("vacuum")
     sp.add_argument("--table", required=True)

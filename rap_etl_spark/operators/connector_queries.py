@@ -378,3 +378,88 @@ CONNECTOR_ORACLES["cdc_fanout"] = (
     " (PARTITION BY doc_id ORDER BY lsn DESC) AS rn FROM ev)"
     " SELECT route, doc_id, lsn, price FROM w WHERE rn = 1 AND op <> 'D'"
 )
+
+
+def q_cdc_fanout_txn(spark, sf):
+    """Catalog-atomic fanout end-to-end (catalog.fanout_apply_txn): the
+    same two-route split as `cdc_fanout`, but applied through a
+    snapshot-consistent catalog — per-table merges publish to catalog
+    readers in ONE atomic pin swap per batch, with a simulated crash
+    before batch 1's swap (table commits land, swap doesn't) repaired by
+    redelivery. The final CATALOG view must equal the global LWW per
+    route — same oracle as the retry-level fanout, proving the txn layer
+    changes visibility, never results."""
+    from pyspark.sql import types as T
+
+    from rap_etl_spark.catalog import Catalog, fanout_apply_txn
+    from rap_etl_spark.engine import fanout_apply
+    from rap_etl_spark.lake import ManifestParquetTable
+
+    ev = _t(spark, sf, "orders").select(
+        F.when(F.col("o_custkey") % 2 == 0, "even").otherwise("odd").alias("_table"),
+        F.col("o_custkey").cast("string").alias("doc_id"),
+        F.col("o_orderkey").alias("lsn"),
+        F.col("o_totalprice").alias("price"),
+        F.when(F.col("o_orderkey") % 10 == 0, "D").otherwise("U").alias("op"),
+    )
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType()),
+            T.StructField("lsn", T.LongType()),
+            T.StructField("price", T.DoubleType()),
+        ]
+    )
+    out_schema = T.StructType(
+        [T.StructField("route", T.StringType())] + list(schema.fields)
+    )
+    work = tempfile.mkdtemp(prefix="rap-etl-fanout-txn-")
+    try:
+        cat = Catalog.create(spark, os.path.join(work, "cat"))
+        for name in ("even", "odd"):
+            cat.register(
+                name,
+                ManifestParquetTable.create(
+                    spark, os.path.join(work, name), schema, n_buckets=4
+                ),
+            )
+        fanout_apply_txn(
+            spark, cat, ev.filter(F.col("lsn") % 2 == 0), batch_id=0,
+            count_input=False,
+        )
+        # batch 1 "crashes" after the table-level merges, before the swap…
+        fanout_apply(
+            spark,
+            ev.filter(F.col("lsn") % 2 == 1),
+            {n: cat.table(n) for n in cat.names()},
+            batch_id=1,
+            count_input=False,
+        )
+        # …redelivery skips the committed merges and completes the swap
+        fanout_apply_txn(
+            spark, cat, ev.filter(F.col("lsn") % 2 == 1), batch_id=1,
+            count_input=False,
+        )
+        rows = []
+        for name in cat.names():
+            rows += [
+                (name, r["doc_id"], r["lsn"], r["price"])
+                for r in cat.read(name).collect()
+            ]
+        return spark.createDataFrame(rows, out_schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+CONNECTOR_QUERIES["cdc_fanout_txn"] = q_cdc_fanout_txn
+
+CONNECTOR_ORACLES["cdc_fanout_txn"] = (
+    "WITH ev AS (SELECT CASE WHEN o_custkey % 2 = 0 THEN 'even'"
+    "  ELSE 'odd' END AS route,"
+    " CAST(o_custkey AS VARCHAR) AS doc_id, o_orderkey AS lsn,"
+    " o_totalprice AS price,"
+    " CASE WHEN o_orderkey % 10 = 0 THEN 'D' ELSE 'U' END AS op"
+    " FROM orders),"
+    " w AS (SELECT *, row_number() OVER"
+    " (PARTITION BY doc_id ORDER BY lsn DESC) AS rn FROM ev)"
+    " SELECT route, doc_id, lsn, price FROM w WHERE rn = 1 AND op <> 'D'"
+)

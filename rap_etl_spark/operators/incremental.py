@@ -275,3 +275,95 @@ def maintain_topk(
         .drop("_rn")
     )
     return clean.unionByName(reagg)
+
+
+def maintain_count_distinct(
+    ref_state: DataFrame,
+    changes: DataFrame,
+    group_cols: list[str],
+    val_col: str,
+    ref_col: str = "_refcount",
+) -> tuple[DataFrame, DataFrame]:
+    """Incrementally maintain per-group exact COUNT(DISTINCT val) — the
+    class where deletes defeat sketches (HLL cannot subtract). The classic
+    exact answer is a refcount state: one row per live (group, value) pair
+    with its multiplicity. Inserts/deletes fold as signed refcount deltas;
+    a value's row leaves the state when its refcount reaches 0, and the
+    distinct count is simply the state's per-group row count.
+
+    Returns ``(new_ref_state, distinct_counts)``.
+
+    Scale: the fold is ONE map-side-combinable groupBy over the batch
+    plus one equi-join against the state on (group, value) — batch-sized
+    work against O(live distinct pairs) state, never a fact re-scan. The
+    state is a plain keyed DataFrame: at 10^10-row scale it lives as its
+    own bucketed lake table keyed by (group, value) and this fold becomes
+    a normal signed merge into it (the same machinery as every other
+    maintained view in this module).
+    """
+    sign = _sign()
+    keys = [*group_cols, val_col]
+    d = changes.groupBy(*keys).agg(F.sum(sign).alias("_d"))
+    st = ref_state.alias("st")
+    dd = d.alias("d")
+    cond = [st[c].eqNullSafe(dd[c]) for c in keys]
+    new_state = (
+        st.join(dd, cond, "full_outer")
+        .select(
+            *[F.coalesce(st[c], dd[c]).alias(c) for c in keys],
+            (
+                F.coalesce(st[ref_col], F.lit(0))
+                + F.coalesce(dd["_d"], F.lit(0))
+            ).alias(ref_col),
+        )
+        .filter(F.col(ref_col) > 0)
+    )
+    counts = new_state.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_distinct")
+    )
+    return new_state, counts
+
+
+def maintain_token_stats(
+    stats: DataFrame,
+    changes: DataFrame,
+    tokens_col: str = "tokens",
+    token_col: str = "token",
+    count_col: str = "freq",
+) -> DataFrame:
+    """Incrementally maintain the corpus-wide token-frequency table of a
+    CDC'd tokenized-sequence corpus — the tokens-payload special case
+    that makes vocabulary stats, drift monitors, and BPE refresh feasible
+    at 10^10 rows: the corpus is NEVER re-exploded; only the change
+    stream's token arrays are.
+
+    Token frequency is a distributive sum, so the signed fold is exact:
+    an update contributes preimage tokens at -1 and postimage tokens at
+    +1, and an unchanged token inside a changed document cancels in the
+    same map-side combine. Tokens whose maintained frequency reaches 0
+    drop out; brand-new tokens enter from the batch side.
+
+    Scale: explode(batch) is batch-sized (the corpus explode happens once
+    at bootstrap); the fold is one groupBy(token) with map-side combine
+    (~|vocab| result rows) plus one equi-join against the O(vocab) stats
+    frame. Vocabulary is Zipf-bounded — the stats frame broadcasts.
+    """
+    sign = _sign()
+    d = (
+        changes.select(F.explode(tokens_col).alias(token_col), sign.alias("_s"))
+        .groupBy(token_col)
+        .agg(F.sum("_s").alias("_d"))
+    )
+    st = stats.alias("st")
+    dd = d.alias("d")
+    return (
+        st.join(dd, st[token_col].eqNullSafe(dd[token_col]), "full_outer")
+        .select(
+            F.coalesce(st[token_col], dd[token_col]).alias(token_col),
+            (
+                F.coalesce(st[count_col], F.lit(0))
+                + F.coalesce(dd["_d"], F.lit(0))
+            ).alias(count_col),
+        )
+        .filter(F.col(count_col) > 0)
+    )

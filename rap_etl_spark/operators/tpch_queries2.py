@@ -1485,3 +1485,151 @@ TPCH_ORACLES2["table_restore"] = (
     " FROM customer c LEFT JOIN (SELECT * FROM w WHERE rn = 1) w"
     "  ON w.doc_id = CAST(c_custkey AS VARCHAR)"
 )
+
+
+def q_incr_count_distinct(spark, sf):
+    """Exact COUNT(DISTINCT) IVM end-to-end, oracled: maintain per-group
+    distinct priority counts of the lake table across a merge batch via
+    the refcount state (HLL can't subtract; the refcount fold can).
+    Bootstrap the state from the post-batch-0 table, merge batch 1 (with
+    deletes on every 10th orderkey), fold `table_changes` into the state,
+    and report per-group n_distinct. Oracle: COUNT(DISTINCT) of the final
+    LWW live state."""
+    from pyspark.sql import types as T
+
+    from rap_etl_spark.lake import ManifestParquetTable
+    from rap_etl_spark.operators.cdc import lww_latest
+    from rap_etl_spark.operators.incremental import maintain_count_distinct
+
+    ev = _t(spark, sf, "orders").select(
+        F.col("o_custkey").cast("string").alias("doc_id"),
+        F.col("o_orderkey").alias("lsn"),
+        F.col("o_orderpriority").alias("prio"),
+        F.when(F.col("o_orderkey") % 10 == 0, "D").otherwise("U").alias("op"),
+    )
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType()),
+            T.StructField("lsn", T.LongType()),
+            T.StructField("prio", T.StringType()),
+        ]
+    )
+    grp = (F.col("doc_id").cast("int") % 10).alias("grp")
+    out_schema = T.StructType(
+        [
+            T.StructField("grp", T.IntegerType()),
+            T.StructField("n_distinct", T.LongType()),
+        ]
+    )
+    work = tempfile.mkdtemp(prefix="rap-etl-ivm-cd-")
+    try:
+        table = ManifestParquetTable.create(
+            spark, os.path.join(work, "t"), schema, n_buckets=8
+        )
+        table.merge(lww_latest(ev.filter(F.col("lsn") % 2 == 0)), batch_id=0)
+        sid1 = table.snapshot_id()
+        state = (
+            table.read()
+            .groupBy(grp, "prio")
+            .agg(F.count(F.lit(1)).alias("_refcount"))
+        )
+        table.merge(lww_latest(ev.filter(F.col("lsn") % 2 == 1)), batch_id=1)
+        changes = table.table_changes(sid1).select(grp, "_change_type", "prio")
+        _, counts = maintain_count_distinct(state, changes, ["grp"], "prio")
+        rows = counts.select("grp", "n_distinct").collect()
+        return spark.createDataFrame(rows, out_schema)
+    finally:
+        import shutil
+
+        shutil.rmtree(work, ignore_errors=True)
+
+
+TPCH_QUERIES2["incr_count_distinct"] = q_incr_count_distinct
+
+TPCH_ORACLES2["incr_count_distinct"] = (
+    "WITH ev AS (SELECT CAST(o_custkey AS VARCHAR) AS doc_id,"
+    " o_orderkey AS lsn, o_orderpriority AS prio,"
+    " CASE WHEN o_orderkey % 10 = 0 THEN 'D' ELSE 'U' END AS op FROM orders),"
+    " w AS (SELECT *, row_number() OVER"
+    "   (PARTITION BY doc_id ORDER BY lsn DESC) AS rn FROM ev),"
+    " live AS (SELECT * FROM w WHERE rn = 1 AND op <> 'D')"
+    " SELECT CAST(doc_id AS INT) % 10 AS grp,"
+    " count(DISTINCT prio) AS n_distinct FROM live GROUP BY grp"
+)
+
+
+def q_incr_token_stats(spark, sf):
+    """Token-frequency IVM end-to-end, oracled — the tokens-payload
+    special case: maintain the corpus token-frequency table of a CDC'd
+    tokenized corpus WITHOUT re-exploding the corpus. Each doc carries a
+    deterministic 3-token array; batch 1's updates/deletes fold into the
+    bootstrapped stats as signed exploded deltas (an update contributes
+    preimage at -1 and postimage at +1). Oracle: re-explode the final LWW
+    live state and count."""
+    from pyspark.sql import types as T
+
+    from rap_etl_spark.lake import ManifestParquetTable
+    from rap_etl_spark.operators.cdc import lww_latest
+    from rap_etl_spark.operators.incremental import maintain_token_stats
+
+    ev = _t(spark, sf, "orders").select(
+        F.col("o_custkey").cast("string").alias("doc_id"),
+        F.col("o_orderkey").alias("lsn"),
+        F.array(
+            (F.col("o_orderkey") % 97).cast("int"),
+            (F.col("o_custkey") % 97).cast("int"),
+            ((F.col("o_orderkey") + F.col("o_custkey")) % 97).cast("int"),
+        ).alias("tokens"),
+        F.when(F.col("o_orderkey") % 10 == 0, "D").otherwise("U").alias("op"),
+    )
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType()),
+            T.StructField("lsn", T.LongType()),
+            T.StructField("tokens", T.ArrayType(T.IntegerType())),
+        ]
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField("token", T.IntegerType()),
+            T.StructField("freq", T.LongType()),
+        ]
+    )
+    work = tempfile.mkdtemp(prefix="rap-etl-ivm-tok-")
+    try:
+        table = ManifestParquetTable.create(
+            spark, os.path.join(work, "t"), schema, n_buckets=8
+        )
+        table.merge(lww_latest(ev.filter(F.col("lsn") % 2 == 0)), batch_id=0)
+        sid1 = table.snapshot_id()
+        stats = (
+            table.read()
+            .select(F.explode("tokens").alias("token"))
+            .groupBy("token")
+            .agg(F.count(F.lit(1)).alias("freq"))
+        )
+        table.merge(lww_latest(ev.filter(F.col("lsn") % 2 == 1)), batch_id=1)
+        changes = table.table_changes(sid1).select("_change_type", "tokens")
+        maintained = maintain_token_stats(stats, changes)
+        rows = maintained.select("token", "freq").collect()
+        return spark.createDataFrame(rows, out_schema)
+    finally:
+        import shutil
+
+        shutil.rmtree(work, ignore_errors=True)
+
+
+TPCH_QUERIES2["incr_token_stats"] = q_incr_token_stats
+
+TPCH_ORACLES2["incr_token_stats"] = (
+    "WITH ev AS (SELECT CAST(o_custkey AS VARCHAR) AS doc_id,"
+    " o_orderkey AS lsn,"
+    " [CAST(o_orderkey % 97 AS INT), CAST(o_custkey % 97 AS INT),"
+    "  CAST((o_orderkey + o_custkey) % 97 AS INT)] AS tokens,"
+    " CASE WHEN o_orderkey % 10 = 0 THEN 'D' ELSE 'U' END AS op FROM orders),"
+    " w AS (SELECT *, row_number() OVER"
+    "   (PARTITION BY doc_id ORDER BY lsn DESC) AS rn FROM ev),"
+    " live AS (SELECT * FROM w WHERE rn = 1 AND op <> 'D'),"
+    " ex AS (SELECT unnest(tokens) AS token FROM live)"
+    " SELECT token, count(*) AS freq FROM ex GROUP BY token"
+)

@@ -355,3 +355,128 @@ def test_topk_matches_recompute_randomized(spark):
     assert _tk_run(spark, fact_rows, ch, fact2, k=3) == _tk_expect(
         spark, fact2, k=3
     )
+
+
+# --------------------------------------------------------------------------
+# COUNT(DISTINCT) IVM (maintain_count_distinct) — refcount state
+# --------------------------------------------------------------------------
+def test_count_distinct_fold_and_drop(spark):
+    from rap_etl_spark.operators.incremental import maintain_count_distinct
+
+    state = spark.createDataFrame(
+        [("g1", "a", 2), ("g1", "b", 1), ("g2", "x", 1)],
+        "grp string, v string, _refcount long",
+    )
+    ch = spark.createDataFrame(
+        [
+            ("g1", "a", "delete"),          # refcount 2 -> 1: still distinct
+            ("g1", "b", "delete"),          # refcount 1 -> 0: drops
+            ("g1", "c", "insert"),          # new value
+            ("g2", "x", "update_preimage"),
+            ("g2", "y", "update_postimage"),  # x -> y: count stays 1
+            ("g3", "z", "insert"),          # new group
+        ],
+        "grp string, v string, _change_type string",
+    )
+    new_state, counts = maintain_count_distinct(state, ch, ["grp"], "v")
+    st = {(r["grp"], r["v"]): r["_refcount"] for r in new_state.collect()}
+    assert st == {("g1", "a"): 1, ("g1", "c"): 1, ("g2", "y"): 1, ("g3", "z"): 1}
+    cn = {r["grp"]: r["n_distinct"] for r in counts.collect()}
+    assert cn == {"g1": 2, "g2": 1, "g3": 1}
+
+
+def test_count_distinct_matches_recompute_randomized(spark):
+    import random
+
+    from rap_etl_spark.operators.incremental import maintain_count_distinct
+
+    rnd = random.Random(11)
+    base = [
+        (f"g{rnd.randrange(4)}", f"v{rnd.randrange(12)}") for _ in range(80)
+    ]
+    fact = spark.createDataFrame(base, "grp string, v string")
+    state = fact.groupBy("grp", "v").agg(F.count(F.lit(1)).alias("_refcount"))
+    pool = list(base)
+    rnd.shuffle(pool)
+    dels, keeps = pool[:30], pool[30:]
+    ins = [(f"g{rnd.randrange(5)}", f"v{rnd.randrange(15)}") for _ in range(25)]
+    ch = spark.createDataFrame(
+        [(g, v, "delete") for g, v in dels]
+        + [(g, v, "insert") for g, v in ins],
+        "grp string, v string, _change_type string",
+    )
+    _, counts = maintain_count_distinct(state, ch, ["grp"], "v")
+    got = {r["grp"]: r["n_distinct"] for r in counts.collect()}
+    final = keeps + ins
+    want: dict[str, set] = {}
+    for g, v in final:
+        want.setdefault(g, set()).add(v)
+    assert got == {g: len(vs) for g, vs in want.items()}
+
+
+# --------------------------------------------------------------------------
+# Token-frequency IVM (maintain_token_stats) — tokens-payload special case
+# --------------------------------------------------------------------------
+def test_token_stats_signed_fold(spark):
+    from rap_etl_spark.operators.incremental import maintain_token_stats
+
+    stats = spark.createDataFrame(
+        [(1, 3), (2, 1), (3, 2)], "token int, freq long"
+    )
+    ch = spark.createDataFrame(
+        [
+            ([1, 2], "update_preimage"),   # -1, -2
+            ([1, 4], "update_postimage"),  # +1, +4: net -2, +4
+            ([3, 3], "delete"),            # 3 drops 2 -> 0: leaves stats
+            ([5], "insert"),               # new token
+        ],
+        "tokens array<int>, _change_type string",
+    )
+    out = {r["token"]: r["freq"] for r in maintain_token_stats(stats, ch).collect()}
+    assert out == {1: 3, 4: 1, 5: 1}
+
+
+def test_token_stats_matches_recompute_randomized(spark):
+    import random
+
+    from rap_etl_spark.operators.incremental import maintain_token_stats
+
+    rnd = random.Random(23)
+    docs = {
+        f"d{i}": [rnd.randrange(20) for _ in range(rnd.randrange(1, 6))]
+        for i in range(40)
+    }
+    stats = (
+        spark.createDataFrame(
+            [(toks,) for toks in docs.values()], "tokens array<int>"
+        )
+        .select(F.explode("tokens").alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    ch_rows = []
+    final = dict(docs)
+    ids = sorted(docs)
+    rnd.shuffle(ids)
+    for d in ids[:10]:  # delete
+        ch_rows.append((docs[d], "delete"))
+        del final[d]
+    for d in ids[10:25]:  # update
+        new = [rnd.randrange(25) for _ in range(rnd.randrange(1, 6))]
+        ch_rows.append((docs[d], "update_preimage"))
+        ch_rows.append((new, "update_postimage"))
+        final[d] = new
+    for i in range(12):  # insert
+        new = [rnd.randrange(25) for _ in range(rnd.randrange(1, 6))]
+        ch_rows.append((new, "insert"))
+        final[f"n{i}"] = new
+    ch = spark.createDataFrame(ch_rows, "tokens array<int>, _change_type string")
+    got = {
+        r["token"]: r["freq"]
+        for r in maintain_token_stats(stats, ch).collect()
+    }
+    want: dict[int, int] = {}
+    for toks in final.values():
+        for t in toks:
+            want[t] = want.get(t, 0) + 1
+    assert got == want
