@@ -241,3 +241,63 @@ CDC_ORACLES = {
         " FROM w WHERE rn = 1"
     ),
 }
+
+
+def q_scd2_asof_enrich(spark, sf):
+    """CDC dimension enrichment: join each change event to the SCD2
+    dimension version that was CURRENT AS OF the event's LSN — the classic
+    streaming-enrichment shape (late-arriving facts against a versioned
+    dimension). Events: one per order carrying its price; dimension: the
+    SCD2 (status, priority) history of the same customers, version
+    boundaries at attribute changes. Implemented as the union+window as-of
+    join (operators/asof.py — ONE shuffle on the key, no range-join
+    explosion: at 10^10 events a BETWEEN-join would nest-loop). The oracle
+    states the version pick directly with a lateral max(valid_from <= lsn).
+    Rows before a customer's first version carry NULLs (as-of semantics)."""
+    from rap_etl_spark.operators.asof import asof_join
+    from rap_etl_spark.operators.cdc import scd2_history
+
+    ev = _order_events(spark, sf)
+    dim = scd2_history(
+        ev.select("doc_id", "lsn", "status", "priority"),
+        key="doc_id",
+        lsn_col="lsn",
+        tracked=["status", "priority"],
+    ).select(
+        "doc_id",
+        "valid_from",
+        F.col("status").alias("dim_status"),
+        F.col("priority").alias("dim_priority"),
+    )
+    fact = ev.select("doc_id", "lsn", "price")
+    return asof_join(
+        fact,
+        dim,
+        key="doc_id",
+        left_ts="lsn",
+        right_ts="valid_from",
+        right_payload=["dim_status", "dim_priority"],
+    ).select("doc_id", "lsn", "price", "dim_status", "dim_priority")
+
+
+CDC_QUERIES["scd2_asof_enrich"] = q_scd2_asof_enrich
+
+CDC_ORACLES["scd2_asof_enrich"] = (
+    "WITH ev AS (SELECT CAST(o_custkey AS VARCHAR) AS doc_id,"
+    " o_orderkey AS lsn, o_orderstatus AS status,"
+    " o_orderpriority AS priority, o_totalprice AS price FROM orders),"
+    " keep AS (SELECT *, (lag(lsn) OVER w IS NULL"
+    "   OR status IS DISTINCT FROM lag(status) OVER w"
+    "   OR priority IS DISTINCT FROM lag(priority) OVER w) AS _keep"
+    "  FROM ev WINDOW w AS (PARTITION BY doc_id ORDER BY lsn)),"
+    " v AS (SELECT doc_id, status AS dim_status, priority AS dim_priority,"
+    "  lsn AS valid_from FROM keep WHERE _keep)"
+    " SELECT e.doc_id, e.lsn, e.price,"
+    "  (SELECT v.dim_status FROM v WHERE v.doc_id = e.doc_id"
+    "    AND v.valid_from <= e.lsn"
+    "    ORDER BY v.valid_from DESC LIMIT 1) AS dim_status,"
+    "  (SELECT v.dim_priority FROM v WHERE v.doc_id = e.doc_id"
+    "    AND v.valid_from <= e.lsn"
+    "    ORDER BY v.valid_from DESC LIMIT 1) AS dim_priority"
+    " FROM ev e"
+)

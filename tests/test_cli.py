@@ -288,3 +288,31 @@ def test_cli_envelope_requires_payload_ddl(tmp_path, capsys):
         ["stream", "--table", str(tmp_path / "t"), "--log", str(tmp_path / "l"),
          "--checkpoint", str(tmp_path / "cp"), "--format", "envelope"]
     ) == 2
+
+
+def test_cli_restore_to_snapshot_and_tag(spark, sf_small, tmp_path, capsys):
+    log = str(tmp_path / "log")
+    table = str(tmp_path / "t")
+    _run(capsys, "synth", "--out", log, "--events", "2000",
+         "--sf", sf_small, "--batches", "2")
+    _run(capsys, "init", "--table", table, "--buckets", "4")
+    _run(capsys, "replay", "--table", table, "--log", log, "--batches", "0")
+    st1 = _run(capsys, "status", "--table", table)[-1]
+    _run(capsys, "tag", "create", "--table", table, "--name", "good")
+    _run(capsys, "replay", "--table", table, "--log", log)
+    st2 = _run(capsys, "status", "--table", table)[-1]
+    assert st2["committed_batches"] == ["0", "1"]
+
+    rec = _run(capsys, "restore", "--table", table,
+               "--snapshot", st1["snapshot"])[-1]
+    assert rec["restored_to"] == st1["snapshot"]
+    assert rec["rows"] == st1["rows"]
+    st3 = _run(capsys, "status", "--table", table)[-1]
+    # rollback un-commits batch 1: re-replay applies it again, same state
+    assert st3["committed_batches"] == ["0"]
+
+    # restore by tag resolves through list_tags
+    _run(capsys, "replay", "--table", table, "--log", log)
+    rec = _run(capsys, "restore", "--table", table, "--tag", "good")[-1]
+    assert rec["restored_to"] == st1["snapshot"]
+    assert rec["rows"] == st1["rows"]
