@@ -145,6 +145,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_fanout_txn",
         "incr_count_distinct",
         "incr_token_stats",
+        "scd2_asof_enrich",
     ]
     oracles = oracle_sql()
     seen = _driver_checked_keys(set(oracles))
