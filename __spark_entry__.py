@@ -146,6 +146,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incr_count_distinct",
         "incr_token_stats",
         "scd2_asof_enrich",
+        "bucket_split_read",
     ]
     oracles = oracle_sql()
     seen = _driver_checked_keys(set(oracles))

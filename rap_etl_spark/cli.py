@@ -48,7 +48,9 @@ Subcommands::
              [--zorder COL,COL] [--max-rows-per-file N]
              [--materialize]
              [--ledger-horizon BATCH] [--sort COL,COL]
-    rebucket --table PATH --buckets N
+    rebucket --table PATH --buckets N                (eager full rewrite)
+    split    --table PATH [--factor K]    (metadata-only bucket growth,
+                                           lazy migration on write)
     vacuum   --table PATH [--keep N] [--grace SEC]   (expire + orphan GC only)
     profile  --table PATH [--exact]                  (per-column stats)
     status   --table PATH
@@ -299,6 +301,27 @@ def cmd_rebucket(args) -> int:
     return 0
 
 
+def cmd_split(args) -> int:
+    """Grow the bucket count as a METADATA-ONLY commit (lake.split_buckets):
+    pre-split files are matched by hash-layout residue and migrate lazily
+    as merges/compactions touch them — the zero-rewrite alternative to
+    `rebucket` when the table has outgrown its layout."""
+    from rap_etl_spark.lake import ManifestParquetTable
+
+    t = ManifestParquetTable(_spark("rap-etl-split"), args.table)
+    info = t.split_buckets(args.factor)
+    print(
+        json.dumps(
+            {
+                "snapshot": info.snapshot_id,
+                "n_buckets": t.n_buckets(),
+                "migration": t.split_migration(),
+            }
+        )
+    )
+    return 0
+
+
 def cmd_status(args) -> int:
     from rap_etl_spark.lake import ManifestParquetTable
 
@@ -321,6 +344,9 @@ def cmd_status(args) -> int:
                 # back to a bucket-pruned scan only where tombstones or
                 # un-materialized deltas make footer counts insufficient)
                 "rows": t.fast_count(),
+                # files still under a pre-split bucket modulus (0 unless
+                # split_buckets ran and migration hasn't finished)
+                "files_pre_split": t.split_migration()["files_pre_split"],
             }
         )
     )
@@ -650,6 +676,11 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--table", required=True)
     sp.add_argument("--buckets", type=int, required=True)
     sp.set_defaults(fn=cmd_rebucket)
+
+    sp = sub.add_parser("split")
+    sp.add_argument("--table", required=True)
+    sp.add_argument("--factor", type=int, default=2)
+    sp.set_defaults(fn=cmd_split)
 
     sp = sub.add_parser("status")
     sp.add_argument("--table", required=True)

@@ -147,6 +147,128 @@ META_LSN = "_lsn"  # row version: max LSN that produced this row
 META_DEL = "_del"  # delete tombstone marker
 
 
+def _entry_nb(fe: dict, default_nb: int) -> int:
+    """Bucket modulus a file entry was written under. Entries predating
+    ``split_buckets`` carry no ``"nb"``; such entries can only appear in
+    manifests whose root ``n_buckets`` equals their write-time modulus (a
+    split stamps every entry it carries into fresh bucket pages), so the
+    owning manifest's modulus is the exact default —
+    ``_load_manifest_file`` applies it once, in place, at load time."""
+    try:
+        return int(fe.get("nb") or default_nb)
+    except (TypeError, ValueError):
+        return default_nb
+
+
+class _BucketZones:
+    """A set of hash-bucket ZONES — (bucket, modulus) pairs — with overlap
+    queries against manifest file entries.
+
+    After ``split_buckets`` a table's live files carry MIXED moduli: a
+    file written under modulus n holds exactly the keys k with
+    ``pmod(xxhash64(k), n) == bucket``, and because splits MULTIPLY the
+    modulus, live moduli form a divisibility chain. Two zones share keys
+    iff the finer bucket folds onto the coarser one::
+
+        pmod(h, m) == b  =>  pmod(h, n) == b % n    for every n | m
+
+    so ``overlap((b1, n1), (b2, n2))`` with n1 <= n2 is ``b2 % n1 == b1``.
+    Moduli off the chain never arise from this table's lifecycle; if ever
+    seen they conservatively overlap — every caller treats "hits" as
+    "must read/rewrite", so over-matching is always safe (the superset-
+    hint rule of ``merge``), under-matching never is."""
+
+    def __init__(self, zones) -> None:
+        self._by_n: dict[int, set[int]] = {}
+        for b, n in zones:
+            self._by_n.setdefault(int(n), set()).add(int(b))
+        # lazy fold cache: (zone_modulus, entry_modulus) -> folded buckets
+        self._folds: dict[tuple[int, int], set[int]] = {}
+
+    def hits(self, fe: dict, default_nb: int) -> bool:
+        """Does this file entry share any key with any zone?"""
+        fb, fn = int(fe["bucket"]), _entry_nb(fe, default_nb)
+        for zn, zbs in self._by_n.items():
+            if fn == zn:
+                if fb in zbs:
+                    return True
+            elif fn < zn:
+                if zn % fn:
+                    return True  # off-chain modulus: conservative
+                folded = self._folds.get((zn, fn))
+                if folded is None:
+                    folded = {zb % fn for zb in zbs}
+                    self._folds[(zn, fn)] = folded
+                if fb in folded:
+                    return True
+            else:
+                if fn % zn:
+                    return True
+                if fb % zn in zbs:
+                    return True
+        return False
+
+    def split(self, files: list[dict], default_nb: int):
+        """Partition file entries into ``(hit, miss)`` lists."""
+        hit: list[dict] = []
+        miss: list[dict] = []
+        for fe in files:
+            (hit if self.hits(fe, default_nb) else miss).append(fe)
+        return hit, miss
+
+
+def _bucket_zones(buckets, nb: int) -> _BucketZones:
+    """Zones for a set of CURRENT-modulus bucket ids (the common shape:
+    merge hints, lookups and compaction selectors are all computed with
+    ``_bucket_expr`` at the live modulus)."""
+    return _BucketZones((b, nb) for b in buckets)
+
+
+def _delta_zones(files: list[dict], default_nb: int) -> _BucketZones:
+    """Zones occupied by MoR delta files (each at its own write modulus)."""
+    return _BucketZones(
+        (fe["bucket"], _entry_nb(fe, default_nb))
+        for fe in files
+        if fe.get("kind") == "delta"
+    )
+
+
+def _closure_split(
+    files: list[dict], zones: _BucketZones, default_nb: int
+) -> tuple[list[dict], list[dict]]:
+    """``(hit, miss)`` with hit CLOSED under key-sharing: repeatedly expand
+    the matched set with every file overlapping a matched file's zone,
+    until a fixpoint (at most one pass per live modulus). Maintenance
+    rewrites that RESOLVE-and-drop delta files need this closure — a
+    matched pre-split file shares keys with finer sibling stacks, and
+    folding it without their deltas would publish stale rows next to the
+    deltas that supersede them. Read paths don't: a partial stack left in
+    place still resolves at read time."""
+    hit, miss = zones.split(files, default_nb)
+    while True:
+        z2 = _BucketZones(
+            (fe["bucket"], _entry_nb(fe, default_nb)) for fe in hit
+        )
+        hit2, miss2 = z2.split(files, default_nb)
+        if len(hit2) == len(hit):
+            return hit2, miss2
+        hit = hit2
+
+
+def _fold_modulus(files: list[dict], default_nb: int) -> int:
+    """Coarsest write-time modulus among entries: grouping file entries by
+    ``bucket % fold`` puts any two KEY-SHARING zones in the same group
+    (fold divides every live modulus, and overlap implies equality at any
+    common divisor), while keeping groups exactly per-bucket when moduli
+    are uniform. An off-chain modulus collapses the fold to 1 — one group,
+    conservative but exact."""
+    mods = {_entry_nb(fe, default_nb) for fe in files} or {default_nb}
+    lo = min(mods)
+    if lo <= 0 or any(m % lo for m in mods):
+        return 1
+    return lo
+
+
 class LakeTable(ABC):
     """What the engine needs from a table format (SURVEY.md §7.2)."""
 
@@ -304,6 +426,16 @@ class ManifestParquetTable(LakeTable):
                 cache[b] = (name, entries)
             man["files"] = files
             man["_bm_cache"] = cache
+        # Stamp each entry's write-time bucket modulus. On-disk entries
+        # without "nb" are exactly those written before any split, whose
+        # modulus IS this manifest's root modulus (split_buckets rewrites
+        # every page it carries with "nb" explicit). In-place setdefault
+        # keeps the dict objects shared with _bm_cache, so the identity-
+        # based page-reuse detection in _write_manifest is untouched.
+        nb0 = int(man.get("n_buckets") or 0)
+        if nb0:
+            for fe in man.get("files", []):
+                fe.setdefault("nb", nb0)
         return man
 
     def _write_manifest(self, manifest: dict) -> None:
@@ -601,13 +733,17 @@ class ManifestParquetTable(LakeTable):
         deltas = [fe for fe in files if fe.get("kind") == "delta"]
         if not deltas:
             return self._read_files(files, target_schema, with_meta=with_meta)
-        dirty = {fe["bucket"] for fe in deltas}
-        clean = [fe for fe in files if fe["bucket"] not in dirty]
+        # Dirty region = every file sharing keys with a delta's zone. With
+        # uniform moduli that is exactly "same bucket id"; after a
+        # split_buckets() an old-modulus base file is dirty when ANY delta
+        # bucket folds onto it (residue rule in _BucketZones) — treating
+        # it as clean would skip delta application for the rows it shares.
+        nb_cur = self.n_buckets()
+        dirty_files, clean = _delta_zones(files, nb_cur).split(files, nb_cur)
         out_clean = self._read_files(clean, target_schema, with_meta=True)
         by_seq: dict[int, list[dict]] = {}
-        for fe in files:
-            if fe["bucket"] in dirty:
-                by_seq.setdefault(int(fe.get("seq", 0)), []).append(fe)
+        for fe in dirty_files:
+            by_seq.setdefault(int(fe.get("seq", 0)), []).append(fe)
         parts = [
             self._read_files(by_seq[s], target_schema, with_meta=True).withColumn(
                 "_seq", F.lit(s)
@@ -715,10 +851,21 @@ class ManifestParquetTable(LakeTable):
         )
         m_from = None if from_snapshot is None else self._manifest_of(from_snapshot)
 
+        # Group files at the coarsest live modulus across BOTH snapshots
+        # (bucket % fold): key-closed under split_buckets' mixed-moduli
+        # layouts — a post-split MoR delta must land in the same group as
+        # the pre-split base holding its keys, or the old side would skip
+        # that base and misreport updates as inserts. With uniform moduli
+        # the fold is the modulus itself and this is exactly per-bucket.
+        nb_to = int(m_to.get("n_buckets") or 1)
+        fold = _fold_modulus(
+            (m_from or {"files": []})["files"] + m_to["files"], nb_to
+        )
+
         def by_bucket(man: dict | None) -> dict[int, list[dict]]:
             out: dict[int, list[dict]] = {}
             for fe in (man or {"files": []})["files"]:
-                out.setdefault(fe["bucket"], []).append(fe)
+                out.setdefault(fe["bucket"] % fold, []).append(fe)
             return out
 
         old_b, new_b = by_bucket(m_from), by_bucket(m_to)
@@ -879,6 +1026,9 @@ class ManifestParquetTable(LakeTable):
                 entry = {
                     "path": os.path.join("data", new_name),
                     "bucket": bucket,
+                    # write-time bucket modulus: bucket pruning after a
+                    # split_buckets() matches this file by residue
+                    "nb": nb,
                     "schema_version": schema_version,
                     "rows": int(md.num_rows),
                 }
@@ -1198,8 +1348,14 @@ class ManifestParquetTable(LakeTable):
             rows = int(sum(r["_n"] for r in _stats))
             _tlog("merge.materialize_changes", _t0)
         try:
-            old_entries = [fe for fe in m["files"] if fe["bucket"] in affected_set]
-            keep_entries = [fe for fe in m["files"] if fe["bucket"] not in affected_set]
+            # residue-aware pruning: after split_buckets() a pre-split file
+            # overlapping ANY affected bucket is pulled into the rewrite
+            # (its untouched sibling rows pass through the full-outer join
+            # and land re-clustered under the current modulus — lazy
+            # migration), everything else keeps its entry untouched
+            old_entries, keep_entries = _bucket_zones(
+                affected_set, int(m["n_buckets"])
+            ).split(m["files"], int(m["n_buckets"]))
 
             # resolve any stacked MoR deltas in the affected buckets first:
             # the single full-outer join below requires one row per key on
@@ -1323,7 +1479,10 @@ class ManifestParquetTable(LakeTable):
             .collect()
         }
         files = self._prune_files_by_key(
-            [fe for fe in m["files"] if fe["bucket"] in buckets], keys
+            _bucket_zones(buckets, self.n_buckets()).split(
+                m["files"], self.n_buckets()
+            )[0],
+            keys,
         )
         df = self._read_resolved(files, self.schema())
         return df.filter(F.col(self.key).isin(list(keys)))
@@ -1371,7 +1530,14 @@ class ManifestParquetTable(LakeTable):
         so the result is exact regardless of stats coverage."""
         m = self._manifest()
         files = m["files"]
-        dirty = {fe["bucket"] for fe in files if fe.get("kind") == "delta"}
+        nb = int(m["n_buckets"])
+        # dirty region = every file sharing keys with a delta zone; pruning
+        # granularity is the region's FOLD groups (bucket % coarsest live
+        # modulus) — key-closed by the divisibility chain, and exactly
+        # per-bucket when moduli are uniform (the pre-split behavior)
+        dirty_files, _ = _delta_zones(files, nb).split(files, nb)
+        dirty_paths = {fe["path"] for fe in dirty_files}
+        fold = _fold_modulus(dirty_files, nb) if dirty_files else nb
 
         def bounds(fe, col):
             if col == self.key:
@@ -1397,15 +1563,15 @@ class ManifestParquetTable(LakeTable):
                     continue
             return True
 
-        keep_dirty = {
-            fe["bucket"] for fe in files if fe["bucket"] in dirty and overlaps(fe)
+        keep_groups = {
+            fe["bucket"] % fold for fe in dirty_files if overlaps(fe)
         }
         kept = [
             fe
             for fe in files
             if (
-                fe["bucket"] in keep_dirty
-                if fe["bucket"] in dirty
+                fe["bucket"] % fold in keep_groups
+                if fe["path"] in dirty_paths
                 else overlaps(fe)
             )
         ]
@@ -1541,14 +1707,25 @@ class ManifestParquetTable(LakeTable):
         Run on a cadence keyed off ``delta_depth()`` to bound read
         amplification while keeping the merge path write-optimal."""
         m = self._manifest()
-        dirty = {fe["bucket"] for fe in m["files"] if fe.get("kind") == "delta"}
+        nb = int(m["n_buckets"])
+        deltas = [fe for fe in m["files"] if fe.get("kind") == "delta"]
         if buckets is not None:
-            dirty &= {int(b) for b in buckets}
-        if not dirty:
+            req = _bucket_zones({int(b) for b in buckets}, nb)
+            deltas = [fe for fe in deltas if req.hits(fe, nb)]
+        if not deltas:
             return CommitInfo(m["snapshot_id"], None, 0, skipped=True)
         schema = self.schema()
-        target = [fe for fe in m["files"] if fe["bucket"] in dirty]
-        keep = [fe for fe in m["files"] if fe["bucket"] not in dirty]
+        # everything sharing keys with a selected delta's zone joins the
+        # fold, CLOSED under key-sharing (post-split residue matching: a
+        # coarse pre-split base pulled in by one delta brings its finer
+        # sibling stacks too — their deltas leave via the same rewrite);
+        # the write re-clusters at the current modulus, migrating any
+        # pre-split file it touches
+        target, keep = _closure_split(
+            m["files"],
+            _BucketZones((fe["bucket"], _entry_nb(fe, nb)) for fe in deltas),
+            nb,
+        )
         df = self._read_resolved(target, schema, with_meta=True).withColumn(
             "_b", self._bucket_expr(self.key)
         )
@@ -1573,9 +1750,12 @@ class ManifestParquetTable(LakeTable):
         compact()s. Optionally GCs tombstones at/below the horizon, same
         safety rule as compact()."""
         m = self._manifest()
+        nb = int(m["n_buckets"])
         sel = {int(b) for b in buckets}
-        target = [fe for fe in m["files"] if fe["bucket"] in sel]
-        keep = [fe for fe in m["files"] if fe["bucket"] not in sel]
+        # closure, not plain residue match: this rewrite resolves-and-drops
+        # delta files, so a matched pre-split base must bring every finer
+        # stack it shares keys with (see _closure_split)
+        target, keep = _closure_split(m["files"], _bucket_zones(sel, nb), nb)
         if not target:
             return CommitInfo(m["snapshot_id"], None, 0, skipped=True)
         schema = self.schema()
@@ -1662,8 +1842,13 @@ class ManifestParquetTable(LakeTable):
         rows = int(sum(r["_n"] for r in stats))
         if not affected:
             return CommitInfo(m["snapshot_id"], batch_id, 0, skipped=True)
-        old_entries = [fe for fe in m["files"] if fe["bucket"] in affected]
-        keep_entries = [fe for fe in m["files"] if fe["bucket"] not in affected]
+        # every matched key's bucket is in `affected`, so residue matching
+        # pulls that key's FULL stack (pre-split bases included); stale
+        # pass-through rows of other keys re-resolve against their kept
+        # deltas at read time (same argument as the merge path)
+        old_entries, keep_entries = _bucket_zones(
+            affected, int(m["n_buckets"])
+        ).split(m["files"], int(m["n_buckets"]))
         schema = self.schema()
         post = transform(
             self._read_resolved(old_entries, schema, with_meta=True)
@@ -2010,6 +2195,53 @@ class ManifestParquetTable(LakeTable):
         self._write_manifest(nxt)
         return CommitInfo(nxt["snapshot_id"], None, -1)
 
+    def split_buckets(self, factor: int = 2) -> CommitInfo:
+        """Progressive bucket-count growth: multiply ``n_buckets`` by an
+        integer factor as a METADATA-ONLY commit — zero data files read or
+        written, the answer to "the table grew 100x" that ``rebucket``'s
+        full rewrite cannot be at 100 TB.
+
+        Works because hash layouts NEST: ``pmod(h, k*N) == b`` implies
+        ``pmod(h, N) == b % N``, so a file written under modulus N holds
+        exactly the keys of the k current buckets folding onto it. Every
+        bucket-pruned path (merge, lookup, MoR resolution, diff,
+        fast_count, maintenance) matches old files through that residue
+        rule (``_BucketZones``), and ordinary writes MIGRATE lazily: any
+        merge or compaction touching a pre-split file rewrites its rows
+        under the current modulus. ``split_migration()`` reports progress;
+        ``compact_buckets(range(n_buckets))`` finishes migration eagerly.
+
+        The commit stamps every carried entry's write-time modulus into
+        fresh dicts on purpose: identity-based page reuse is broken ONCE so
+        each bucket page is rewritten carrying ``"nb"`` explicitly (an
+        on-disk entry without ``"nb"`` defaults to its ROOT's modulus at
+        load, which this commit changes). Cost: O(existing files) metadata,
+        after which untouched buckets share pages again."""
+        f = int(factor)
+        if f < 2 or f != factor:
+            raise ValueError(f"split factor must be an integer >= 2, got {factor!r}")
+        m = self._manifest()
+        old_nb = int(m["n_buckets"])
+        nxt = self._next_manifest(m)
+        nxt["n_buckets"] = old_nb * f
+        nxt["files"] = [dict(fe, nb=_entry_nb(fe, old_nb)) for fe in m["files"]]
+        self._write_manifest(nxt)
+        return CommitInfo(nxt["snapshot_id"], None, 0)
+
+    def split_migration(self) -> dict:
+        """How much of the table still lives under pre-split moduli —
+        drive an eager finish (``compact_buckets``) or just watch ordinary
+        ingest migrate it."""
+        m = self._manifest()
+        nb = int(m["n_buckets"])
+        legacy = [fe for fe in m["files"] if _entry_nb(fe, nb) != nb]
+        return {
+            "n_buckets": nb,
+            "files_total": len(m["files"]),
+            "files_pre_split": len(legacy),
+            "rows_pre_split": sum(int(fe.get("rows", 0)) for fe in legacy),
+        }
+
     def expire_snapshots(
         self, keep: int = 3, orphan_grace_sec: float = 3600.0
     ) -> int:
@@ -2205,19 +2437,21 @@ class ManifestParquetTable(LakeTable):
         bucket-pruned resolved scan. Append/merge-heavy tables answer in
         O(files) driver time with ZERO jobs; the fallback scans touched
         buckets, never the table."""
-        files = self._manifest()["files"]
-        need: set[int] = set()
-        for fe in files:
-            if fe.get("kind") == "delta" or fe.get("has_dels") is not False:
-                need.add(fe["bucket"])
-        total = sum(
-            fe["rows"]
+        m = self._manifest()
+        files, nb = m["files"], int(m["n_buckets"])
+        need = [
+            (fe["bucket"], _entry_nb(fe, nb))
             for fe in files
-            if fe.get("kind") != "delta" and fe["bucket"] not in need
-        )
-        if need:
-            sub = [fe for fe in files if fe["bucket"] in need]
-            total += self._read_resolved(sub, self.schema()).count()
+            if fe.get("kind") == "delta" or fe.get("has_dels") is not False
+        ]
+        if not need:
+            return sum(fe["rows"] for fe in files)
+        # residue matching: a pre-split base overlapping a delta's zone
+        # must join the scanned side — counting it from metadata would
+        # double rows the delta supersedes
+        sub, rest = _BucketZones(need).split(files, nb)
+        total = sum(fe["rows"] for fe in rest if fe.get("kind") != "delta")
+        total += self._read_resolved(sub, self.schema()).count()
         return total
 
     def files_df(self) -> DataFrame:

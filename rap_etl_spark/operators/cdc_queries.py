@@ -282,6 +282,65 @@ def q_scd2_asof_enrich(spark, sf):
 
 CDC_QUERIES["scd2_asof_enrich"] = q_scd2_asof_enrich
 
+def q_bucket_split_read(spark, sf):
+    """Progressive bucket evolution end-to-end (lake.split_buckets): merge
+    batch 0 into a 4-bucket table, DOUBLE the bucket count as a
+    metadata-only commit (zero data files written), merge batch 1
+    merge-on-read — its deltas land under the NEW modulus while every base
+    file still carries the OLD one, so the read has to resolve the stack
+    by hash-layout residue (pmod(h,2N)=b folds onto pmod(h,N)=b%N) — then
+    materialize half the buckets (the key-sharing-closure maintenance
+    path) and read. The oracle is the same global LWW statement as
+    cdc_merge: bucket layout, split timing, and migration state are
+    internal and must be invisible in the answer."""
+    from pyspark.sql import types as T
+
+    from rap_etl_spark.lake import ManifestParquetTable
+    from rap_etl_spark.operators.cdc import lww_latest
+
+    ev = _t(spark, sf, "orders").select(
+        F.col("o_custkey").cast("string").alias("doc_id"),
+        F.col("o_orderkey").alias("lsn"),
+        F.col("o_totalprice").alias("price"),
+        F.when(F.col("o_orderkey") % 10 == 0, "D").otherwise("U").alias("op"),
+    )
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType()),
+            T.StructField("lsn", T.LongType()),
+            T.StructField("price", T.DoubleType()),
+        ]
+    )
+    work = tempfile.mkdtemp(prefix="rap-etl-split-")
+    try:
+        table = ManifestParquetTable.create(
+            spark, os.path.join(work, "t"), schema, n_buckets=4
+        )
+        table.merge(lww_latest(ev.filter(F.col("lsn") % 2 == 0)), batch_id=0)
+        table.split_buckets(2)  # metadata-only: 4 -> 8 buckets
+        table.merge(
+            lww_latest(ev.filter(F.col("lsn") % 2 == 1)), batch_id=1,
+            mode="mor",
+        )
+        table.materialize_deltas(buckets=set(range(4)))
+        rows = table.read().select("doc_id", "lsn", "price").collect()
+        return spark.createDataFrame(rows, schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+CDC_QUERIES["bucket_split_read"] = q_bucket_split_read
+
+CDC_ORACLES["bucket_split_read"] = (
+    "WITH ev AS (SELECT CAST(o_custkey AS VARCHAR) AS doc_id,"
+    " o_orderkey AS lsn, o_totalprice AS price,"
+    " CASE WHEN o_orderkey % 10 = 0 THEN 'D' ELSE 'U' END AS op"
+    " FROM orders),"
+    " w AS (SELECT *, row_number() OVER"
+    " (PARTITION BY doc_id ORDER BY lsn DESC) AS rn FROM ev)"
+    " SELECT doc_id, lsn, price FROM w WHERE rn = 1 AND op <> 'D'"
+)
+
 CDC_ORACLES["scd2_asof_enrich"] = (
     "WITH ev AS (SELECT CAST(o_custkey AS VARCHAR) AS doc_id,"
     " o_orderkey AS lsn, o_orderstatus AS status,"

@@ -316,3 +316,28 @@ def test_cli_restore_to_snapshot_and_tag(spark, sf_small, tmp_path, capsys):
     rec = _run(capsys, "restore", "--table", table, "--tag", "good")[-1]
     assert rec["restored_to"] == st1["snapshot"]
     assert rec["rows"] == st1["rows"]
+
+
+def test_cli_split_then_replay_and_status(spark, sf_small, tmp_path, capsys):
+    """`split` grows buckets metadata-only mid-stream; subsequent replay
+    and status keep working, and status surfaces migration progress."""
+    log = str(tmp_path / "log")
+    table = str(tmp_path / "t")
+    _run(capsys, "synth", "--out", log, "--events", "2000",
+         "--sf", sf_small, "--batches", "2")
+    _run(capsys, "init", "--table", table, "--buckets", "4")
+    _run(capsys, "replay", "--table", table, "--log", log, "--batches", "1")
+    rows_before = _run(capsys, "status", "--table", table)[-1]["rows"]
+
+    rec = _run(capsys, "split", "--table", table, "--factor", "2")
+    assert rec[-1]["n_buckets"] == 8
+    assert rec[-1]["migration"]["files_pre_split"] > 0
+
+    # the split itself changes nothing observable
+    st = _run(capsys, "status", "--table", table)[-1]
+    assert st["rows"] == rows_before and st["n_buckets"] == 8
+
+    # second batch merges across the mixed-modulus layout
+    _run(capsys, "replay", "--table", table, "--log", log)
+    st = _run(capsys, "status", "--table", table)[-1]
+    assert st["committed_batches"] == ["0", "1"] and st["rows"] > 0
