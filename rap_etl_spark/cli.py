@@ -49,8 +49,8 @@ Subcommands::
              [--materialize]
              [--ledger-horizon BATCH] [--sort COL,COL]
     rebucket --table PATH --buckets N                (eager full rewrite)
-    split    --table PATH [--factor K]    (metadata-only bucket growth,
-                                           lazy migration on write)
+    split    --table PATH [--factor K] [--shrink]
+                     (metadata-only bucket growth/shrink, lazy migration)
     vacuum   --table PATH [--keep N] [--grace SEC]   (expire + orphan GC only)
     profile  --table PATH [--exact]                  (per-column stats)
     status   --table PATH
@@ -309,7 +309,11 @@ def cmd_split(args) -> int:
     from rap_etl_spark.lake import ManifestParquetTable
 
     t = ManifestParquetTable(_spark("rap-etl-split"), args.table)
-    info = t.split_buckets(args.factor)
+    info = (
+        t.merge_buckets(args.factor)
+        if args.shrink
+        else t.split_buckets(args.factor)
+    )
     print(
         json.dumps(
             {
@@ -680,6 +684,7 @@ def build_parser() -> argparse.ArgumentParser:
     sp = sub.add_parser("split")
     sp.add_argument("--table", required=True)
     sp.add_argument("--factor", type=int, default=2)
+    sp.add_argument("--shrink", action="store_true")
     sp.set_defaults(fn=cmd_split)
 
     sp = sub.add_parser("status")

@@ -2228,6 +2228,35 @@ class ManifestParquetTable(LakeTable):
         self._write_manifest(nxt)
         return CommitInfo(nxt["snapshot_id"], None, 0)
 
+    def merge_buckets(self, factor: int = 2) -> CommitInfo:
+        """Inverse of ``split_buckets``: DIVIDE ``n_buckets`` by an integer
+        factor as a metadata-only commit — the shrink path for a table
+        that was over-bucketed for its (possibly post-erasure) size, where
+        tiny per-bucket files waste scan tasks. The same residue rule
+        applies with the roles swapped: existing files are FINER than the
+        new modulus and fold onto it (``bucket % new_n``, the fn > zn arm
+        of ``_BucketZones.hits``); ordinary writes migrate lazily, exactly
+        as after a split. Mixing split/merge factors can leave moduli that
+        are not mutually divisible (e.g. {8, 12} over a base of 4) — zone
+        matching degrades to conservative overlap there, never to a wrong
+        prune."""
+        f = int(factor)
+        if f < 2 or f != factor:
+            raise ValueError(f"merge factor must be an integer >= 2, got {factor!r}")
+        m = self._manifest()
+        old_nb = int(m["n_buckets"])
+        if old_nb % f:
+            raise ValueError(
+                f"merge factor {f} must divide the current bucket count {old_nb}"
+            )
+        nxt = self._next_manifest(m)
+        nxt["n_buckets"] = old_nb // f
+        # same identity-breaking stamp as split_buckets: the root modulus
+        # changes, so every carried entry must record its own explicitly
+        nxt["files"] = [dict(fe, nb=_entry_nb(fe, old_nb)) for fe in m["files"]]
+        self._write_manifest(nxt)
+        return CommitInfo(nxt["snapshot_id"], None, 0)
+
     def split_migration(self) -> dict:
         """How much of the table still lives under pre-split moduli —
         drive an eager finish (``compact_buckets``) or just watch ordinary

@@ -242,3 +242,56 @@ def test_read_range_exact_on_mixed_moduli(spark, tmp_path):
     lo, hi = 100, 400
     got = {r["doc_id"]: r["val"] for r in t.read_range("val", lo, hi).collect()}
     assert got == {k: v for k, v in expect.items() if lo <= v <= hi}
+
+
+@pytest.mark.parametrize("mode", ["cow", "mor"])
+def test_merge_buckets_shrink_matches_control(spark, tmp_path, mode):
+    control = ManifestParquetTable.create(
+        spark, str(tmp_path / "c"), SCHEMA, n_buckets=4, merge_mode=mode
+    )
+    t = ManifestParquetTable.create(
+        spark, str(tmp_path / "t"), SCHEMA, n_buckets=8, merge_mode=mode
+    )
+    for i, rows in enumerate(BATCHES):
+        if i == 2:
+            t.merge_buckets(2)  # 8 -> 4, existing files now finer than root
+        control.merge(mk_changes(spark, rows), batch_id=i)
+        t.merge(mk_changes(spark, rows), batch_id=i)
+    assert int(t._manifest()["n_buckets"]) == 4
+    assert state(t) == state(control) == EXPECT
+    assert t.fast_count() == len(EXPECT)
+
+
+def test_merge_buckets_validation(spark, tmp_path):
+    t = ManifestParquetTable.create(spark, str(tmp_path / "t"), SCHEMA, n_buckets=6)
+    with pytest.raises(ValueError):
+        t.merge_buckets(4)  # does not divide 6
+    with pytest.raises(ValueError):
+        t.merge_buckets(1)
+
+
+def test_off_chain_moduli_stay_correct(spark, tmp_path):
+    """split x3, shrink back, split x2: live moduli {4, 12, 8} are not
+    mutually divisible — zone matching degrades to conservative overlap
+    and every answer stays exact."""
+    t = ManifestParquetTable.create(
+        spark, str(tmp_path / "t"), SCHEMA, n_buckets=4, merge_mode="mor"
+    )
+    t.merge(mk_changes(spark, BATCHES[0]), batch_id=0)
+    t.split_buckets(3)  # 4 -> 12
+    t.merge(mk_changes(spark, BATCHES[1]), batch_id=1)
+    t.merge_buckets(3)  # 12 -> 4
+    t.split_buckets(2)  # 4 -> 8
+    t.merge(mk_changes(spark, BATCHES[2]), batch_id=2)
+    t.merge(mk_changes(spark, BATCHES[3]), batch_id=3)
+    assert state(t) == EXPECT
+    assert t.fast_count() == len(EXPECT)
+    live = expected_state(BATCHES)
+    probe = sorted(live)[:4]
+    assert {r["doc_id"]: r["val"] for r in t.lookup(probe).collect()} == {
+        k: live[k] for k in probe
+    }
+    # eager finish still lands everything on the current modulus
+    t.compact_buckets(set(range(8)))
+    assert moduli(t) == {8}
+    assert state(t) == EXPECT
