@@ -36,6 +36,7 @@ Subcommands::
     init     --table PATH [--buckets N] [--schema v1|v2] [--merge-mode cow|mor]
     replay   --table PATH --log DIR [--lineage DIR] [--batches a,b,...]
              [--format parquet|binlog]   (binlog --batches = segment indices)
+             [--auto-split-rows N]       (self-widening bucket layout)
              [--branch NAME]             (WAP: stage commits on a branch)
              [--publish DIR [--publish-format parquet|binlog]]
                                          (downstream delta publishing)
@@ -116,6 +117,7 @@ def cmd_replay(args) -> int:
         t,
         lineage_dir=args.lineage,
         auto_evolve=getattr(args, "auto_evolve", False),
+        auto_split_rows=getattr(args, "auto_split_rows", None),
     )
     if args.format == "binlog":
         from rap_etl_spark.sources.binlog import _list_segments, as_events, register
@@ -627,6 +629,12 @@ def build_parser() -> argparse.ArgumentParser:
         action="store_true",
         help="absorb upstream schema drift: nullable adds / type widenings "
         "in the event payload evolve the table before the merge",
+    )
+    sp.add_argument(
+        "--auto-split-rows",
+        type=int,
+        help="double the bucket count (metadata-only split) whenever mean "
+        "live rows per bucket reach this threshold",
     )
     sp.set_defaults(fn=cmd_replay)
 

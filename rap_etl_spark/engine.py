@@ -99,6 +99,16 @@ class CdcEngine:
     # O(depth) without giving up the O(change set) write path. None = the
     # operator runs maintenance out-of-band (CLI compact --materialize).
     auto_materialize_depth: int | None = None
+    # Layout-growth policy: after a commit, when MEAN live base rows per
+    # bucket reach this threshold, DOUBLE the bucket count via the
+    # metadata-only lake.split_buckets — a 10^10-event run widens its own
+    # layout as the key universe grows, with no rewrite and no operator
+    # action (pre-split files migrate lazily as later merges touch them).
+    # One doubling per commit; a sustained cadence catches up
+    # geometrically. Computed from manifest footer stats: O(files) driver
+    # time, zero jobs. None = layout changes stay an explicit operator
+    # action (CLI split/rebucket).
+    auto_split_rows: int | None = None
     # Upstream-DDL handling: when a batch carries payload columns the table
     # doesn't know yet, or wider types for existing ones (int32->int64,
     # float->double, incl. inside arrays), evolve the table schema BEFORE
@@ -434,6 +444,21 @@ class CdcEngine:
                     _t = time.monotonic()
                     self.table.compact_buckets(frag)
                     _tlog("engine.auto_compact", _t)
+            if (
+                self.auto_split_rows is not None
+                and not info.skipped
+                and isinstance(self.table, ManifestParquetTable)
+            ):
+                mani = self.table._manifest()
+                live = sum(
+                    int(fe.get("rows", 0))
+                    for fe in mani["files"]
+                    if fe.get("kind") != "delta"
+                )
+                if live // max(int(mani["n_buckets"]), 1) >= self.auto_split_rows:
+                    _t = time.monotonic()
+                    self.table.split_buckets(2)
+                    _tlog("engine.auto_split", _t)
         finally:
             if winners is not None:
                 winners.unpersist()

@@ -295,3 +295,28 @@ def test_off_chain_moduli_stay_correct(spark, tmp_path):
     t.compact_buckets(set(range(8)))
     assert moduli(t) == {8}
     assert state(t) == EXPECT
+
+
+def test_engine_auto_split_widens_layout(spark, tmp_path):
+    """CdcEngine(auto_split_rows=N): the layout widens itself as the key
+    universe grows — every commit checks mean live rows per bucket from
+    manifest footer stats (zero jobs) and doubles the bucket count
+    metadata-only when the threshold is reached. Final state must match a
+    control engine with a fixed layout."""
+    from rap_etl_spark.engine import CdcEngine
+
+    def ev_df(rows):
+        return mk_changes(spark, rows).withColumnRenamed("val", "val")
+
+    ctrl_t = ManifestParquetTable.create(spark, str(tmp_path / "c"), SCHEMA, n_buckets=2)
+    auto_t = ManifestParquetTable.create(spark, str(tmp_path / "t"), SCHEMA, n_buckets=2)
+    ctrl = CdcEngine(spark, ctrl_t, count_input=False)
+    auto = CdcEngine(spark, auto_t, count_input=False, auto_split_rows=8)
+    for i, rows in enumerate(BATCHES):
+        ctrl.apply_batch(ev_df(rows), batch_id=i)
+        auto.apply_batch(ev_df(rows), batch_id=i)
+    # ~40 live keys over threshold 8 rows/bucket: 2 -> at least 8 buckets
+    assert auto_t.n_buckets() >= 8
+    assert ctrl_t.n_buckets() == 2
+    assert state(auto_t) == state(ctrl_t) == EXPECT
+    assert auto_t.fast_count() == len(EXPECT)
