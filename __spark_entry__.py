@@ -147,6 +147,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incr_token_stats",
         "scd2_asof_enrich",
         "bucket_split_read",
+        "incr_posting_maintain",
     ]
     oracles = oracle_sql()
     seen = _driver_checked_keys(set(oracles))

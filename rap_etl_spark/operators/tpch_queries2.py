@@ -1619,6 +1619,126 @@ def q_incr_token_stats(spark, sf):
         shutil.rmtree(work, ignore_errors=True)
 
 
+def q_incr_posting_maintain(spark, sf):
+    """Inverted-index IVM end-to-end, oracled: maintain each token's
+    TOP-K POSTING LIST (largest doc keys containing it) across a CDC
+    batch WITHOUT re-exploding the corpus — the search-index-freshness
+    problem at 10^10 docs. Composition of existing machinery: the commit's
+    changefeed is exploded to (token, doc) pairs, netted to a true SET
+    diff (a token present in both pre- and postimage is no change), and
+    folded by maintain_topk — inserts in closed form, deletes re-rank only
+    tokens whose stored k-th posting is threatened, via one broadcast-semi
+    pass over exactly those tokens' fact rows. Oracle: recompute the
+    postings from the final LWW live corpus."""
+    from pyspark.sql import types as T
+    from pyspark.sql.window import Window
+
+    from rap_etl_spark.lake import ManifestParquetTable
+    from rap_etl_spark.operators.cdc import lww_latest
+    from rap_etl_spark.operators.incremental import maintain_topk
+
+    K = 5
+    ev = _t(spark, sf, "orders").select(
+        F.col("o_custkey").cast("string").alias("doc_id"),
+        F.col("o_orderkey").alias("lsn"),
+        F.array(
+            (F.col("o_orderkey") % 97).cast("int"),
+            (F.col("o_custkey") % 97).cast("int"),
+            ((F.col("o_orderkey") + F.col("o_custkey")) % 97).cast("int"),
+        ).alias("tokens"),
+        F.when(F.col("o_orderkey") % 10 == 0, "D").otherwise("U").alias("op"),
+    )
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType()),
+            T.StructField("lsn", T.LongType()),
+            T.StructField("tokens", T.ArrayType(T.IntegerType())),
+        ]
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField("token", T.IntegerType()),
+            T.StructField("doc_id", T.StringType()),
+            T.StructField("val", T.LongType()),
+        ]
+    )
+
+    def postings(df):
+        """Distinct (token, doc) pairs with the numeric ranking value."""
+        return df.select(
+            F.explode(F.array_distinct("tokens")).alias("token"),
+            "doc_id",
+            F.col("doc_id").cast("long").alias("val"),
+        )
+
+    work = tempfile.mkdtemp(prefix="rap-etl-ivm-post-")
+    try:
+        table = ManifestParquetTable.create(
+            spark, os.path.join(work, "t"), schema, n_buckets=8
+        )
+        table.merge(lww_latest(ev.filter(F.col("lsn") % 2 == 0)), batch_id=0)
+        sid1 = table.snapshot_id()
+        w = Window.partitionBy("token").orderBy(
+            F.col("val").desc(), F.col("doc_id").asc()
+        )
+        state = (
+            postings(table.read())
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= K)
+            .drop("_rn")
+        )
+        table.merge(lww_latest(ev.filter(F.col("lsn") % 2 == 1)), batch_id=1)
+        ch = table.table_changes(sid1)
+        pre = postings(
+            ch.filter(F.col("_change_type").isin("delete", "update_preimage"))
+        )
+        post = postings(
+            ch.filter(F.col("_change_type").isin("insert", "update_postimage"))
+        )
+        # net set diff: unchanged (token, doc) pairs cancel, so the fold
+        # never sees a removal (or a duplicate insert) that isn't real
+        signed = pre.subtract(post).withColumn(
+            "_change_type", F.lit("delete")
+        ).unionByName(
+            post.subtract(pre).withColumn("_change_type", F.lit("insert"))
+        )
+        maintained = maintain_topk(
+            state,
+            signed,
+            postings(table.read()),
+            group_cols=["token"],
+            val_col="val",
+            key_col="doc_id",
+            k=K,
+        )
+        rows = maintained.select("token", "doc_id", "val").collect()
+        return spark.createDataFrame(rows, out_schema)
+    finally:
+        import shutil
+
+        shutil.rmtree(work, ignore_errors=True)
+
+
+TPCH_QUERIES2["incr_posting_maintain"] = q_incr_posting_maintain
+
+TPCH_ORACLES2["incr_posting_maintain"] = (
+    "WITH ev AS (SELECT CAST(o_custkey AS VARCHAR) AS doc_id,"
+    " o_orderkey AS lsn,"
+    " [CAST(o_orderkey % 97 AS INT), CAST(o_custkey % 97 AS INT),"
+    "  CAST((o_orderkey + o_custkey) % 97 AS INT)] AS tokens,"
+    " CASE WHEN o_orderkey % 10 = 0 THEN 'D' ELSE 'U' END AS op FROM orders),"
+    " w AS (SELECT *, row_number() OVER"
+    "   (PARTITION BY doc_id ORDER BY lsn DESC) AS rn FROM ev),"
+    " live AS (SELECT * FROM w WHERE rn = 1 AND op <> 'D'),"
+    " ex AS (SELECT DISTINCT token, doc_id FROM"
+    "   (SELECT unnest(list_distinct(tokens)) AS token, doc_id FROM live)),"
+    " r AS (SELECT token, doc_id, CAST(doc_id AS BIGINT) AS val,"
+    "   row_number() OVER (PARTITION BY token"
+    "     ORDER BY CAST(doc_id AS BIGINT) DESC, doc_id ASC) AS prn FROM ex)"
+    " SELECT token, doc_id, val FROM r WHERE prn <= 5"
+)
+
+
 TPCH_QUERIES2["incr_token_stats"] = q_incr_token_stats
 
 TPCH_ORACLES2["incr_token_stats"] = (
