@@ -23,6 +23,12 @@ Scale design (100 TB story):
   (sustained high-rate upsert ingest — the 10^10-event CDC regime).
 - The anti-join inside a merge joins only the affected buckets' rows against
   the (small) change set; Spark broadcasts the change keys when they fit.
+- BUCKET EVOLUTION is metadata-only: ``split_buckets``/``merge_buckets``
+  change ``n_buckets`` without touching data (hash layouts nest, so
+  pre-evolution files are matched by residue — ``_BucketZones``) and
+  ordinary writes migrate touched files lazily; ``rebucket`` remains the
+  eager one-shot rewrite. A growing 10^10-event run widens its own layout
+  via ``CdcEngine(auto_split_rows=...)``.
 - Commit is a single atomic rename of the manifest pointer — one driver-side
   metadata operation per micro-batch, no data-path coordination.
 
