@@ -509,6 +509,23 @@ def main() -> None:
     # tmpfs is the single-node stand-in for that property.
     default_base = "/dev/shm" if os.path.isdir("/dev/shm") else None
     explicit_work = os.environ.get("SPARK_GRAFT_BENCH_WORK")
+    if default_base and not explicit_work:
+        # Sweep STALE bench workdirs from crashed/killed prior runs: the
+        # work dir lives on tmpfs (= RAM), and a leaked 40-60GB log from a
+        # dead run silently starves this run's prep JVM until it dies with
+        # a bare ConnectionRefusedError (observed: the LC section skipped
+        # and the north-rule scaling evidence missing from the artifact).
+        # Only our own mkdtemp-prefixed dirs are swept — an explicit
+        # SPARK_GRAFT_BENCH_WORK is caller-owned and never touched.
+        import shutil as _sh
+
+        for d in os.listdir(default_base):
+            if d.startswith("rap-etl-bench-"):
+                print(
+                    f"sweeping stale bench workdir /dev/shm/{d}",
+                    file=sys.stderr,
+                )
+                _sh.rmtree(os.path.join(default_base, d), ignore_errors=True)
     work = explicit_work or tempfile.mkdtemp(
         prefix="rap-etl-bench-", dir=default_base
     )
