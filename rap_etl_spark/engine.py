@@ -266,6 +266,12 @@ class CdcEngine:
                         from pyspark.sql import Observation
 
                         stage_obs = Observation(f"stage-{batch_id}-{id(self)}")
+                        # the modulus the hint buckets are computed under:
+                        # an OCC rebase may land this merge AFTER a racing
+                        # split/merge_buckets commit changed the table's
+                        # modulus — merge() matches the hints as zones at
+                        # THIS modulus, which stays exact either way
+                        stage_nb = self.table.n_buckets()
                         staged = staged.observe(
                             stage_obs,
                             F.count(F.lit(1)).alias("n"),
@@ -359,6 +365,7 @@ class CdcEngine:
                                 int(b) for b in (got["buckets"] or [])
                             },
                             n_rows=hint_rows,
+                            affected_buckets_nb=stage_nb,
                         )
                     return self.table.merge(payload, batch_id=batch_id)
 

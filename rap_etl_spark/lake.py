@@ -1221,6 +1221,7 @@ class ManifestParquetTable(LakeTable):
         n_rows: int | None = None,
         mode: str | None = None,
         update_semantics: str = "row",
+        affected_buckets_nb: int | None = None,
     ) -> CommitInfo:
         """Bucket-granular copy-on-write MERGE, conditional on row version.
 
@@ -1276,6 +1277,16 @@ class ManifestParquetTable(LakeTable):
         superset bucket hint is safe (an unchanged bucket is rewritten
         byte-equal via the full-outer join); a MISSING bucket would lose
         changes, so hints must cover every change key's bucket.
+
+        ``affected_buckets_nb``: the bucket MODULUS the hints were computed
+        under (default: the table's current one). An OCC rebase can land a
+        merge on a manifest whose bucket count a concurrent
+        split_buckets/merge_buckets just changed — interpreting the stale
+        hint ids at the new modulus would both miss buckets (lost rows)
+        and leave un-joined old rows next to fresh inserts (duplicates).
+        Passing the staging-time modulus keeps the hints exact: they are
+        matched as zones at THEIR OWN modulus, which covers every change
+        key's file in either direction of the layout change.
         """
         m = self._manifest()
         if self.is_committed(batch_id):
@@ -1358,9 +1369,12 @@ class ManifestParquetTable(LakeTable):
             # overlapping ANY affected bucket is pulled into the rewrite
             # (its untouched sibling rows pass through the full-outer join
             # and land re-clustered under the current modulus — lazy
-            # migration), everything else keeps its entry untouched
+            # migration), everything else keeps its entry untouched. Hints
+            # match as zones at the modulus they were computed under
+            # (affected_buckets_nb) — exact across a racing layout change.
+            hint_nb = int(affected_buckets_nb or m["n_buckets"])
             old_entries, keep_entries = _bucket_zones(
-                affected_set, int(m["n_buckets"])
+                affected_set, hint_nb
             ).split(m["files"], int(m["n_buckets"]))
 
             # resolve any stacked MoR deltas in the affected buckets first:

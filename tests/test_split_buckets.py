@@ -320,3 +320,28 @@ def test_engine_auto_split_widens_layout(spark, tmp_path):
     assert ctrl_t.n_buckets() == 2
     assert state(auto_t) == state(ctrl_t) == EXPECT
     assert auto_t.fast_count() == len(EXPECT)
+
+
+def test_merge_hints_survive_racing_split(spark, tmp_path):
+    """The OCC-rebase race: merge hints are computed at staging time, a
+    concurrent writer commits a split before the merge lands, the engine
+    refreshes and retries. Interpreting the stale hint ids at the NEW
+    modulus would both miss buckets and duplicate keys; passing the
+    staging-time modulus (affected_buckets_nb) keeps the merge exact."""
+    path = str(tmp_path / "t")
+    t = ManifestParquetTable.create(spark, path, SCHEMA, n_buckets=4)
+    t.merge(mk_changes(spark, BATCHES[0]), batch_id=0)
+    ch = mk_changes(spark, BATCHES[1])
+    # staging-time hint observation at modulus 4 (what the engine records)
+    hints = {
+        r["_b"]
+        for r in ch.select(t._bucket_expr("doc_id").alias("_b")).distinct().collect()
+    }
+    # a second writer handle wins a split commit in between
+    ManifestParquetTable(spark, path).split_buckets(2)
+    t.refresh()  # the engine's rebase step
+    t.merge(
+        ch, batch_id=1, affected_buckets=hints, affected_buckets_nb=4
+    )
+    assert state(t) == expected_state(BATCHES[:2])
+    assert t.fast_count() == len(expected_state(BATCHES[:2]))
