@@ -148,6 +148,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_asof_enrich",
         "bucket_split_read",
         "incr_posting_maintain",
+        # round-3 session-3: full-snapshot reconciliation — the reference's
+        # add/remove publishing model generalized (snapshot asserts complete
+        # truth; diff-classify then merge I/U/D, N rows write nothing)
+        "snapshot_diff",
+        "snapshot_sync",
     ]
     oracles = oracle_sql()
     seen = _driver_checked_keys(set(oracles))

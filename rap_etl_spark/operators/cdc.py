@@ -462,3 +462,76 @@ def replication_lag(
     if ts_col is not None:
         cols.append((F.col("_src_us") - F.col("_app_us")).alias("lag_us"))
     return out.select(*cols)
+
+
+# --------------------------------------------------------------------------
+# Full-snapshot reconciliation (the reference's add/remove publishing model)
+# --------------------------------------------------------------------------
+def snapshot_diff(
+    snapshot: DataFrame,
+    current: DataFrame,
+    payload_cols: list[str],
+    key: str = KEY,
+) -> DataFrame:
+    """Reconcile a FULL source snapshot against the current table state —
+    the generalization of rap-etl's core publishing step (SURVEY.md §1.1:
+    per-record subgraph diffed into `new_only` adds and `old_only`
+    removes). Where `diff_against_table` classifies a CDC winner batch
+    (left join — table-only keys are untouched by definition), a snapshot
+    asserts the COMPLETE truth, so a key present in the table but absent
+    from the snapshot is a delete:
+
+      I  snapshot-only                      (reference `new_only` → add)
+      D  table-only                         (reference `old_only` → remove)
+      U  both present, payload hash differs (re-publish)
+      N  both present, payload identical    (empty diff → no write)
+
+    Returns (key, *payload_cols, action); payload columns are NULL on D
+    rows (there is nothing to publish — only the key to retract).
+
+    Scale: ONE full-outer shuffle join on the key — the table side is
+    pruned to (key, xxhash64 payload) before the exchange, so only
+    16 bytes/row of table state moves regardless of payload width (token
+    arrays never shuffle). This is the floor for reconciliation: every
+    key must meet its counterpart once. Downstream, N rows (the vast
+    majority on a mostly-unchanged snapshot) are filtered before any
+    write amplification."""
+    s = snapshot.alias("s")
+    t = (
+        current.select(
+            F.col(key).alias("_t_key"),
+            payload_hash(current, payload_cols).alias("_cur_hash"),
+        ).alias("t")
+    )
+    joined = s.join(t, on=F.col(f"s.{key}") == F.col("_t_key"), how="full_outer")
+    s_present = F.col(f"s.{key}").isNotNull()
+    t_present = F.col("_t_key").isNotNull()
+    new_hash = payload_hash(s, [f"s.{c}" for c in payload_cols])
+    action = (
+        F.when(~s_present, F.lit("D"))
+        .when(~t_present, F.lit("I"))
+        .when(F.col("_cur_hash") != new_hash, F.lit("U"))
+        .otherwise(F.lit("N"))
+    )
+    return joined.select(
+        F.coalesce(F.col(f"s.{key}"), F.col("_t_key")).alias(key),
+        *[F.col(f"s.{c}").alias(c) for c in payload_cols],
+        action.alias("action"),
+    )
+
+
+def snapshot_changes(diff: DataFrame, sync_lsn: int, key: str = KEY) -> DataFrame:
+    """Turn a `snapshot_diff` result into a version-stamped change batch for
+    `ManifestParquetTable.merge`: N rows drop out (idempotency — an
+    unchanged snapshot produces an EMPTY change set and therefore no table
+    commit I/O beyond the manifest), I/U become upserts, D becomes a
+    delete. Every change carries `sync_lsn` as its row version so a sync
+    wins over bootstrap rows (NULL `_lsn`) and over any earlier sync, and
+    a later CDC event with a higher LSN still beats the sync — snapshots
+    and the WAL tail compose under one LWW order."""
+    return (
+        diff.filter(F.col("action") != "N")
+        .withColumn("op", F.when(F.col("action") == "D", "D").otherwise("U"))
+        .withColumn("lsn", F.lit(sync_lsn).cast("long"))
+        .drop("action")
+    )

@@ -360,3 +360,106 @@ CDC_ORACLES["scd2_asof_enrich"] = (
     "    ORDER BY v.valid_from DESC LIMIT 1) AS dim_priority"
     " FROM ev e"
 )
+
+
+def _sync_stale_table(spark, sf):
+    """Stale table state: customers NOT divisible by 4, with bal corrupted
+    to -1.0 on custkey%3==0 rows (these become U on sync); odd custkeys are
+    absent from the snapshot (become D); custkey%4==0 appear only in the
+    snapshot (become I)."""
+    return _t(spark, sf, "customer").select(
+        F.col("c_custkey").cast("string").alias("doc_id"),
+        F.when(F.col("c_custkey") % 3 == 0, F.lit(-1.0))
+        .otherwise(F.col("c_acctbal"))
+        .alias("bal"),
+        F.col("c_mktsegment").alias("seg"),
+    ).filter(F.col("c_custkey") % 4 != 0)
+
+
+def _sync_snapshot(spark, sf):
+    """The full source-of-truth snapshot: even custkeys, correct values."""
+    return _t(spark, sf, "customer").select(
+        F.col("c_custkey").cast("string").alias("doc_id"),
+        F.col("c_acctbal").alias("bal"),
+        F.col("c_mktsegment").alias("seg"),
+    ).filter(F.col("c_custkey") % 2 == 0)
+
+
+def q_snapshot_diff(spark, sf):
+    """Full-snapshot reconciliation diff (cdc.snapshot_diff) — the
+    reference's add/remove publishing model: a snapshot asserting complete
+    truth classified against stale table state into I (snapshot-only =
+    add), D (table-only = remove), U (payload changed = re-publish),
+    N (identical = empty diff, no write). One full-outer shuffle with the
+    table side pruned to (key, 8-byte payload hash). Oracle states the
+    same classification with a SQL FULL OUTER JOIN on values."""
+    from rap_etl_spark.operators.cdc import snapshot_diff
+
+    return snapshot_diff(
+        _sync_snapshot(spark, sf),
+        _sync_stale_table(spark, sf),
+        payload_cols=["bal", "seg"],
+    )
+
+
+def q_snapshot_sync(spark, sf):
+    """Snapshot sync END-TO-END through the real lake table: bootstrap the
+    stale state with append (NULL row versions), reconcile against the
+    truth snapshot, merge the non-N change set (I/U upsert, D delete)
+    stamped with the sync LSN, and read the final state — which must equal
+    the snapshot exactly (the oracle IS the snapshot expression). The
+    N-majority never reaches the writer, so an unchanged re-sync commits
+    zero data files (asserted in tests/test_snapshot_sync.py)."""
+    from pyspark.sql import types as T
+
+    from rap_etl_spark.lake import ManifestParquetTable
+    from rap_etl_spark.operators.cdc import snapshot_changes, snapshot_diff
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType()),
+            T.StructField("bal", T.DoubleType()),
+            T.StructField("seg", T.StringType()),
+        ]
+    )
+    work = tempfile.mkdtemp(prefix="rap-etl-snapsync-")
+    try:
+        table = ManifestParquetTable.create(
+            spark, os.path.join(work, "t"), schema, n_buckets=8
+        )
+        table.append(_sync_stale_table(spark, sf), batch_id=0, assume_unique=True)
+        diff = snapshot_diff(
+            _sync_snapshot(spark, sf), table.read(), payload_cols=["bal", "seg"]
+        )
+        table.merge(snapshot_changes(diff, sync_lsn=1), batch_id=1)
+        rows = table.read().select("doc_id", "bal", "seg").collect()
+        return spark.createDataFrame(rows, schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+CDC_QUERIES["snapshot_diff"] = q_snapshot_diff
+CDC_QUERIES["snapshot_sync"] = q_snapshot_sync
+
+_SYNC_T = (
+    "SELECT CAST(c_custkey AS VARCHAR) AS doc_id,"
+    " CASE WHEN c_custkey % 3 = 0 THEN -1.0"
+    "  ELSE c_acctbal END AS bal,"
+    " c_mktsegment AS seg FROM customer WHERE c_custkey % 4 <> 0"
+)
+_SYNC_S = (
+    "SELECT CAST(c_custkey AS VARCHAR) AS doc_id, c_acctbal AS bal,"
+    " c_mktsegment AS seg FROM customer WHERE c_custkey % 2 = 0"
+)
+
+CDC_ORACLES["snapshot_diff"] = (
+    f"WITH t AS ({_SYNC_T}), s AS ({_SYNC_S})"
+    " SELECT coalesce(s.doc_id, t.doc_id) AS doc_id, s.bal, s.seg,"
+    " CASE WHEN s.doc_id IS NULL THEN 'D'"
+    "  WHEN t.doc_id IS NULL THEN 'I'"
+    "  WHEN s.bal IS DISTINCT FROM t.bal"
+    "   OR s.seg IS DISTINCT FROM t.seg THEN 'U'"
+    "  ELSE 'N' END AS action"
+    " FROM s FULL OUTER JOIN t ON s.doc_id = t.doc_id"
+)
+CDC_ORACLES["snapshot_sync"] = _SYNC_S
