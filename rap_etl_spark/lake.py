@@ -683,6 +683,32 @@ class ManifestParquetTable(LakeTable):
             ]
         )
 
+    def _dv_frame(self, dv_entries: list[dict]) -> DataFrame:
+        """Deletion-vector build side for the scan-time anti-join:
+        (_dv_file basename, _dv_pos) pairs from every DV file the given
+        entries reference, pruned to exactly those entries' data files (a
+        per-commit DV file can carry positions for files since rewritten
+        by compaction — those rows would never match, but pruning keeps
+        the join build side at live-DV size). Broadcast when the
+        manifest-recorded cardinality is small — the common case: DVs hold
+        deleted positions, not data."""
+        dv_paths = sorted({fe["dv"]["path"] for fe in dv_entries})
+        names = [os.path.basename(fe["path"]) for fe in dv_entries]
+        dvt = self.spark.read.schema("_dv_file string, _dv_pos long").parquet(
+            *[os.path.join(self.path, p) for p in dv_paths]
+        )
+        if len(names) <= 1000:
+            dvt = dvt.filter(F.col("_dv_file").isin(names))
+        else:
+            nm = self.spark.createDataFrame(
+                [(n,) for n in names], "_dv_file string"
+            )
+            dvt = dvt.join(F.broadcast(nm), "_dv_file", "left_semi")
+        total = sum(int(fe["dv"].get("rows", 0)) for fe in dv_entries)
+        if total <= 4_000_000:
+            dvt = F.broadcast(dvt)
+        return dvt
+
     def _read_files(
         self,
         files: list[dict],
@@ -692,24 +718,51 @@ class ManifestParquetTable(LakeTable):
         """Read data files grouped by write-time schema version, cast each
         group up to target_schema, union. Iceberg-style read-time resolution:
         old int32 files stay readable after int64 widening. Tombstones are
-        filtered out unless with_meta=True."""
+        filtered out unless with_meta=True.
+
+        Files carrying a DELETION VECTOR (``fe["dv"]``, written by
+        ``delete_where(mode='dv')``) are scanned with Spark's
+        ``_metadata.row_index`` and masked by an anti-join on
+        (file basename, position) — Iceberg v3 DV semantics: the base file
+        is untouched, killed positions vanish at scan time, BEFORE any
+        MoR key resolution stacks on top. Files without a DV (the whole
+        table until the first DV delete) take the unchanged fast path —
+        no metadata columns, no join."""
         m = self._manifest()
         phys_target = self._physical_schema(target_schema)
+        plain = [fe for fe in files if not fe.get("dv")]
+        dv_entries = [fe for fe in files if fe.get("dv")]
         if not files:
             df = self.spark.createDataFrame([], phys_target)
         else:
-            by_ver: dict[str, list[str]] = {}
-            for fe in files:
-                by_ver.setdefault(str(fe["schema_version"]), []).append(
-                    os.path.join(self.path, fe["path"])
-                )
             parts = []
-            for ver, paths in by_ver.items():
-                ver_schema = self._physical_schema(
-                    _schema_from_json(m["schema_versions"][ver])
-                )
-                part = self.spark.read.schema(ver_schema).parquet(*paths)
-                parts.append(cast_to_schema(part, phys_target))
+            for group, masked in ((plain, False), (dv_entries, True)):
+                if not group:
+                    continue
+                by_ver: dict[str, list[str]] = {}
+                for fe in group:
+                    by_ver.setdefault(str(fe["schema_version"]), []).append(
+                        os.path.join(self.path, fe["path"])
+                    )
+                dvt = self._dv_frame(dv_entries) if masked else None
+                for ver, paths in by_ver.items():
+                    ver_schema = self._physical_schema(
+                        _schema_from_json(m["schema_versions"][ver])
+                    )
+                    part = self.spark.read.schema(ver_schema).parquet(*paths)
+                    if masked:
+                        part = (
+                            part.select(
+                                "*",
+                                F.element_at(
+                                    F.split(F.col("_metadata.file_path"), "/"), -1
+                                ).alias("_dv_file"),
+                                F.col("_metadata.row_index").alias("_dv_pos"),
+                            )
+                            .join(dvt, ["_dv_file", "_dv_pos"], "left_anti")
+                            .drop("_dv_file", "_dv_pos")
+                        )
+                    parts.append(cast_to_schema(part, phys_target))
             df = parts[0]
             for p in parts[1:]:
                 df = df.unionByName(p)
@@ -1902,11 +1955,16 @@ class ManifestParquetTable(LakeTable):
         resurrect the deleted payload (delete wins the same-version
         tiebreak). ``condition``: str or Column over the logical schema.
         Cost: one column-pruned scan to find matches + a write sized by
-        mode (affected buckets for cow, matches only for mor)."""
+        mode (affected buckets for cow, matches only for mor).
+
+        ``mode='dv'`` writes a DELETION VECTOR instead (Iceberg v3
+        position deletes): see ``_delete_where_dv``."""
         m = self._manifest()
         mode = mode or m.get("merge_mode", "cow")
+        if mode == "dv":
+            return self._delete_where_dv(condition, batch_id)
         if mode not in ("cow", "mor"):
-            raise ValueError(f"mode must be 'cow' or 'mor', got {mode!r}")
+            raise ValueError(f"mode must be 'cow', 'mor' or 'dv', got {mode!r}")
         schema = self.schema()
         cond = F.expr(condition) if isinstance(condition, str) else condition
         live = ~F.coalesce(F.col(META_DEL), F.lit(False))
@@ -1945,6 +2003,122 @@ class ManifestParquetTable(LakeTable):
             )
 
         return self._dml_commit(matched, transform, mode, batch_id)
+
+    def _delete_where_dv(self, condition, batch_id: int | None = None) -> CommitInfo:
+        """``DELETE FROM ... WHERE`` as an Iceberg-v3-style DELETION
+        VECTOR commit: no data file is read-modified-rewritten and no
+        delta row is added — the commit writes ONE parquet of
+        (file basename, row position) pairs and re-points the affected
+        file entries at it; ``_read_files`` masks the positions at scan
+        time, before MoR key resolution.
+
+        Semantics: the condition is evaluated on the RESOLVED LIVE view
+        (exactly what a reader sees), then EVERY physical occurrence of a
+        matched key — every version, in every base and delta file — is
+        masked, so no superseded older version can resurface and every
+        stored copy of the payload stops being readable at once; the
+        bytes are physically reclaimed when compaction next rewrites the
+        file (standard position-delete deferral). Unlike tombstone
+        deletes (cow/mor) a DV leaves NO versioned marker: a replayed
+        OLDER event can legitimately re-insert the key — use tombstone
+        modes when LWW protection against stale replays matters more
+        than write cost.
+
+        Cost: one column-pruned resolved scan (condition columns + key),
+        one key+_metadata-only scan (token arrays never read), one
+        semi-join (AQE broadcasts typical delete-key sets), and one
+        single-file DV write sized by the total deleted positions. Every
+        prior DV generation is folded into the new file and ALL dv
+        pointers re-pointed at it — reads therefore anti-join exactly one
+        DV file set regardless of how many DV deletes have accumulated,
+        and superseded DV files become orphans for expire_snapshots. The
+        single-file write serializes through one task: a purge so large
+        the DV itself is data-sized belongs in tombstone modes."""
+        m = self._manifest()
+        if self.is_committed(batch_id):
+            prev = m["committed"].get(str(batch_id), {"snapshot_id": m["snapshot_id"]})
+            return CommitInfo(prev["snapshot_id"], batch_id, 0, skipped=True)
+        cond = F.expr(condition) if isinstance(condition, str) else condition
+        schema = self.schema()
+        matched_keys = (
+            self._read_resolved(m["files"], schema)
+            .filter(cond)
+            .select(self.key)
+            .distinct()
+        )
+        by_ver: dict[str, list[str]] = {}
+        for fe in m["files"]:
+            by_ver.setdefault(str(fe["schema_version"]), []).append(
+                os.path.join(self.path, fe["path"])
+            )
+        parts = []
+        for ver, paths in by_ver.items():
+            ver_schema = self._physical_schema(
+                _schema_from_json(m["schema_versions"][ver])
+            )
+            parts.append(
+                self.spark.read.schema(ver_schema)
+                .parquet(*paths)
+                .select(
+                    F.col(self.key),
+                    F.element_at(
+                        F.split(F.col("_metadata.file_path"), "/"), -1
+                    ).alias("_dv_file"),
+                    F.col("_metadata.row_index").alias("_dv_pos"),
+                )
+            )
+        if not parts:
+            return CommitInfo(m["snapshot_id"], batch_id, 0, skipped=True)
+        phys = parts[0]
+        for p in parts[1:]:
+            phys = phys.unionByName(p)
+        hits = (
+            phys.join(matched_keys, self.key, "left_semi")
+            .select("_dv_file", "_dv_pos")
+            .persist()
+        )
+        try:
+            n_new = int(hits.count())
+            if n_new == 0:
+                return CommitInfo(m["snapshot_id"], batch_id, 0, skipped=True)
+            old_dv = [fe for fe in m["files"] if fe.get("dv")]
+            dv_df = hits
+            if old_dv:
+                dv_df = dv_df.unionByName(self._dv_frame(old_dv)).distinct()
+            nxt = self._next_manifest(m)
+            dv_rel = os.path.join("data", f"dv-{nxt['snapshot_id']}.parquet")
+            staging = os.path.join(self.path, f"_staging_dv-{nxt['snapshot_id']}")
+            dv_df.repartition(1).write.mode("overwrite").parquet(staging)
+            part_file = next(
+                fn for fn in sorted(self.fs.listdir(staging))
+                if fn.endswith(".parquet")
+            )
+            counts = {
+                r["_dv_file"]: int(r["n"])
+                for r in self.spark.read.parquet(os.path.join(staging, part_file))
+                .groupBy("_dv_file")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            }
+            self.fs.rename(
+                os.path.join(staging, part_file), os.path.join(self.path, dv_rel)
+            )
+            self.fs.rmtree(staging)
+            nxt["files"] = [
+                {**fe, "dv": {"path": dv_rel, "rows": counts[os.path.basename(fe["path"])]}}
+                if os.path.basename(fe["path"]) in counts
+                else ({k: v for k, v in fe.items() if k != "dv"})
+                for fe in m["files"]
+            ]
+            if batch_id is not None:
+                nxt["committed"][str(batch_id)] = {
+                    "snapshot_id": nxt["snapshot_id"],
+                    "event_count": n_new,
+                }
+            self._write_manifest(nxt)
+            return CommitInfo(nxt["snapshot_id"], batch_id, n_new)
+        finally:
+            hits.unpersist()
 
     def update_where(
         self,
@@ -2348,22 +2522,30 @@ class ManifestParquetTable(LakeTable):
         for fn, man in manifests:
             if fn in keep_set:
                 live_files.update(fe["path"] for fe in man["files"])
+                live_files.update(
+                    fe["dv"]["path"] for fe in man["files"] if fe.get("dv")
+                )
         deleted = 0
         for fn, man in manifests:
             if fn not in keep_set:
                 for fe in man["files"]:
-                    p = os.path.join(self.path, fe["path"])
-                    if fe["path"] not in live_files and self.fs.exists(p):
-                        self.fs.remove(p)
-                        deleted += 1
+                    paths = [fe["path"]] + (
+                        [fe["dv"]["path"]] if fe.get("dv") else []
+                    )
+                    for rel in paths:
+                        p = os.path.join(self.path, rel)
+                        if rel not in live_files and self.fs.exists(p):
+                            self.fs.remove(p)
+                            deleted += 1
                 self.fs.remove(os.path.join(mdir, fn))
         # orphan sweep: anything in data/ no surviving manifest references
         referenced: set[str] = set()
         for fn, man in manifests:
             if fn in keep_set:
-                referenced.update(
-                    os.path.basename(fe["path"]) for fe in man["files"]
-                )
+                for fe in man["files"]:
+                    referenced.add(os.path.basename(fe["path"]))
+                    if fe.get("dv"):
+                        referenced.add(os.path.basename(fe["dv"]["path"]))
         ddir = os.path.join(self.path, "data")
         now = time.time()
         for fn in self.fs.listdir(ddir):
@@ -2450,9 +2632,12 @@ class ManifestParquetTable(LakeTable):
         m = self._manifest_of(snapshot_id or self.snapshot_id())
         self.fs.makedirs(os.path.join(dest_path, "data"))
         self.fs.makedirs(os.path.join(dest_path, "manifests"))
-        for fe in m["files"]:
-            src = os.path.join(self.path, fe["path"])
-            dst = os.path.join(dest_path, fe["path"])
+        clone_rels = {fe["path"] for fe in m["files"]} | {
+            fe["dv"]["path"] for fe in m["files"] if fe.get("dv")
+        }
+        for rel in sorted(clone_rels):
+            src = os.path.join(self.path, rel)
+            dst = os.path.join(dest_path, rel)
             if mode == "hardlink":
                 self.fs.link_or_copy(src, dst)
             else:
@@ -2494,12 +2679,21 @@ class ManifestParquetTable(LakeTable):
             if fe.get("kind") == "delta" or fe.get("has_dels") is not False
         ]
         if not need:
-            return sum(fe["rows"] for fe in files)
+            # dv'd files stay metadata-countable: positions were live rows
+            # (has_dels False) and each is counted once, so live = rows - dv
+            return sum(
+                fe["rows"] - int((fe.get("dv") or {}).get("rows", 0))
+                for fe in files
+            )
         # residue matching: a pre-split base overlapping a delta's zone
         # must join the scanned side — counting it from metadata would
         # double rows the delta supersedes
         sub, rest = _BucketZones(need).split(files, nb)
-        total = sum(fe["rows"] for fe in rest if fe.get("kind") != "delta")
+        total = sum(
+            fe["rows"] - int((fe.get("dv") or {}).get("rows", 0))
+            for fe in rest
+            if fe.get("kind") != "delta"
+        )
         total += self._read_resolved(sub, self.schema()).count()
         return total
 
@@ -2523,12 +2717,13 @@ class ManifestParquetTable(LakeTable):
                     fe.get("max_key"),
                     fe.get("has_dels"),
                     fe.get("schema_version"),
+                    int((fe.get("dv") or {}).get("rows", 0)),
                 )
             )
         schema = (
             "path string, bucket int, kind string, seq int, rows long, "
             "bytes long, min_key string, max_key string, has_dels boolean, "
-            "schema_version int"
+            "schema_version int, dv_rows long"
         )
         return self.spark.createDataFrame(rows, schema)
 

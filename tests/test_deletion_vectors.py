@@ -1,0 +1,181 @@
+"""Deletion-vector deletes (`delete_where(mode="dv")`) — Iceberg-v3-style
+position deletes: the commit writes one (file, position) parquet and
+re-points manifest entries; data files are untouched until compaction, and
+every physical version of a matched key is masked at scan time."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from rap_etl_spark.lake import ManifestParquetTable
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("val", T.LongType()),
+        T.StructField("src", T.StringType()),
+    ]
+)
+
+ROWS = [
+    ("a", 10, "wiki"),
+    ("b", -5, "crawl"),
+    ("c", 30, "crawl"),
+    ("d", -7, "wiki"),
+    ("e", 50, "books"),
+]
+
+
+def mk_table(spark, path):
+    t = ManifestParquetTable.create(spark, path, SCHEMA, n_buckets=4)
+    t.append(
+        spark.createDataFrame(ROWS, "doc_id string, val long, src string"),
+        batch_id=0,
+        assume_unique=True,
+    )
+    return t
+
+
+def state(t):
+    return {r["doc_id"]: (r["val"], r["src"]) for r in t.read().collect()}
+
+
+def data_paths(t):
+    return {fe["path"]: fe.get("dv") for fe in t._manifest()["files"]}
+
+
+def test_dv_delete_masks_rows_without_touching_data_files(spark, tmp_path):
+    t = mk_table(spark, str(tmp_path / "t"))
+    before = {
+        fe["path"]: t.fs.getsize(os.path.join(t.path, fe["path"]))
+        for fe in t._manifest()["files"]
+    }
+    info = t.delete_where("val < 0", mode="dv")
+    assert info.rows_written == 2 and not info.skipped
+    assert state(t) == {"a": (10, "wiki"), "c": (30, "crawl"), "e": (50, "books")}
+    after = {
+        fe["path"]: t.fs.getsize(os.path.join(t.path, fe["path"]))
+        for fe in t._manifest()["files"]
+    }
+    assert after == before  # same files, byte-identical — no rewrite
+    dvs = {fe["dv"]["path"] for fe in t._manifest()["files"] if fe.get("dv")}
+    assert len(dvs) == 1 and t.fs.exists(os.path.join(t.path, dvs.pop()))
+
+
+def test_dv_fast_count_stays_metadata_only_and_exact(spark, tmp_path):
+    t = mk_table(spark, str(tmp_path / "t"))
+    t.delete_where("val < 0", mode="dv")
+    assert t.fast_count() == 3 == t.read().count()
+
+
+def test_dv_masks_every_version_no_resurrection(spark, tmp_path):
+    """Condition evaluates on the resolved view; ALL physical versions of a
+    matched key are masked, so a superseded older version cannot
+    resurface after the delete."""
+    t = mk_table(spark, str(tmp_path / "t"))
+    upd = spark.createDataFrame(
+        [("b", 1, 99, "updated", "U")],
+        "doc_id string, lsn long, val long, src string, op string",
+    )
+    t.merge(upd, batch_id=1, mode="mor")  # b's winner now lives in a delta
+    assert state(t)["b"] == (99, "updated")
+    t.delete_where(F.col("src") == "updated", mode="dv")
+    got = state(t)
+    assert "b" not in got  # neither the delta row nor the old base row
+    assert set(got) == {"a", "c", "d", "e"}
+
+
+def test_dv_second_delete_folds_prior_generation(spark, tmp_path):
+    t = mk_table(spark, str(tmp_path / "t"))
+    t.delete_where("val < 0", mode="dv")
+    t.delete_where("val > 40", mode="dv")
+    assert state(t) == {"a": (10, "wiki"), "c": (30, "crawl")}
+    # replace-on-write pointer: every dv'd entry references ONE dv file
+    dvs = {fe["dv"]["path"] for fe in t._manifest()["files"] if fe.get("dv")}
+    assert len(dvs) == 1
+    assert sum(
+        fe["dv"]["rows"] for fe in t._manifest()["files"] if fe.get("dv")
+    ) == 3
+
+
+def test_dv_compaction_purges_positions_and_drops_dv(spark, tmp_path):
+    t = mk_table(spark, str(tmp_path / "t"))
+    t.delete_where("val < 0", mode="dv")
+    t.compact()
+    assert state(t) == {"a": (10, "wiki"), "c": (30, "crawl"), "e": (50, "books")}
+    assert not any(fe.get("dv") for fe in t._manifest()["files"])
+    # the bytes are physically gone: no file row-count exceeds live rows
+    assert sum(fe["rows"] for fe in t._manifest()["files"]) == 3
+
+
+def test_dv_idempotent_redelivery(spark, tmp_path):
+    t = mk_table(spark, str(tmp_path / "t"))
+    info1 = t.delete_where("val < 0", mode="dv", batch_id=7)
+    info2 = t.delete_where("val < 0", mode="dv", batch_id=7)
+    assert not info1.skipped and info2.skipped
+    assert t.snapshot_id() == info1.snapshot_id
+
+
+def test_dv_no_match_is_noop(spark, tmp_path):
+    t = mk_table(spark, str(tmp_path / "t"))
+    before = t.snapshot_id()
+    info = t.delete_where("val > 10000", mode="dv")
+    assert info.skipped and t.snapshot_id() == before
+
+
+def test_dv_time_travel_reads_premask_state(spark, tmp_path):
+    t = mk_table(spark, str(tmp_path / "t"))
+    snap = t.snapshot_id()
+    t.delete_where("val < 0", mode="dv")
+    assert t.read(snapshot_id=snap).count() == 5
+    assert t.read().count() == 3
+
+
+def test_dv_clone_carries_vectors(spark, tmp_path):
+    t = mk_table(spark, str(tmp_path / "t"))
+    t.delete_where("val < 0", mode="dv")
+    c = t.clone(str(tmp_path / "c"))
+    assert state(c) == state(t)
+
+
+def test_dv_replay_of_older_event_reinserts(spark, tmp_path):
+    """Documented semantics: a DV leaves no versioned tombstone, so an
+    older event CAN re-insert the key (use cow/mor tombstones when LWW
+    replay protection matters)."""
+    t = mk_table(spark, str(tmp_path / "t"))
+    t.delete_where("doc_id = 'b'", mode="dv")
+    assert "b" not in state(t)
+    old = spark.createDataFrame(
+        [("b", 1, -5, "crawl", "U")],
+        "doc_id string, lsn long, val long, src string, op string",
+    )
+    t.merge(old, batch_id=2)
+    assert state(t)["b"] == (-5, "crawl")
+
+
+def test_dv_expire_keeps_live_vector_sweeps_superseded(spark, tmp_path):
+    t = mk_table(spark, str(tmp_path / "t"))
+    t.delete_where("val < 0", mode="dv")
+    gen1 = {fe["dv"]["path"] for fe in t._manifest()["files"] if fe.get("dv")}
+    t.delete_where("val > 40", mode="dv")
+    gen2 = {fe["dv"]["path"] for fe in t._manifest()["files"] if fe.get("dv")}
+    assert gen1 != gen2
+    t.expire_snapshots(keep=1, orphan_grace_sec=0.0)
+    assert not t.fs.exists(os.path.join(t.path, gen1.pop()))
+    assert t.fs.exists(os.path.join(t.path, gen2.pop()))
+    assert state(t) == {"a": (10, "wiki"), "c": (30, "crawl")}
+
+
+def test_dv_with_schema_evolution(spark, tmp_path):
+    """DV masking composes with read-time schema resolution: files written
+    under the old schema keep their positions masked after evolve."""
+    t = mk_table(spark, str(tmp_path / "t"))
+    t.delete_where("val < 0", mode="dv")
+    wider = T.StructType(
+        list(SCHEMA.fields) + [T.StructField("extra", T.StringType())]
+    )
+    t.evolve(wider)
+    got = {r["doc_id"]: r["extra"] for r in t.read().collect()}
+    assert set(got) == {"a", "c", "e"} and all(v is None for v in got.values())
