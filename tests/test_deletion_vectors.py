@@ -179,3 +179,51 @@ def test_dv_with_schema_evolution(spark, tmp_path):
     t.evolve(wider)
     got = {r["doc_id"]: r["extra"] for r in t.read().collect()}
     assert set(got) == {"a", "c", "e"} and all(v is None for v in got.values())
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id string, val long, src string")
+
+
+def test_dv_survives_cow_merge_on_carrying_bucket(spark, tmp_path):
+    """A CoW merge that rewrites a DV-carrying bucket must (1) keep
+    already-masked rows invisible, (2) allow the merge to re-upsert a
+    DV-deleted key (DV leaves no versioned tombstone by design), and
+    (3) leave OTHER buckets' entries still pointed at the folded DV file."""
+    t = ManifestParquetTable.create(spark, str(tmp_path / "t"), SCHEMA, n_buckets=4)
+    rows = [(f"doc-{i}", i, f"s{i % 3}") for i in range(40)]
+    t.append(_docs(spark, rows), batch_id=0, assume_unique=True)
+    t.delete_where("doc_id like 'doc-1%'", mode="dv", batch_id=1)  # doc-1, doc-10..19
+    assert t.read().count() == 29
+    up = _docs(spark, [("doc-2", 999, "up"), ("doc-10", 777, "back")]).withColumn(
+        "_op", F.lit("U")
+    )
+    t.merge(up, batch_id=2)
+    got = state(t)
+    assert len(got) == 30
+    assert got["doc-2"] == (999, "up")        # update applied
+    assert got["doc-10"] == (777, "back")     # re-upsert of a DV-deleted key
+    assert "doc-11" not in got                # untouched masked key stays gone
+    # at least one surviving entry still carries the dv pointer
+    assert any(dv for dv in data_paths(t).values())
+
+
+def test_dv_survives_bucket_split_and_migration(spark, tmp_path):
+    """Metadata-only split keeps DV masking exact; the lazy migration a
+    later merge triggers reads masked rows and drops the stale pointer on
+    rewritten files."""
+    t = ManifestParquetTable.create(spark, str(tmp_path / "t"), SCHEMA, n_buckets=4)
+    rows = [(f"doc-{i}", i, f"s{i % 3}") for i in range(40)]
+    t.append(_docs(spark, rows), batch_id=0, assume_unique=True)
+    t.delete_where("doc_id like 'doc-1%'", mode="dv", batch_id=1)
+    t.split_buckets(factor=2)
+    assert t.read().count() == 29             # split is invisible to readers
+    up = _docs(spark, [(f"doc-{i}", 0, "m") for i in range(0, 40, 2)]).withColumn(
+        "_op", F.lit("U")
+    )
+    t.merge(up, batch_id=2)                   # touches every bucket -> migrates
+    final = set(state(t))
+    # evens among the deleted re-upserted (10..18), odds stay masked
+    assert {"doc-10", "doc-12", "doc-14", "doc-16", "doc-18"} <= final
+    assert not ({"doc-1", "doc-11", "doc-13", "doc-15", "doc-17", "doc-19"} & final)
+    assert len(final) == 34
