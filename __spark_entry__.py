@@ -153,6 +153,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # truth; diff-classify then merge I/U/D, N rows write nothing)
         "snapshot_diff",
         "snapshot_sync",
+        # round-3 session-4: deletion-vector deletes (Iceberg-v3 position
+        # deletes) proven on a mixed base+delta layout
+        "dml_delete_dv",
     ]
     oracles = oracle_sql()
     seen = _driver_checked_keys(set(oracles))

@@ -301,6 +301,42 @@ def q_dml_update_where(spark, sf):
         shutil.rmtree(work, ignore_errors=True)
 
 
+def q_dml_delete_dv(spark, sf):
+    """DELETE FROM ... WHERE via DELETION VECTORS (lake.py
+    delete_where(mode='dv'), Iceberg-v3 position deletes): the commit
+    writes one (file, position) parquet and re-points manifest entries —
+    no data file is rewritten, no tombstone row is added. Exercised on a
+    MIXED base+delta layout: a MoR update first moves AUTOMOBILE winners
+    into delta files (stale base versions stay on disk), then two DV
+    deletes run back-to-back — the second folds the first's generation —
+    and the resolved read must equal the plain update-then-filter SQL.
+    Masking every physical version (base AND delta) is the load-bearing
+    property the oracle hash witnesses."""
+    work = tempfile.mkdtemp(prefix="rap-etl-dml-dv-")
+    try:
+        table, schema = _dml_table(spark, work, sf, "mor")
+        upd = (
+            _t(spark, sf, "customer")
+            .filter(F.col("c_mktsegment") == "AUTOMOBILE")
+            .select(
+                F.col("c_custkey").cast("string").alias("doc_id"),
+                (F.col("c_acctbal") + F.lit(1000.0)).alias("bal"),
+                F.lit("AUTOMOBILE").alias("seg"),
+                F.lit(1).cast("long").alias("lsn"),
+                F.lit("U").alias("op"),
+            )
+        )
+        table.merge(upd, batch_id=1)
+        table.delete_where("bal < 0.0", mode="dv", batch_id=2)
+        table.delete_where("seg = 'MACHINERY'", mode="dv", batch_id=3)
+        rows = table.read().select("doc_id", "bal", "seg").collect()
+        return spark.createDataFrame(rows, schema)
+    finally:
+        import shutil
+
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def q_cdc_merge_mor(spark, sf):
     """C4 in MERGE-ON-READ mode (lake.py merge(mode='mor')): identical
     workload and oracle as `cdc_merge` — the write path commits only
@@ -415,6 +451,7 @@ TPCH_QUERIES2 = {
     "cdc_merge_mor": q_cdc_merge_mor,
     "dml_delete_where": q_dml_delete_where,
     "dml_update_where": q_dml_update_where,
+    "dml_delete_dv": q_dml_delete_dv,
 }
 
 TPCH_ORACLES2 = {
@@ -531,6 +568,14 @@ TPCH_ORACLES2 = {
         " CASE WHEN c_acctbal < 0.0 THEN 0.0 ELSE c_acctbal END AS bal,"
         " CASE WHEN c_acctbal < 0.0 THEN 'SCRUBBED' ELSE c_mktsegment END AS seg"
         " FROM customer"
+    ),
+    "dml_delete_dv": (
+        "WITH st AS (SELECT CAST(c_custkey AS VARCHAR) AS doc_id,"
+        " CASE WHEN c_mktsegment = 'AUTOMOBILE'"
+        "   THEN c_acctbal + 1000.0 ELSE c_acctbal END AS bal,"
+        " c_mktsegment AS seg FROM customer)"
+        " SELECT doc_id, bal, seg FROM st"
+        " WHERE NOT (bal < 0.0) AND seg <> 'MACHINERY'"
     ),
 }
 
