@@ -928,11 +928,25 @@ class ManifestParquetTable(LakeTable):
             return out
 
         old_b, new_b = by_bucket(m_from), by_bucket(m_to)
+
+        # Change signature per file entry: path + deletion-vector row count.
+        # A DV delete touches NO paths (it only re-points fe["dv"]), so a
+        # path-only signature would skip the bucket and the masked rows
+        # would never surface as 'delete' changes downstream. The per-file
+        # DV count is precise: a file's masked set only grows (folding
+        # unions generations; unmasking requires a rewrite, which changes
+        # the path), so count-unchanged ⇒ masked-set-unchanged even though
+        # folding re-points every dv'd entry at a new DV file.
+        def sig(fes: list[dict]) -> list[tuple]:
+            return sorted(
+                (fe["path"], int((fe.get("dv") or {}).get("rows", 0)))
+                for fe in fes
+            )
+
         changed = {
             b
             for b in set(old_b) | set(new_b)
-            if sorted(fe["path"] for fe in old_b.get(b, []))
-            != sorted(fe["path"] for fe in new_b.get(b, []))
+            if sig(old_b.get(b, [])) != sig(new_b.get(b, []))
         }
         old_files = [fe for b in changed for fe in old_b.get(b, [])]
         new_files = [fe for b in changed for fe in new_b.get(b, [])]

@@ -227,3 +227,23 @@ def test_dv_survives_bucket_split_and_migration(spark, tmp_path):
     assert {"doc-10", "doc-12", "doc-14", "doc-16", "doc-18"} <= final
     assert not ({"doc-1", "doc-11", "doc-13", "doc-15", "doc-17", "doc-19"} & final)
     assert len(final) == 34
+
+
+def test_dv_delete_surfaces_in_table_changes(spark, tmp_path):
+    """A DV commit rewrites no data file, so the changefeed's bucket
+    pruning must key on (path, dv rows), not path alone — otherwise DV
+    deletes silently vanish from downstream feeds and IVM maintainers."""
+    t = mk_table(spark, str(tmp_path / "t"))
+    s0 = t.snapshot_id()
+    t.delete_where("val < 0", mode="dv", batch_id=1)
+    ch = t.table_changes(s0).collect()
+    assert {(r["doc_id"], r["_change_type"]) for r in ch} == {
+        ("b", "delete"),
+        ("d", "delete"),
+    }
+    # second generation folds the first: the already-masked rows must NOT
+    # re-surface, only the newly masked one
+    s1 = t.snapshot_id()
+    t.delete_where("val > 40", mode="dv", batch_id=2)
+    ch2 = t.table_changes(s1).collect()
+    assert {(r["doc_id"], r["_change_type"]) for r in ch2} == {("e", "delete")}
