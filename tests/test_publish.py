@@ -184,3 +184,25 @@ def test_published_feed_is_streamable(spark, sf_small, tmp_path):
     )
     q.awaitTermination()
     assert_equivalent(t.read(), d.read())
+
+
+def test_publish_converges_through_dv_delete(spark, tmp_path):
+    """A deletion-vector delete must flow through the downstream feed: the
+    changefeed emits 'delete' events for the masked rows (carrying the
+    rows' original LSNs) and the downstream merge's same-LSN
+    delete-wins tiebreak erases them — upstream and downstream states
+    stay byte-equal."""
+    t = mk(spark, str(tmp_path / "up"))
+    _drive(spark, t)
+    t.delete_where("val >= 30", mode="dv", batch_id=2)  # kills c
+    for b in (0, 1, 2):
+        assert publish_changes(t, b, str(tmp_path / "feed"))["published"]
+    down = mk(spark, str(tmp_path / "down"))
+    apply_published(down, str(tmp_path / "feed"))
+    up_state = sorted(
+        (r["doc_id"], r["val"], r["src"]) for r in t.read().collect()
+    )
+    down_state = sorted(
+        (r["doc_id"], r["val"], r["src"]) for r in down.read().collect()
+    )
+    assert up_state == down_state == [("a", 11, "w")]
