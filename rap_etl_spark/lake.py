@@ -2134,6 +2134,88 @@ class ManifestParquetTable(LakeTable):
         finally:
             hits.unpersist()
 
+    def rewrite_deletion_vectors(
+        self, min_deleted_ratio: float = 0.1
+    ) -> CommitInfo:
+        """Targeted DV maintenance (Iceberg ``rewrite_position_deletes``
+        analogue): rewrite ONLY the data files whose deletion-vector
+        density reaches ``min_deleted_ratio`` (masked positions / file
+        rows), physically dropping the masked bytes and those files'
+        ``dv`` pointers. Lightly-masked files keep their (broadcast,
+        scan-time) mask and pass through the manifest verbatim — cost is
+        O(rewritten files), not O(table) like ``compact()``. A DV file
+        referenced by no surviving entry becomes an orphan for
+        ``expire_snapshots``.
+
+        Row CONTENT, meta columns, and each file's write-time bucket
+        modulus are preserved exactly — the rewrite is position-compaction
+        only, so MoR delta resolution, split-bucket residue matching, and
+        the changefeed are unaffected (like compaction, rewritten buckets
+        re-read in a diff and emit zero rows). No key-sharing closure is
+        needed precisely because nothing is resolved: every surviving row
+        comes back byte-identical under its original residue. One write
+        job per (schema_version, kind, seq, modulus) group — in steady
+        state that is one job over just the dense files."""
+        m = self._manifest()
+        cand = [
+            fe
+            for fe in m["files"]
+            if fe.get("dv")
+            and int(fe.get("rows", 0)) > 0
+            and int(fe["dv"].get("rows", 0)) / int(fe["rows"]) >= min_deleted_ratio
+        ]
+        if not cand:
+            return CommitInfo(m["snapshot_id"], None, 0, skipped=True)
+        nxt = self._next_manifest(m)
+        nb_table = self.n_buckets()
+        groups: dict[tuple, list[dict]] = {}
+        for fe in cand:
+            k = (
+                str(fe["schema_version"]),
+                fe.get("kind", "base"),
+                fe.get("seq"),
+                int(fe.get("nb") or nb_table),
+            )
+            groups.setdefault(k, []).append(fe)
+        new_entries: list[dict] = []
+        for (ver, kind, seq, nb), fes in sorted(groups.items(), key=repr):
+            ver_schema = self._physical_schema(
+                _schema_from_json(m["schema_versions"][ver])
+            )
+            part = self.spark.read.schema(ver_schema).parquet(
+                *[os.path.join(self.path, fe["path"]) for fe in fes]
+            )
+            masked = (
+                part.select(
+                    "*",
+                    F.element_at(
+                        F.split(F.col("_metadata.file_path"), "/"), -1
+                    ).alias("_dv_file"),
+                    F.col("_metadata.row_index").alias("_dv_pos"),
+                )
+                .join(self._dv_frame(fes), ["_dv_file", "_dv_pos"], "left_anti")
+                .drop("_dv_file", "_dv_pos")
+                .withColumn("_b", self._bucket_expr(self.key, nb))
+            )
+            new_entries.extend(
+                self._write_data_files(
+                    masked,
+                    nxt["snapshot_id"],
+                    int(ver),
+                    n_buckets=nb,
+                    kind=kind,
+                    seq=seq,
+                )
+            )
+        cand_paths = {fe["path"] for fe in cand}
+        nxt["files"] = [
+            fe for fe in m["files"] if fe["path"] not in cand_paths
+        ] + new_entries
+        self._write_manifest(nxt)
+        return CommitInfo(
+            nxt["snapshot_id"], None, sum(int(e["rows"]) for e in new_entries)
+        )
+
     def update_where(
         self,
         condition,

@@ -247,3 +247,73 @@ def test_dv_delete_surfaces_in_table_changes(spark, tmp_path):
     t.delete_where("val > 40", mode="dv", batch_id=2)
     ch2 = t.table_changes(s1).collect()
     assert {(r["doc_id"], r["_change_type"]) for r in ch2} == {("e", "delete")}
+
+
+def test_dv_targeted_rewrite_only_dense_files(spark, tmp_path):
+    """rewrite_deletion_vectors rewrites ONLY files past the density
+    threshold (dropping their dv pointers and bytes); light files keep
+    their scan-time mask and pass through the manifest verbatim."""
+    t = ManifestParquetTable.create(spark, str(tmp_path / "t"), SCHEMA, n_buckets=2)
+    # bucket assignment is hash-based: craft density via per-bucket volume
+    rows = [(f"k{i}", i, "s") for i in range(200)]
+    t.append(_docs(spark, rows), batch_id=0, assume_unique=True)
+    # delete a slice of keys -> every file carries SOME dv rows
+    t.delete_where("val % 10 < 3", mode="dv", batch_id=1)
+    dense = [
+        fe["path"]
+        for fe in t._manifest()["files"]
+        if fe.get("dv") and fe["dv"]["rows"] / fe["rows"] >= 0.25
+    ]
+    light = [
+        fe["path"]
+        for fe in t._manifest()["files"]
+        if fe.get("dv") and fe["dv"]["rows"] / fe["rows"] < 0.25
+    ]
+    before = set(state(t))
+    info = t.rewrite_deletion_vectors(min_deleted_ratio=0.25)
+    m = t._manifest()
+    paths = {fe["path"] for fe in m["files"]}
+    assert not (set(dense) & paths)          # dense files rewritten away
+    assert set(light) <= paths               # light files untouched
+    for fe in m["files"]:
+        if fe["path"] in light:
+            assert fe.get("dv")              # still masked at scan time
+    assert set(state(t)) == before           # reader state unchanged
+    assert info.rows_written == sum(
+        fe["rows"] for fe in m["files"] if fe["path"] not in light
+    )
+    # a second pass at the same threshold is a no-op
+    assert t.rewrite_deletion_vectors(min_deleted_ratio=0.25).skipped or not dense
+
+
+def test_dv_rewrite_threshold_zero_materializes_all(spark, tmp_path):
+    t = mk_table(spark, str(tmp_path / "t"))
+    t.delete_where("val < 0", mode="dv")
+    t.rewrite_deletion_vectors(min_deleted_ratio=0.0)
+    m = t._manifest()
+    assert not any(fe.get("dv") for fe in m["files"])
+    assert sum(fe["rows"] for fe in m["files"]) == 3
+    assert state(t) == {"a": (10, "wiki"), "c": (30, "crawl"), "e": (50, "books")}
+    # the superseded DV file is orphaned and reclaimed
+    t.expire_snapshots(keep=1, orphan_grace_sec=0.0)
+    assert not any(
+        fn.startswith("dv-") for fn in t.fs.listdir(os.path.join(t.path, "data"))
+    )
+
+
+def test_dv_rewrite_preserves_mor_resolution(spark, tmp_path):
+    """Rewrite is position-compaction only: meta columns survive, so a
+    stacked MoR delta still wins/loses by the same version rule after the
+    base is rewritten."""
+    t = mk_table(spark, str(tmp_path / "t"))
+    upd = spark.createDataFrame(
+        [("a", 5, 11, "delta-win", "U"), ("c", 5, 31, "delta-win", "U")],
+        "doc_id string, lsn long, val long, src string, op string",
+    )
+    t.merge(upd, batch_id=1, mode="mor")
+    t.delete_where("doc_id = 'c'", mode="dv", batch_id=2)  # masks base+delta c
+    t.rewrite_deletion_vectors(min_deleted_ratio=0.0)
+    got = state(t)
+    assert got["a"] == (11, "delta-win")      # delta still shadows base
+    assert "c" not in got
+    assert set(got) == {"a", "b", "d", "e"}
