@@ -312,3 +312,33 @@ def test_minmax_ivm_dirty_probe_is_broadcast_semi(spark):
     out = maintain_minmax(base, ch, fact, ["grp"], "v")
     plan = formatted_plan(out)
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+def test_dv_masked_read_broadcasts_and_fast_path_clean_files(spark, tmp_path):
+    """The deletion-vector mask must be a BROADCAST anti-join (the DV side
+    is deleted positions, never data-sized) with no exchange added on the
+    data side; files without a DV keep the plain-scan fast path (no join,
+    no metadata columns)."""
+    from pyspark.sql import types as T
+
+    from rap_etl_spark.lake import ManifestParquetTable
+
+    schema = T.StructType(
+        [T.StructField("doc_id", T.StringType()), T.StructField("v", T.LongType())]
+    )
+    t = ManifestParquetTable.create(spark, str(tmp_path / "t"), schema, n_buckets=2)
+    t.append(
+        spark.createDataFrame([(f"k{i}", i) for i in range(50)], schema),
+        batch_id=0,
+        assume_unique=True,
+    )
+    clean_plan = formatted_plan(t.read())
+    assert "Join" not in clean_plan and "row_index" not in clean_plan
+    t.delete_where("v % 7 = 0", mode="dv", batch_id=1)
+    masked = t.read()
+    plan = formatted_plan(masked)
+    kinds = join_kinds(masked)
+    assert any("BroadcastHashJoin" in k or "BroadcastNestedLoop" in k for k in kinds), kinds
+    assert "LeftAnti" in plan
+    # mask adds no exchange beyond the broadcast itself
+    assert "Exchange hashpartitioning" not in plan
