@@ -47,8 +47,11 @@ Subcommands::
     tag      create|list|drop --table PATH [--name NAME] [--snapshot SID]
     compact  --table PATH [--tombstone-horizon LSN] [--keep-snapshots K]
              [--zorder COL,COL] [--max-rows-per-file N]
-             [--materialize]
+             [--materialize] [--rewrite-dvs RATIO]
              [--ledger-horizon BATCH] [--sort COL,COL]
+    delete   --table PATH --where COND [--mode cow|mor|dv] [--batch-id N]
+    update   --table PATH --where COND --set COL=EXPR [--set ...]
+             [--mode cow|mor] [--batch-id N]
     rebucket --table PATH --buckets N                (eager full rewrite)
     split    --table PATH [--factor K] [--shrink]
                      (metadata-only bucket growth/shrink, lazy migration)
@@ -274,6 +277,19 @@ def cmd_compact(args) -> int:
         info = t.materialize_deltas()
         print(json.dumps({"snapshot": info.snapshot_id, "skipped": info.skipped}))
         return 0
+    if args.rewrite_dvs is not None:
+        # targeted DV maintenance only: rewrite density-threshold files
+        info = t.rewrite_deletion_vectors(min_deleted_ratio=args.rewrite_dvs)
+        print(
+            json.dumps(
+                {
+                    "snapshot": info.snapshot_id,
+                    "rows_rewritten": info.rows_written,
+                    "skipped": info.skipped,
+                }
+            )
+        )
+        return 0
     info = t.compact(
         tombstone_horizon_lsn=args.tombstone_horizon,
         expire_snapshots_keep=args.keep_snapshots,
@@ -283,6 +299,51 @@ def cmd_compact(args) -> int:
         max_rows_per_file=args.max_rows_per_file,
     )
     print(json.dumps({"snapshot": info.snapshot_id}))
+    return 0
+
+
+def cmd_delete(args) -> int:
+    """DELETE FROM ... WHERE from the command line; `--mode dv` commits a
+    deletion vector (no data rewrite, no tombstone delta)."""
+    from rap_etl_spark.lake import ManifestParquetTable
+
+    t = ManifestParquetTable(_spark("rap-etl-delete"), args.table)
+    info = t.delete_where(args.where, mode=args.mode, batch_id=args.batch_id)
+    print(
+        json.dumps(
+            {
+                "snapshot": info.snapshot_id,
+                "rows_written": info.rows_written,
+                "skipped": info.skipped,
+            }
+        )
+    )
+    return 0
+
+
+def cmd_update(args) -> int:
+    """UPDATE ... SET col=expr[,col=expr] WHERE from the command line."""
+    from rap_etl_spark.lake import ManifestParquetTable
+
+    assignments = {}
+    for a in args.set:
+        col, _, expr = a.partition("=")
+        if not _:
+            raise SystemExit(f"--set needs COL=EXPR, got {a!r}")
+        assignments[col.strip()] = expr.strip()
+    t = ManifestParquetTable(_spark("rap-etl-update"), args.table)
+    info = t.update_where(
+        args.where, assignments, mode=args.mode, batch_id=args.batch_id
+    )
+    print(
+        json.dumps(
+            {
+                "snapshot": info.snapshot_id,
+                "rows_written": info.rows_written,
+                "skipped": info.skipped,
+            }
+        )
+    )
     return 0
 
 
@@ -682,7 +743,33 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--zorder", help="two comma-separated columns: Morton layout")
     sp.add_argument("--max-rows-per-file", type=int)
     sp.add_argument("--materialize", action="store_true")
+    sp.add_argument(
+        "--rewrite-dvs",
+        type=float,
+        help="rewrite only files whose deletion-vector density >= RATIO",
+    )
     sp.set_defaults(fn=cmd_compact)
+
+    sp = sub.add_parser("delete")
+    sp.add_argument("--table", required=True)
+    sp.add_argument("--where", required=True, help="SQL boolean condition")
+    sp.add_argument("--mode", choices=["cow", "mor", "dv"])
+    sp.add_argument("--batch-id", type=int, help="idempotency key")
+    sp.set_defaults(fn=cmd_delete)
+
+    sp = sub.add_parser("update")
+    sp.add_argument("--table", required=True)
+    sp.add_argument("--where", required=True, help="SQL boolean condition")
+    sp.add_argument(
+        "--set",
+        action="append",
+        required=True,
+        metavar="COL=EXPR",
+        help="assignment, repeatable (EXPR is a SQL expression)",
+    )
+    sp.add_argument("--mode", choices=["cow", "mor"])
+    sp.add_argument("--batch-id", type=int, help="idempotency key")
+    sp.set_defaults(fn=cmd_update)
 
     sp = sub.add_parser("rebucket")
     sp.add_argument("--table", required=True)

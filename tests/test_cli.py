@@ -341,3 +341,42 @@ def test_cli_split_then_replay_and_status(spark, sf_small, tmp_path, capsys):
     _run(capsys, "replay", "--table", table, "--log", log)
     st = _run(capsys, "status", "--table", table)[-1]
     assert st["committed_batches"] == ["0", "1"] and st["rows"] > 0
+
+
+def test_cli_dml_delete_update_and_dv_rewrite(spark, sf_small, tmp_path, capsys):
+    """The DML surface: delete (all three modes reachable; dv commits a
+    deletion vector), update with repeated --set, compact --rewrite-dvs."""
+    log, table = str(tmp_path / "log"), str(tmp_path / "t")
+    _run(capsys, "synth", "--out", log, "--events", "2000",
+         "--batches", "1", "--sf", sf_small)
+    _run(capsys, "init", "--table", table, "--buckets", "8")
+    _run(capsys, "replay", "--table", table, "--log", log)
+    from rap_etl_spark.lake import ManifestParquetTable
+
+    t = ManifestParquetTable(spark, table)
+    pre = t.read().count()
+    kill = t.read().filter(F.col("n_tok") >= 8).count()
+    rec = _run(capsys, "delete", "--table", table,
+               "--where", "n_tok >= 8", "--mode", "dv", "--batch-id", "100")
+    assert rec[-1]["rows_written"] > 0 and not rec[-1]["skipped"]
+    t.refresh()  # the CLI committed through its own table handle
+    assert t.read().count() == pre - kill
+    assert any(fe.get("dv") for fe in t._manifest()["files"])
+    # idempotent redelivery through the CLI
+    rec = _run(capsys, "delete", "--table", table,
+               "--where", "n_tok >= 8", "--mode", "dv", "--batch-id", "100")
+    assert rec[-1]["skipped"]
+    # update: two assignments, one SQL expression referencing a column
+    rec = _run(capsys, "update", "--table", table,
+               "--where", "n_tok <= 2",
+               "--set", "source='tiny'", "--set", "n_tok=n_tok + 100")
+    t.refresh()
+    got = t.read().filter(F.col("source") == "tiny")
+    assert got.count() > 0
+    assert got.filter(F.col("n_tok") < 100).count() == 0
+    # DV maintenance: threshold 0 materializes every masked file
+    rec = _run(capsys, "compact", "--table", table, "--rewrite-dvs", "0.0")
+    t.refresh()
+    assert not rec[-1]["skipped"]
+    assert not any(fe.get("dv") for fe in t._manifest()["files"])
+    assert t.read().count() == pre - kill
