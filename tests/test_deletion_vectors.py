@@ -317,3 +317,15 @@ def test_dv_rewrite_preserves_mor_resolution(spark, tmp_path):
     assert got["a"] == (11, "delta-win")      # delta still shadows base
     assert "c" not in got
     assert set(got) == {"a", "b", "d", "e"}
+
+
+def test_dv_rewrite_emits_zero_changefeed_rows(spark, tmp_path):
+    """Like compaction, a DV rewrite carries NO logical change: the
+    changefeed re-reads the rewritten buckets (paths changed) but must
+    emit nothing — rows/versions are preserved, only masked positions
+    disappeared, and those were already invisible."""
+    t = mk_table(spark, str(tmp_path / "t"))
+    t.delete_where("val < 0", mode="dv", batch_id=1)
+    s = t.snapshot_id()
+    t.rewrite_deletion_vectors(min_deleted_ratio=0.0)
+    assert t.table_changes(s).count() == 0
