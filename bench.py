@@ -81,8 +81,11 @@ LC_ROUNDS = int(os.environ.get("SPARK_GRAFT_BENCH_LC_ROUNDS", "5"))
 # efficiency estimate is still below target (a noise episode ate one whole
 # side's runs), run up to this many EXTRA interleaved rounds of BOTH sides.
 # min-over-more-rounds converges to the quiet-host time — this refines the
-# estimator; every raw time is still recorded.
-LC_EXTRA_ROUNDS = int(os.environ.get("SPARK_GRAFT_BENCH_LC_EXTRA", "3"))
+# estimator; every raw time is still recorded. Budget 5 (was 3): the
+# cross-artifact record shows noise episodes spanning 3+ rounds on one
+# side (e.g. 4x2 stuck ~51s for a whole 3-round run vs its quiet 39s);
+# each extra round costs ~3.5 min and only runs while below target.
+LC_EXTRA_ROUNDS = int(os.environ.get("SPARK_GRAFT_BENCH_LC_EXTRA", "5"))
 LC_EFF_TARGET = float(os.environ.get("SPARK_GRAFT_BENCH_LC_EFF_TARGET", "0.82"))
 LC_MEM_MB = int(os.environ.get("SPARK_GRAFT_BENCH_LC_MEM", "6144"))
 # The LC pair replays a LARGER log than the thread-scaling levels: scaling
@@ -645,6 +648,23 @@ def main() -> None:
         if eff is not None:
             lc_section["efficiency_best"] = round(eff[0], 3)
             lc_section["efficiency_median"] = round(eff[1], 3)
+        if len(ok) == 2:
+            # Paired same-window estimator: each interleaved round measures
+            # both sides back-to-back, so the per-round ratio cancels noise
+            # episodes that span a whole round (the per-side min/median
+            # estimators can pair one side's quiet time with the other
+            # side's noisy one). Reported alongside, never instead.
+            lo, hi = ok[0], ok[1]
+            factor = int(hi[3:].split("x")[0]) / int(lo[3:].split("x")[0])
+            paired = [
+                round((a / b) / factor, 3)
+                for a, b in zip(lc_times[lo], lc_times[hi])
+            ]
+            if paired:
+                lc_section["efficiency_paired_rounds"] = paired
+                lc_section["efficiency_paired_median"] = round(
+                    _median(paired), 3
+                )
         # the LC log is the bench's largest tmpfs object (~100 bytes/event);
         # nothing after this section reads it
         _free_log(lc_log, keep=bool(explicit_work))
