@@ -523,12 +523,35 @@ def main() -> None:
         import shutil as _sh
 
         for d in os.listdir(default_base):
-            if d.startswith("rap-etl-bench-"):
+            p = os.path.join(default_base, d)
+            if not d.startswith("rap-etl-bench-"):
+                continue
+            try:
+                # age-guard: a CONCURRENT bench's live workdir matches the
+                # same prefix — sweeping it mid-measurement inflicts the
+                # exact failure this sweep prevents. A full run finishes
+                # well under 2h, so anything older is a crashed run's leak.
+                age = time.time() - max(
+                    os.path.getmtime(p),
+                    max(
+                        (
+                            os.path.getmtime(os.path.join(p, f))
+                            for f in os.listdir(p)
+                        ),
+                        default=0.0,
+                    ),
+                )
+            except OSError:
+                continue
+            if age < 7200:
                 print(
-                    f"sweeping stale bench workdir /dev/shm/{d}",
+                    f"keeping recent bench workdir /dev/shm/{d} "
+                    f"(age {age:.0f}s — possibly a live run)",
                     file=sys.stderr,
                 )
-                _sh.rmtree(os.path.join(default_base, d), ignore_errors=True)
+                continue
+            print(f"sweeping stale bench workdir /dev/shm/{d}", file=sys.stderr)
+            _sh.rmtree(p, ignore_errors=True)
     work = explicit_work or tempfile.mkdtemp(
         prefix="rap-etl-bench-", dir=default_base
     )

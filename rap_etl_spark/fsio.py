@@ -291,6 +291,14 @@ class ObjectStoreFS:
 
         lock_obj = path + ".obj"
         me = uuid.uuid4().hex
+
+        def _owner_of() -> str | None:
+            try:
+                with open(lock_obj) as f:
+                    return _json.loads(f.read()).get("owner")
+            except (OSError, ValueError):
+                return None
+
         deadline = time.monotonic() + max(self.LOCK_TTL_SEC * 4, 60.0)
         while True:
             try:
@@ -302,7 +310,21 @@ class ObjectStoreFS:
                 try:
                     age = time.time() - os.path.getmtime(lock_obj)
                     if age > self.LOCK_TTL_SEC:
-                        os.remove(lock_obj)  # stale lease takeover
+                        # stale lease takeover — CONDITIONAL delete (the
+                        # S3 DeleteObject If-Match analogue): read the
+                        # lease we observed as stale, re-verify age, and
+                        # only then sweep. A second waiter that lost this
+                        # race sees a FRESH lock (different owner / young
+                        # mtime) and must NOT delete it — unconditional
+                        # remove here let two waiters leapfrog each other's
+                        # new leases and collapse mutual exclusion.
+                        stale = _owner_of()
+                        if (
+                            stale is not None
+                            and time.time() - os.path.getmtime(lock_obj)
+                            > self.LOCK_TTL_SEC
+                        ):
+                            os.remove(lock_obj)
                         continue
                 except OSError:
                     continue  # holder released between probe and stat
@@ -314,10 +336,15 @@ class ObjectStoreFS:
         try:
             yield
         finally:
-            try:
-                os.remove(lock_obj)
-            except OSError:
-                pass  # TTL takeover already swept it
+            # release ONLY our own lease: if we stalled past the TTL a
+            # waiter legitimately took over, and deleting the lock now
+            # would hand a third committer entry while the taker-over is
+            # still inside the critical section
+            if _owner_of() == me:
+                try:
+                    os.remove(lock_obj)
+                except OSError:
+                    pass  # TTL takeover swept it between check and remove
 
 
 POSIX_FS = PosixFS()

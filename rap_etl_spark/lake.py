@@ -2086,19 +2086,27 @@ class ManifestParquetTable(LakeTable):
         phys = parts[0]
         for p in parts[1:]:
             phys = phys.unionByName(p)
-        hits = (
-            phys.join(matched_keys, self.key, "left_semi")
-            .select("_dv_file", "_dv_pos")
-            .persist()
+        old_dv = [fe for fe in m["files"] if fe.get("dv")]
+        hits = phys.join(matched_keys, self.key, "left_semi").select(
+            "_dv_file", "_dv_pos"
         )
+        if old_dv:
+            # the physical scan is unmasked, so a re-deleted key (masked,
+            # re-upserted by a later merge, matched again) re-collects its
+            # already-masked old positions — subtract the prior generation
+            # so n_new counts only NEWLY masked positions (the ledger's
+            # event_count) and the fold below unions disjoint sets
+            hits = hits.join(
+                self._dv_frame(old_dv), ["_dv_file", "_dv_pos"], "left_anti"
+            )
+        hits = hits.persist()
         try:
             n_new = int(hits.count())
             if n_new == 0:
                 return CommitInfo(m["snapshot_id"], batch_id, 0, skipped=True)
-            old_dv = [fe for fe in m["files"] if fe.get("dv")]
             dv_df = hits
             if old_dv:
-                dv_df = dv_df.unionByName(self._dv_frame(old_dv)).distinct()
+                dv_df = dv_df.unionByName(self._dv_frame(old_dv))
             nxt = self._next_manifest(m)
             dv_rel = os.path.join("data", f"dv-{nxt['snapshot_id']}.parquet")
             staging = os.path.join(self.path, f"_staging_dv-{nxt['snapshot_id']}")
@@ -2118,10 +2126,18 @@ class ManifestParquetTable(LakeTable):
                 os.path.join(staging, part_file), os.path.join(self.path, dv_rel)
             )
             self.fs.rmtree(staging)
+            # keep untouched entries IDENTITY-equal to the loaded manifest's
+            # objects: _write_manifest's bucket-page reuse is an `is` check,
+            # so rebuilding every dict would re-serialize and re-hash every
+            # page — O(total files) per DV commit instead of O(touched)
             nxt["files"] = [
                 {**fe, "dv": {"path": dv_rel, "rows": counts[os.path.basename(fe["path"])]}}
                 if os.path.basename(fe["path"]) in counts
-                else ({k: v for k, v in fe.items() if k != "dv"})
+                else (
+                    fe
+                    if "dv" not in fe
+                    else {k: v for k, v in fe.items() if k != "dv"}
+                )
                 for fe in m["files"]
             ]
             if batch_id is not None:
@@ -2178,7 +2194,9 @@ class ManifestParquetTable(LakeTable):
             )
             groups.setdefault(k, []).append(fe)
         new_entries: list[dict] = []
-        for (ver, kind, seq, nb), fes in sorted(groups.items(), key=repr):
+        for gi, ((ver, kind, seq, nb), fes) in enumerate(
+            sorted(groups.items(), key=repr)
+        ):
             ver_schema = self._physical_schema(
                 _schema_from_json(m["schema_versions"][ver])
             )
@@ -2200,7 +2218,14 @@ class ManifestParquetTable(LakeTable):
             new_entries.extend(
                 self._write_data_files(
                     masked,
-                    nxt["snapshot_id"],
+                    # group-unique sid suffix: two groups can share a
+                    # kind-prefix AND a bucket id (mixed moduli after
+                    # split_buckets, or two schema/seq generations) — the
+                    # plain snapshot id would then produce colliding
+                    # b<bucket>-<sid>-0000.parquet names and the second
+                    # rename would silently overwrite the first group's
+                    # data file
+                    f"{nxt['snapshot_id']}-g{gi}",
                     int(ver),
                     n_buckets=nb,
                     kind=kind,

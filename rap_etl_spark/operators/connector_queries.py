@@ -267,9 +267,13 @@ CONNECTOR_ORACLES = {
         " app AS (SELECT event_type, max(event_id) AS applied_max_lsn,"
         "  max(epoch_us(ts)) AS app_us FROM events"
         "  WHERE ts <= TIMESTAMP '2024-01-20 00:00:00' GROUP BY event_type),"
+        # LEFT join + IS NULL arm: a partition with ZERO applied rows lags
+        # by ALL its source events (matching replication_lag's isNull
+        # filter) — an inner join here would silently report 0 for it
         " lagc AS (SELECT e.event_type, count(*) AS lag_events FROM events e"
-        "  JOIN app ON e.event_type = app.event_type"
-        "  WHERE e.event_id > app.applied_max_lsn GROUP BY e.event_type)"
+        "  LEFT JOIN app ON e.event_type = app.event_type"
+        "  WHERE app.applied_max_lsn IS NULL"
+        "   OR e.event_id > app.applied_max_lsn GROUP BY e.event_type)"
         " SELECT src.event_type, src.source_max_lsn, app.applied_max_lsn,"
         "  COALESCE(lagc.lag_events, 0) AS lag_events,"
         "  src.src_us - app.app_us AS lag_us"

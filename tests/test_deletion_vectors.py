@@ -329,3 +329,57 @@ def test_dv_rewrite_emits_zero_changefeed_rows(spark, tmp_path):
     s = t.snapshot_id()
     t.rewrite_deletion_vectors(min_deleted_ratio=0.0)
     assert t.table_changes(s).count() == 0
+
+
+def test_dv_rewrite_mixed_moduli_no_filename_collision(spark, tmp_path):
+    """After split_buckets the table holds files at two moduli; a DV
+    rewrite then runs one write per (version, kind, seq, modulus) GROUP —
+    groups sharing a kind-prefix and bucket id must not overwrite each
+    other's output files (group-unique sid suffix)."""
+    t = ManifestParquetTable.create(spark, str(tmp_path / "t"), SCHEMA, n_buckets=4)
+    rows = [(f"doc-{i}", i, "s") for i in range(80)]
+    t.append(_docs(spark, rows), batch_id=0, assume_unique=True)
+    t.split_buckets(factor=2)
+    # new batch writes at modulus 8 while the base stays at modulus 4
+    t.merge(
+        _docs(spark, [(f"new-{i}", 1000 + i, "n") for i in range(40)]).withColumn(
+            "_op", F.lit("U")
+        ),
+        batch_id=1,
+        mode="mor",
+    )
+    before = set(state(t))
+    t.delete_where("val % 5 = 0", mode="dv", batch_id=2)
+    masked = {k for k, (v, _) in state(t).items()}
+    t.rewrite_deletion_vectors(min_deleted_ratio=0.0)
+    m = t._manifest()
+    assert not any(fe.get("dv") for fe in m["files"])
+    # no two manifest entries share a path, and every path exists
+    paths = [fe["path"] for fe in m["files"]]
+    assert len(paths) == len(set(paths))
+    assert set(state(t)) == masked
+    assert sum(fe["rows"] for fe in m["files"]) >= len(masked)
+    # rows preserved exactly: nothing lost to an overwrite, nothing doubled
+    assert t.read().count() == len(masked)
+    assert len(before) - len(masked) == len([v for v in range(80) if v % 5 == 0]) + len(
+        [v for v in range(1000, 1040) if v % 5 == 0]
+    )
+
+
+def test_dv_redelete_counts_only_new_positions(spark, tmp_path):
+    """rows_written on a DV commit = NEWLY masked physical positions: a
+    key deleted, re-upserted, and deleted again must count only its new
+    row, not re-count the old already-masked positions."""
+    t = mk_table(spark, str(tmp_path / "t"))
+    info1 = t.delete_where("doc_id = 'b'", mode="dv", batch_id=1)
+    assert info1.rows_written == 1
+    t.merge(
+        spark.createDataFrame(
+            [("b", 9, 99, "back", "U")],
+            "doc_id string, lsn long, val long, src string, op string",
+        ),
+        batch_id=2,
+    )
+    info2 = t.delete_where("doc_id = 'b'", mode="dv", batch_id=3)
+    assert info2.rows_written == 1  # was 2: old masked position re-counted
+    assert "b" not in state(t)
