@@ -154,8 +154,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_diff",
         "snapshot_sync",
         # round-3 session-4: deletion-vector deletes (Iceberg-v3 position
-        # deletes) proven on a mixed base+delta layout
+        # deletes) proven on a mixed base+delta layout, and the
+        # partitioned-WAL-topic source (vector offsets, Kafka shape)
         "dml_delete_dv",
+        "topic_roundtrip",
     ]
     oracles = oracle_sql()
     seen = _driver_checked_keys(set(oracles))

@@ -41,7 +41,8 @@ Subcommands::
              [--publish DIR [--publish-format parquet|binlog]]
                                          (downstream delta publishing)
     stream   --table PATH --log DIR --checkpoint DIR [--max-files N]
-             [--metrics JSONL] [--continuous] [--format parquet|binlog]
+             [--metrics JSONL] [--continuous]
+             [--format parquet|binlog|envelope|topic]
              [--branch NAME]             (use a branch-specific checkpoint)
     branch   create|list|publish|drop --table PATH [--name NAME]
     tag      create|list|drop --table PATH [--name NAME] [--snapshot SID]
@@ -190,7 +191,7 @@ def cmd_stream(args) -> int:
     from rap_etl_spark.streaming import metrics as m
     from rap_etl_spark.streaming.tail import stream_tail
 
-    if args.format in ("binlog", "envelope") and args.packed:
+    if args.format in ("binlog", "envelope", "topic") and args.packed:
         print(
             "--packed is a parquet-WAL option; this format has its own wire",
             file=sys.stderr,
@@ -710,10 +711,11 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--continuous", action="store_true")
     sp.add_argument(
         "--format",
-        choices=["parquet", "binlog", "envelope"],
+        choices=["parquet", "binlog", "envelope", "topic"],
         default="parquet",
         help="envelope = JSON-lines Debezium-style envelopes "
-        "(requires --payload-ddl; malformed rows quarantine to --dlq)",
+        "(requires --payload-ddl; malformed rows quarantine to --dlq); "
+        "topic = partitioned .rapwal WAL (p=K dirs, vector offsets)",
     )
     sp.add_argument(
         "--payload-ddl",

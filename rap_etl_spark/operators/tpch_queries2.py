@@ -1289,6 +1289,61 @@ TPCH_ORACLES2["binlog_roundtrip"] = (
 )
 
 
+def q_topic_roundtrip(spark, sf):
+    """S-source (X85): the PARTITIONED WAL topic — the same deterministic
+    change-event derivation as binlog_roundtrip, produced into a
+    4-partition topic in one job (stable xxhash key routing, per-partition
+    ordered atomic publish) and read back with
+    spark.read.format("rap-etl-topic"). The oracle is the derivation in
+    plain SQL: any routing loss/duplication or per-partition framing bug
+    breaks the value hash. Tokens serialize to CSV (driver canonicalizer
+    cannot hash bare arrays)."""
+    from rap_etl_spark.sources.topic import register, write_topic
+
+    ev = _t(spark, sf, "events").select(
+        F.when(F.col("event_id") % 10 == 0, "D")
+        .when(F.col("event_id") % 10 == 1, "I")
+        .otherwise("U")
+        .alias("op"),
+        F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("doc_id"),
+        F.col("event_id").alias("lsn"),
+        F.when(
+            F.col("event_id") % 10 == 0,
+            F.array().cast("array<int>"),
+        )
+        .otherwise(
+            F.sequence(F.lit(1), (F.col("event_id") % 7 + 1).cast("int"))
+        )
+        .alias("tokens"),
+        F.col("event_type").alias("source"),
+    )
+    work = tempfile.mkdtemp(prefix="rap-etl-topic-")
+    try:
+        register(spark)
+        write_topic(ev, os.path.join(work, "topic"), n_partitions=4)
+        got = (
+            spark.read.format("rap-etl-topic")
+            .option("path", os.path.join(work, "topic"))
+            .load()
+        )
+        rows = got.collect()
+        return spark.createDataFrame(rows, got.schema).select(
+            "op",
+            "doc_id",
+            "lsn",
+            F.concat_ws(",", "tokens").alias("tokens"),
+            "source",
+        )
+    finally:
+        import shutil
+
+        shutil.rmtree(work, ignore_errors=True)
+
+
+TPCH_QUERIES2["topic_roundtrip"] = q_topic_roundtrip
+TPCH_ORACLES2["topic_roundtrip"] = TPCH_ORACLES2["binlog_roundtrip"]
+
+
 # --------------------------------------------------------------------------
 # round 3: non-distributive IVM — MIN/MAX maintenance with dirty-group
 # re-aggregation (operators/incremental.py maintain_minmax)

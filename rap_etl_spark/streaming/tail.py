@@ -40,8 +40,10 @@ def stream_tail(
     publish_format: str = "parquet",
     auto_evolve: bool = False,
 ) -> StreamingQuery:
-    """Tail `src_dir` (parquet change-event files, or `.rapwal` binlog
-    segments with ``source="binlog"``) into `table`.
+    """Tail `src_dir` (parquet change-event files, `.rapwal` binlog
+    segments with ``source="binlog"``, or a partitioned WAL topic with
+    ``source="topic"`` — vector offsets, `maxSegmentsPerTrigger` as a
+    total round-robin cap) into `table`.
 
     ``available_now=True`` processes the current backlog in rate-limited
     micro-batches then stops — bounded replay, the batch-mode twin. A
@@ -56,11 +58,16 @@ def stream_tail(
     or below batch_id-1 can never be consulted again, and commit metadata
     stays O(K) over an unbounded run.
     """
-    if source == "binlog":
-        from rap_etl_spark.sources.binlog import as_events, register
+    if source in ("binlog", "topic"):
+        from rap_etl_spark.sources.binlog import as_events
 
-        register(spark)
-        reader = spark.readStream.format("rap-etl-binlog").option(
+        if source == "topic":
+            # partitioned WAL topic (X85): vector offsets, total rate cap
+            from rap_etl_spark.sources.topic import register as _reg
+        else:
+            from rap_etl_spark.sources.binlog import register as _reg
+        _reg(spark)
+        reader = spark.readStream.format(f"rap-etl-{source}").option(
             "path", src_dir
         )
         if max_files_per_trigger is not None:
