@@ -67,7 +67,8 @@ Subcommands::
              [--weight-col n_tok] [--snapshot SID]   (training shards)
     changes  --table PATH (--batch ID | --from SID [--to SID]) [--out DIR]
     synth    --out DIR --events N [--sf DIR] [--batches K] [--packed]
-             [--keys N] [--max-tok N] [--format parquet|binlog]
+             [--keys N] [--max-tok N] [--format parquet|binlog|topic]
+                     (topic: --batches = topic partition count)
 """
 
 from __future__ import annotations
@@ -636,8 +637,8 @@ def cmd_changes(args) -> int:
 def cmd_synth(args) -> int:
     from rap_etl_spark.sources.synth import synthesize_events, write_event_log
 
-    if args.format == "binlog" and args.packed:
-        print("--packed is a parquet-WAL option; binlog has its own wire format",
+    if args.format in ("binlog", "topic") and args.packed:
+        print("--packed is a parquet-WAL option; this format has its own wire",
               file=sys.stderr)
         return 2
     spark = _spark("rap-etl-synth")
@@ -658,6 +659,24 @@ def cmd_synth(args) -> int:
             n_segments=args.batches,
         )
         print(json.dumps({"log": args.out, "events": args.events, "segments": n}))
+        return 0
+    if args.format == "topic":
+        from rap_etl_spark.sources.topic import write_topic
+
+        pub = write_topic(
+            ev.select("op", "doc_id", "lsn", "tokens", "source"),
+            args.out,
+            n_partitions=args.batches,
+        )
+        print(
+            json.dumps(
+                {
+                    "log": args.out,
+                    "events": args.events,
+                    "partitions": {str(k): v for k, v in pub.items()},
+                }
+            )
+        )
         return 0
     write_event_log(ev, args.out, n_batches=args.batches, n_events=args.events)
     print(json.dumps({"log": args.out, "events": args.events}))
@@ -866,7 +885,9 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--packed", action="store_true")
     sp.add_argument("--keys", type=int)
     sp.add_argument("--max-tok", type=int, default=32)
-    sp.add_argument("--format", choices=["parquet", "binlog"], default="parquet")
+    sp.add_argument(
+        "--format", choices=["parquet", "binlog", "topic"], default="parquet"
+    )
     sp.set_defaults(fn=cmd_synth)
     return p
 

@@ -246,3 +246,34 @@ def test_cli_stream_topic_format(spark, sf_small, tmp_path, capsys):
         batch_id=0,
     )
     assert_equivalent(t.read(), ref.read())
+
+
+def test_cli_synth_topic_then_stream(spark, sf_small, tmp_path, capsys):
+    """Full CLI loop with no Python API: synth --format topic produces a
+    partitioned topic, stream --format topic consumes it."""
+    import json as _json
+
+    from rap_etl_spark.cli import main
+
+    topic, table = str(tmp_path / "topic"), str(tmp_path / "t")
+    assert (
+        main(
+            ["synth", "--out", topic, "--events", "1200", "--batches", "3",
+             "--sf", sf_small, "--format", "topic"]
+        )
+        == 0
+    )
+    rec = [
+        _json.loads(ln)
+        for ln in capsys.readouterr().out.splitlines()
+        if ln.startswith("{")
+    ][-1]
+    assert sum(rec["partitions"].values()) >= 1
+    assert main(["init", "--table", table, "--buckets", "8"]) == 0
+    assert (
+        main(["stream", "--table", table, "--log", topic, "--checkpoint",
+              str(tmp_path / "cp"), "--format", "topic"]) == 0
+    )
+    capsys.readouterr()
+    t = ManifestParquetTable(spark, table)
+    assert t.read().count() > 0
