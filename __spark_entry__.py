@@ -158,6 +158,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # partitioned-WAL-topic source (vector offsets, Kafka shape)
         "dml_delete_dv",
         "topic_roundtrip",
+        # round-3 session-6: DBLog-style pause-free chunked bootstrap —
+        # snapshot chunks interleaved with the live tail, watermark-window
+        # reconciliation collapsed into the version-conditional merge
+        "cdc_chunked_bootstrap",
     ]
     oracles = oracle_sql()
     seen = _driver_checked_keys(set(oracles))

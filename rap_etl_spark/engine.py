@@ -568,6 +568,93 @@ def initial_load(
     return table.append(cast_to_schema(docs, table.schema()), batch_id=batch_id)
 
 
+def chunked_bootstrap(
+    spark: SparkSession,
+    table: ManifestParquetTable,
+    select_chunk,
+    n_chunks: int,
+    log_batches,
+    lsn_col: str = "lsn",
+    first_batch_id: int = 0,
+) -> list[dict]:
+    """Pause-free chunked snapshot bootstrap (DBLog watermark algorithm,
+    Netflix DBLog / Debezium incremental-snapshot shape): interleave small
+    key-chunk SELECTs of the source with the live log tail, so a 100-TB
+    source bootstraps WITHOUT ever pausing replication or holding one
+    multi-hour consistent-read transaction.
+
+    DBLog reconciles each chunk against the log window between a LOW and
+    HIGH watermark: log events inside the window win over the chunk's rows
+    for the same key. This engine's merge is already version-conditional
+    (a change wins only on strictly-greater LSN), so the whole window rule
+    collapses into one stamp: a chunk row is merged carrying the chunk's
+    LOW watermark — the applied-log high-water LSN at the moment its
+    SELECT was issued — as its LSN. Then, automatically:
+
+    - keys last applied at ``lsn <= lo``: the chunk row (which reflects a
+      source state at least that new) wins — the snapshot fills in.
+    - keys applied from the log at ``lsn > lo`` (DBLog's "event inside
+      the window"): the stored row survives the chunk merge — the log won.
+    - events arriving AFTER the chunk landed carry ``lsn > lo`` and
+      overwrite it — equal bytes if the chunk had already seen them,
+      newer state otherwise. Either way replay converges.
+    - deletes: the chunk SELECT never returns a deleted key, and a
+      tombstone at ``lsn_d > lo`` outlives the chunk merge, so a chunk can
+      neither resurrect nor miss a delete.
+
+    Final state is therefore the plain global LWW of the log — independent
+    of chunk count, chunk order, or where the interleave lands (the
+    convergence oracle; see ``q_cdc_chunked_bootstrap``).
+
+    ``select_chunk(chunk_id, low_watermark) -> DataFrame``: the consistent
+    chunk read — in production a keyset-paginated JDBC SELECT issued while
+    the tail keeps running (the source may be arbitrarily AHEAD of
+    ``low_watermark``; correctness needs only that it is not behind it).
+    ``log_batches``: iterable of ``(changes, hwm)`` — per-key LWW-folded
+    change batches in log order; ``hwm`` is the batch's max LSN (WAL
+    sources track offsets already; pass None to derive it with one
+    column-pruned agg). Chunks and log batches alternate; each step is its
+    own ledger-committed merge, so a crash resumes mid-bootstrap exactly
+    like any other replay.
+    """
+    steps: list[dict] = []
+    batch_id = first_batch_id
+    applied_hwm = 0
+    pending = list(range(n_chunks))
+    schema = table.schema()
+    log_iter = iter(log_batches)
+    done_log = False
+    while not done_log or pending:
+        if not done_log:
+            nxt = next(log_iter, None)
+            if nxt is None:
+                done_log = True
+            else:
+                changes, hwm = nxt
+                if hwm is None:
+                    hwm = changes.agg(F.max(lsn_col)).first()[0]
+                table.merge(changes, batch_id=batch_id)
+                applied_hwm = max(applied_hwm, int(hwm if hwm is not None else 0))
+                steps.append(
+                    {"step": "log", "batch_id": batch_id, "hwm": applied_hwm}
+                )
+                batch_id += 1
+        if pending:
+            cid = pending.pop(0)
+            lo = applied_hwm
+            chunk = (
+                cast_to_schema(select_chunk(cid, lo), schema)
+                .withColumn(lsn_col, F.lit(lo).cast("long"))
+                .withColumn("op", F.lit("I"))
+            )
+            table.merge(chunk, batch_id=batch_id)
+            steps.append(
+                {"step": "chunk", "batch_id": batch_id, "chunk": cid, "lo": lo}
+            )
+            batch_id += 1
+    return steps
+
+
 def fanout_apply(
     spark: SparkSession,
     events: DataFrame,

@@ -216,6 +216,78 @@ def q_cdc_bootstrap(spark, sf):
         shutil.rmtree(work, ignore_errors=True)
 
 
+def q_cdc_chunked_bootstrap(spark, sf):
+    """Pause-free CHUNKED bootstrap end-to-end (engine.chunked_bootstrap —
+    the DBLog watermark algorithm): the source is snapshotted in 4 hash
+    key-chunks INTERLEAVED with a live 3-batch log tail; each chunk SELECT
+    observes a source state strictly AHEAD of the applied log (gap =
+    max_lsn/7) and its rows are merged stamped with the chunk's low
+    watermark. Deletes on every 5th key cross the chunk windows both ways
+    (deleted-before-select keys must stay gone; selected-then-deleted keys
+    must die when the tail catches up). Convergence oracle: the final
+    table PAYLOAD per key equals the plain global LWW of the whole log —
+    independent of chunking. The version column is excluded by design: a
+    DBLog source exposes no per-row version, so chunk rows legitimately
+    carry the watermark stamp, not the source LSN (payload equality is
+    exactly BASELINE.json's per-row invariant)."""
+    from pyspark.sql import types as T
+
+    from rap_etl_spark.engine import chunked_bootstrap
+    from rap_etl_spark.lake import ManifestParquetTable
+    from rap_etl_spark.operators.cdc import lww_latest
+
+    ev = _t(spark, sf, "orders").select(
+        F.col("o_custkey").cast("string").alias("doc_id"),
+        F.col("o_orderkey").alias("lsn"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").alias("price"),
+        F.when(F.col("o_orderkey") % 5 == 2, "D").otherwise("U").alias("op"),
+    )
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType()),
+            T.StructField("lsn", T.LongType()),
+            T.StructField("status", T.StringType()),
+            T.StructField("price", T.DoubleType()),
+        ]
+    )
+    max_lsn = ev.agg(F.max("lsn")).first()[0]
+    t1, t2 = max_lsn // 3, 2 * max_lsn // 3
+    gap = max_lsn // 7
+    n_chunks = 4
+
+    def select_chunk(cid, lo):
+        # the consistent chunk read: source state as of lo + gap (the
+        # source keeps moving while we chunk), live rows only, this
+        # chunk's keys only, NO version column exposed
+        s = min(lo + gap, max_lsn)
+        view = lww_latest(ev.filter(F.col("lsn") <= s))
+        return (
+            view.filter(F.col("op") != "D")
+            .filter(F.pmod(F.xxhash64("doc_id"), F.lit(n_chunks)) == cid)
+            .select("doc_id", "status", "price")
+        )
+
+    batches = [
+        (lww_latest(ev.filter(F.col("lsn") <= t1)), t1),
+        (lww_latest(ev.filter((F.col("lsn") > t1) & (F.col("lsn") <= t2))), t2),
+        (lww_latest(ev.filter(F.col("lsn") > t2)), max_lsn),
+    ]
+    work = tempfile.mkdtemp(prefix="rap-etl-chunked-bootstrap-")
+    try:
+        table = ManifestParquetTable.create(
+            spark, os.path.join(work, "t"), schema, n_buckets=8
+        )
+        chunked_bootstrap(spark, table, select_chunk, n_chunks, batches)
+        out_schema = T.StructType(
+            [f for f in schema.fields if f.name != "lsn"]
+        )
+        rows = table.read().select("doc_id", "status", "price").collect()
+        return spark.createDataFrame(rows, out_schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def q_token_drift(spark, sf):
     """Source-distribution drift (text.unigram_drift): per source, the
     total-variation distance between its unigram distribution and the
@@ -232,6 +304,7 @@ CONNECTOR_QUERIES = {
     "cdc_dlq": q_cdc_dlq,
     "cdc_lag": q_cdc_lag,
     "cdc_bootstrap": q_cdc_bootstrap,
+    "cdc_chunked_bootstrap": q_cdc_chunked_bootstrap,
     "token_drift": q_token_drift,
 }
 
@@ -289,6 +362,16 @@ CONNECTOR_ORACLES = {
         " w AS (SELECT *, row_number() OVER"
         " (PARTITION BY doc_id ORDER BY lsn DESC) AS rn FROM ev)"
         " SELECT doc_id, lsn, price, priority FROM w"
+        " WHERE rn = 1 AND op <> 'D'"
+    ),
+    "cdc_chunked_bootstrap": (
+        "WITH ev AS (SELECT CAST(o_custkey AS VARCHAR) AS doc_id,"
+        " o_orderkey AS lsn, o_orderstatus AS status, o_totalprice AS price,"
+        " CASE WHEN o_orderkey % 5 = 2 THEN 'D' ELSE 'U' END AS op"
+        " FROM orders),"
+        " w AS (SELECT *, row_number() OVER"
+        " (PARTITION BY doc_id ORDER BY lsn DESC) AS rn FROM ev)"
+        " SELECT doc_id, status, price FROM w"
         " WHERE rn = 1 AND op <> 'D'"
     ),
     "token_drift": (
