@@ -162,6 +162,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # snapshot chunks interleaved with the live tail, watermark-window
         # reconciliation collapsed into the version-conditional merge
         "cdc_chunked_bootstrap",
+        "cdc_emit_envelope",
     ]
     oracles = oracle_sql()
     seen = _driver_checked_keys(set(oracles))

@@ -392,6 +392,109 @@ def parse_debezium_envelope(
     return j.select(*out)
 
 
+def emit_debezium_envelope(
+    changes: DataFrame,
+    payload_cols: list[str],
+    table_name: str = "docs",
+    lsn_col: str = "lsn",
+    op_col: str = "op",
+    ts_ms: "F.Column | None" = None,
+    before_cols: list[str] | None = None,
+) -> DataFrame:
+    """The PRODUCER half of the connector surface: encode this engine's
+    change-event shape back into the Debezium wire envelope
+    ({op: c|u|d, before, after, source:{lsn, table}, ts_ms}), so a lake
+    table is itself a CDC SOURCE for downstream consumers —
+    ``table_changes -> emit -> topic`` is the outbound feed, and
+    ``parse_debezium_envelope(emit_debezium_envelope(x)) == x`` is the
+    tested inverse (`cdc_emit_envelope` oracles it by value).
+
+    op mapping (inverse of parse): I -> c, U -> u, D -> d. ``after``
+    carries the payload for upserts and is null for deletes; ``before``
+    carries the key (plus ``before_cols`` preimage values when the caller
+    has them — e.g. from table_changes' update_preimage rows) for deletes
+    and updates. One JVM to_json per row inside the scan stage — zero
+    exchanges, no Python. Null struct fields are emitted explicitly
+    (ignoreNullFields=false) so consumers can distinguish "column went
+    NULL" from "column absent", which Debezium semantics require.
+    """
+    opx = (
+        F.when(F.col(op_col) == "D", "d")
+        .when(F.col(op_col) == "U", "u")
+        .otherwise("c")
+    )
+    after = F.when(
+        F.col(op_col) != "D",
+        F.struct(F.col(KEY), *[F.col(c) for c in payload_cols]),
+    )
+    bcols = before_cols or []
+    before = F.when(
+        F.col(op_col).isin("D", "U") if bcols else (F.col(op_col) == "D"),
+        F.struct(F.col(KEY), *[F.col(c).alias(t) for c, t in zip(bcols, payload_cols)]),
+    )
+    ts = ts_ms if ts_ms is not None else (F.col(lsn_col) * 1000)
+    env = F.struct(
+        opx.alias("op"),
+        before.alias("before"),
+        after.alias("after"),
+        F.struct(
+            F.col(lsn_col).alias("lsn"), F.lit(table_name).alias("table")
+        ).alias("source"),
+        ts.cast("long").alias("ts_ms"),
+    )
+    return changes.select(
+        F.to_json(env, {"ignoreNullFields": "false"}).alias("env")
+    )
+
+
+def changefeed_envelopes(
+    table, from_snapshot: str | None, payload_cols: list[str],
+    table_name: str = "docs", to_snapshot: str | None = None,
+) -> DataFrame:
+    """Outbound CDC feed straight off the lake table: fold
+    ``table_changes``' row-level diff into ONE Debezium envelope per
+    (key, lsn) — update_preimage/update_postimage pairs collapse into a
+    single ``u`` envelope carrying BOTH images (the part inbound parsing
+    never exercises), inserts become ``c`` with after only, deletes ``d``
+    with before only. The fold is a key+lsn groupBy over only the changed
+    buckets' diff rows (table_changes is already bucket-pruned), so feed
+    cost tracks the change volume, not table size."""
+    ch = table.table_changes(from_snapshot, to_snapshot)
+    pre = F.when(F.col("_change_type") == "update_preimage", 1).otherwise(0)
+    img = F.struct(F.col(KEY), *[F.col(c) for c in payload_cols])
+    folded = (
+        ch.withColumn("_is_pre", pre)
+        .groupBy(KEY, "_change_lsn")
+        .agg(
+            F.max_by("_change_type", 1 - F.col("_is_pre")).alias("_ct"),
+            F.max_by(img, 1 - F.col("_is_pre")).alias("_post"),
+            F.max_by(img, F.col("_is_pre")).alias("_maybe_pre"),
+            F.max("_is_pre").alias("_has_pre"),
+        )
+    )
+    opx = (
+        F.when(F.col("_ct") == "delete", "d")
+        .when(F.col("_has_pre") == 1, "u")
+        .otherwise("c")
+    )
+    before = F.when(F.col("_has_pre") == 1, F.col("_maybe_pre")).when(
+        F.col("_ct") == "delete", F.col("_post")
+    )
+    after = F.when(F.col("_ct") != "delete", F.col("_post"))
+    env = F.struct(
+        opx.alias("op"),
+        before.alias("before"),
+        after.alias("after"),
+        F.struct(
+            F.col("_change_lsn").alias("lsn"), F.lit(table_name).alias("table")
+        ).alias("source"),
+        (F.col("_change_lsn") * 1000).cast("long").alias("ts_ms"),
+    )
+    return folded.select(
+        F.to_json(env, {"ignoreNullFields": "false"}).alias("env")
+    )
+
+
 def split_dlq(
     df: DataFrame, required: list[str], corrupt_col: str = "_corrupt"
 ) -> tuple[DataFrame, DataFrame]:

@@ -216,6 +216,33 @@ def q_cdc_bootstrap(spark, sf):
         shutil.rmtree(work, ignore_errors=True)
 
 
+def q_cdc_emit_envelope(spark, sf):
+    """Envelope EMIT roundtrip (cdc.emit_debezium_envelope — the producer
+    half): engine-shaped change rows from `orders` are encoded to the
+    Debezium wire envelope (JVM to_json, nulls explicit) and decoded back
+    with the inbound parser; the oracle states the original change rows
+    directly, so a green row proves parse∘emit = identity by value —
+    including null after-images on deletes. Both directions are scan-stage
+    JSON work: zero exchanges."""
+    from rap_etl_spark.operators.cdc import (
+        emit_debezium_envelope,
+        parse_debezium_envelope,
+    )
+
+    ev = _t(spark, sf, "orders").select(
+        F.col("o_custkey").cast("string").alias("doc_id"),
+        F.col("o_orderkey").alias("lsn"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("price_c"),
+        F.when(F.col("o_orderkey") % 10 == 0, "D")
+        .when(F.col("o_orderkey") % 2 == 1, "U")
+        .otherwise("I")
+        .alias("op"),
+    )
+    env = emit_debezium_envelope(ev, ["price_c"])
+    parsed = parse_debezium_envelope(env, "env", "doc_id: STRING, price_c: BIGINT")
+    return parsed.select("doc_id", "lsn", "op", "price_c", "ts_ms")
+
+
 def q_cdc_chunked_bootstrap(spark, sf):
     """Pause-free CHUNKED bootstrap end-to-end (engine.chunked_bootstrap —
     the DBLog watermark algorithm): the source is snapshotted in 4 hash
@@ -304,6 +331,7 @@ CONNECTOR_QUERIES = {
     "cdc_dlq": q_cdc_dlq,
     "cdc_lag": q_cdc_lag,
     "cdc_bootstrap": q_cdc_bootstrap,
+    "cdc_emit_envelope": q_cdc_emit_envelope,
     "cdc_chunked_bootstrap": q_cdc_chunked_bootstrap,
     "token_drift": q_token_drift,
 }
@@ -363,6 +391,14 @@ CONNECTOR_ORACLES = {
         " (PARTITION BY doc_id ORDER BY lsn DESC) AS rn FROM ev)"
         " SELECT doc_id, lsn, price, priority FROM w"
         " WHERE rn = 1 AND op <> 'D'"
+    ),
+    "cdc_emit_envelope": (
+        "SELECT CAST(o_custkey AS VARCHAR) AS doc_id, o_orderkey AS lsn,"
+        " CASE WHEN o_orderkey % 10 = 0 THEN 'D'"
+        "  WHEN o_orderkey % 2 = 1 THEN 'U' ELSE 'I' END AS op,"
+        " CASE WHEN o_orderkey % 10 = 0 THEN NULL"
+        "  ELSE CAST(round(o_totalprice * 100) AS BIGINT) END AS price_c,"
+        " o_orderkey * 1000 AS ts_ms FROM orders"
     ),
     "cdc_chunked_bootstrap": (
         "WITH ev AS (SELECT CAST(o_custkey AS VARCHAR) AS doc_id,"
