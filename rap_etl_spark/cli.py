@@ -75,6 +75,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 from pyspark.sql import SparkSession
@@ -607,6 +608,89 @@ def cmd_export(args) -> int:
     return 0
 
 
+def cmd_feed(args) -> int:
+    """Outbound replication feed: publish a committed batch's changes (or
+    a snapshot range's) downstream.
+
+    --format topic: engine wire shape into a partitioned WAL topic — a
+    `stream --format topic` consumer on another table becomes a live
+    replica. The topic transport is at-least-once on redelivery (a crash
+    between the segment publish and the feed ledger update re-appends),
+    and the consumer's version-conditional merge is idempotent per event,
+    so the downstream STATE is exactly-once — the standard Kafka contract.
+    A `_feed_ledger.json` in the topic dir skips already-published batch
+    ids on the happy path.
+
+    --format envelope: Debezium JSON-lines envelopes (one `u` per update
+    carrying both images) into `<out>/batch=<id>` leaves with the same
+    atomic-rename exactly-once publish as publish_changes — the feed for
+    external, non-engine consumers."""
+    from pyspark.sql import functions as F
+
+    from rap_etl_spark.lake import ManifestParquetTable
+    from rap_etl_spark.operators.cdc import fold_changes_to_envelopes
+    from rap_etl_spark.publish import changes_to_events
+
+    spark = _spark("rap-etl-feed")
+    t = ManifestParquetTable(spark, args.table)
+    if args.batch is not None:
+        ch = t.changes_for_batch(args.batch)
+        tag = args.batch
+    else:
+        ch = t.table_changes(args.from_snapshot, args.to_snapshot)
+        tag = args.to_snapshot or t.snapshot_id()
+    if args.format == "topic":
+        from rap_etl_spark.fsio import POSIX_FS
+        from rap_etl_spark.sources.topic import write_topic
+
+        ledger_path = os.path.join(args.out, "_feed_ledger.json")
+        done = (
+            json.loads(POSIX_FS.read_text(ledger_path))
+            if POSIX_FS.exists(ledger_path)
+            else []
+        )
+        if str(tag) in done:
+            print(json.dumps({"out": args.out, "tag": str(tag), "published": False}))
+            return 0
+        ev = changes_to_events(ch)
+        pubs = write_topic(ev, args.out, args.partitions)
+        os.makedirs(args.out, exist_ok=True)
+        POSIX_FS.write_text_atomic(ledger_path, json.dumps(done + [str(tag)]))
+        print(
+            json.dumps(
+                {
+                    "out": args.out,
+                    "tag": str(tag),
+                    "published": True,
+                    "segments": {str(k): v for k, v in pubs.items()},
+                }
+            )
+        )
+        return 0
+    # envelope: JSON-lines leaf, atomic rename (publish_changes pattern)
+    payload = [f.name for f in t.schema().fields if f.name not in ("doc_id",)]
+    env = fold_changes_to_envelopes(ch, payload, table_name=args.table_name)
+    dest = os.path.join(args.out, f"batch={tag}")
+    if os.path.exists(dest):
+        print(json.dumps({"out": dest, "published": False}))
+        return 0
+    import uuid as _uuid
+
+    tmp = os.path.join(args.out, f"_tmp-{_uuid.uuid4().hex[:8]}")
+    env.select(F.col("env").alias("value")).write.mode("overwrite").text(tmp)
+    n = spark.read.text(tmp).count()
+    try:
+        os.replace(tmp, dest)
+    except OSError:
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
+        print(json.dumps({"out": dest, "published": False}))
+        return 0
+    print(json.dumps({"out": dest, "published": True, "rows": int(n)}))
+    return 0
+
+
 def cmd_changes(args) -> int:
     """Incremental CDC read: emit row-level changes for one committed
     batch (--batch) or between two snapshots (--from/--to). Writes parquet
@@ -862,6 +946,17 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--weight-col", default="n_tok")
     sp.add_argument("--snapshot")
     sp.set_defaults(fn=cmd_export)
+
+    sp = sub.add_parser("feed")
+    sp.add_argument("--table", required=True)
+    sp.add_argument("--out", required=True)
+    sp.add_argument("--format", choices=["topic", "envelope"], default="topic")
+    sp.add_argument("--batch", type=int)
+    sp.add_argument("--from", dest="from_snapshot")
+    sp.add_argument("--to", dest="to_snapshot")
+    sp.add_argument("--partitions", type=int, default=4)
+    sp.add_argument("--table-name", default="docs")
+    sp.set_defaults(fn=cmd_feed)
 
     sp = sub.add_parser("changes")
     sp.add_argument("--table", required=True)

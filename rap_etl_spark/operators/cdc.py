@@ -453,13 +453,26 @@ def changefeed_envelopes(
 ) -> DataFrame:
     """Outbound CDC feed straight off the lake table: fold
     ``table_changes``' row-level diff into ONE Debezium envelope per
-    (key, lsn) — update_preimage/update_postimage pairs collapse into a
+    (key, lsn) — see ``fold_changes_to_envelopes``. The fold is a key+lsn
+    groupBy over only the changed buckets' diff rows (table_changes is
+    already bucket-pruned), so feed cost tracks the change volume, not
+    table size."""
+    return fold_changes_to_envelopes(
+        table.table_changes(from_snapshot, to_snapshot),
+        payload_cols,
+        table_name=table_name,
+    )
+
+
+def fold_changes_to_envelopes(
+    ch: DataFrame, payload_cols: list[str], table_name: str = "docs"
+) -> DataFrame:
+    """Fold a changefeed frame (``_change_type``/``_change_lsn`` shape from
+    ``table_changes``/``changes_for_batch``) into ONE Debezium envelope per
+    (key, lsn): update_preimage/update_postimage pairs collapse into a
     single ``u`` envelope carrying BOTH images (the part inbound parsing
     never exercises), inserts become ``c`` with after only, deletes ``d``
-    with before only. The fold is a key+lsn groupBy over only the changed
-    buckets' diff rows (table_changes is already bucket-pruned), so feed
-    cost tracks the change volume, not table size."""
-    ch = table.table_changes(from_snapshot, to_snapshot)
+    with before only."""
     pre = F.when(F.col("_change_type") == "update_preimage", 1).otherwise(0)
     img = F.struct(F.col(KEY), *[F.col(c) for c in payload_cols])
     folded = (
