@@ -608,6 +608,62 @@ def cmd_export(args) -> int:
     return 0
 
 
+def cmd_bootstrap(args) -> int:
+    """Chunked pause-free initial load (engine.chunked_bootstrap — the
+    DBLog watermark algorithm in static-snapshot mode): a point-in-time
+    source snapshot (--source parquet of live rows, taken at
+    --snapshot-lsn) is merged in --chunks hash key-chunks INTERLEAVED
+    with the log's batches — every step its own ledger commit, so the
+    bootstrap is resumable from a crash and the table serves reads
+    throughout. Chunk rows are stamped at --snapshot-lsn: any log event
+    newer than the snapshot wins regardless of apply order; the log must
+    cover everything after the snapshot position (overlap below it is
+    harmless — version-conditional)."""
+    from pyspark.sql import functions as F
+
+    from rap_etl_spark.engine import chunked_bootstrap
+    from rap_etl_spark.lake import ManifestParquetTable
+    from rap_etl_spark.operators.cdc import lww_latest
+
+    spark = _spark("rap-etl-bootstrap")
+    t = ManifestParquetTable(spark, args.table)
+    snap = spark.read.parquet(args.source)
+    n = args.chunks
+
+    def select_chunk(cid, lo):
+        return snap.filter(
+            F.pmod(F.xxhash64("doc_id"), F.lit(n)) == cid
+        )
+
+    batch_ids = sorted(
+        int(d.split("=", 1)[1])
+        for d in os.listdir(args.log)
+        if d.startswith("batch=")
+    )
+
+    def batches():
+        for b in batch_ids:
+            ev = spark.read.parquet(os.path.join(args.log, f"batch={b}"))
+            yield lww_latest(ev), None
+
+    steps = chunked_bootstrap(
+        spark, t, select_chunk, n, batches(), chunk_lsn=args.snapshot_lsn
+    )
+    print(
+        json.dumps(
+            {
+                "table": args.table,
+                "chunks": n,
+                "log_batches": len(batch_ids),
+                "steps": len(steps),
+                "snapshot_lsn": args.snapshot_lsn,
+                "snapshot": t.snapshot_id(),
+            }
+        )
+    )
+    return 0
+
+
 def cmd_feed(args) -> int:
     """Outbound replication feed: publish a committed batch's changes (or
     a snapshot range's) downstream.
@@ -946,6 +1002,14 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--weight-col", default="n_tok")
     sp.add_argument("--snapshot")
     sp.set_defaults(fn=cmd_export)
+
+    sp = sub.add_parser("bootstrap")
+    sp.add_argument("--table", required=True)
+    sp.add_argument("--source", required=True)
+    sp.add_argument("--log", required=True)
+    sp.add_argument("--chunks", type=int, default=8)
+    sp.add_argument("--snapshot-lsn", type=int, default=0)
+    sp.set_defaults(fn=cmd_bootstrap)
 
     sp = sub.add_parser("feed")
     sp.add_argument("--table", required=True)

@@ -576,6 +576,7 @@ def chunked_bootstrap(
     log_batches,
     lsn_col: str = "lsn",
     first_batch_id: int = 0,
+    chunk_lsn: int | None = None,
 ) -> list[dict]:
     """Pause-free chunked snapshot bootstrap (DBLog watermark algorithm,
     Netflix DBLog / Debezium incremental-snapshot shape): interleave small
@@ -616,6 +617,16 @@ def chunked_bootstrap(
     column-pruned agg). Chunks and log batches alternate; each step is its
     own ledger-committed merge, so a crash resumes mid-bootstrap exactly
     like any other replay.
+
+    ``chunk_lsn``: stamp every chunk at this FIXED LSN instead of the
+    live applied watermark — the STATIC-SNAPSHOT mode, for when the
+    source is a point-in-time snapshot taken at a known log position
+    (the usual parquet-dump + log-suffix bootstrap) rather than a live
+    ahead-of-the-watermark database. Correctness swaps guarantees: live
+    mode needs each select at-or-after its low watermark; fixed mode
+    needs the log to cover every event AFTER the snapshot position
+    (overlap below it is harmless — version-conditional). Interleaving
+    stays pause-free in both.
     """
     steps: list[dict] = []
     batch_id = first_batch_id
@@ -631,7 +642,9 @@ def chunked_bootstrap(
                 done_log = True
             else:
                 changes, hwm = nxt
-                if hwm is None:
+                if hwm is None and chunk_lsn is None:
+                    # live mode needs the applied watermark; fixed-stamp
+                    # mode never reads it, so skip the extra agg job
                     hwm = changes.agg(F.max(lsn_col)).first()[0]
                 table.merge(changes, batch_id=batch_id)
                 applied_hwm = max(applied_hwm, int(hwm if hwm is not None else 0))
@@ -641,7 +654,7 @@ def chunked_bootstrap(
                 batch_id += 1
         if pending:
             cid = pending.pop(0)
-            lo = applied_hwm
+            lo = applied_hwm if chunk_lsn is None else chunk_lsn
             chunk = (
                 cast_to_schema(select_chunk(cid, lo), schema)
                 .withColumn(lsn_col, F.lit(lo).cast("long"))

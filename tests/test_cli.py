@@ -459,3 +459,46 @@ def test_cli_feed_envelope_parses_back(spark, sf_small, tmp_path, capsys):
     assert parsed.filter(F.col("op") == "I").count() + parsed.filter(
         F.col("op") == "U"
     ).count() == want == parsed.count()
+
+
+def test_cli_bootstrap_chunked_converges(spark, sf_small, tmp_path, capsys):
+    """cli bootstrap (DBLog static-snapshot mode): a point-in-time snapshot
+    taken at the batch-0 boundary, merged in 3 hash chunks interleaved
+    with the FULL log (overlap below the snapshot point included), must
+    end byte-equal to a plain full replay — and rerunning the bootstrap
+    is a ledger no-op."""
+    from rap_etl_spark.lake import ManifestParquetTable
+    from rap_etl_spark.operators.cdc import lww_latest
+
+    log = str(tmp_path / "log")
+    snap_dir = str(tmp_path / "snap")
+    t_boot = str(tmp_path / "tboot")
+    t_ref = str(tmp_path / "tref")
+
+    _run(capsys, "synth", "--out", log, "--events", "2400",
+         "--sf", sf_small, "--batches", "2")
+
+    b0 = spark.read.parquet(f"{log}/batch=0")
+    snap_lsn = b0.agg(F.max("lsn")).first()[0]
+    lww_latest(b0).filter(F.col("op") != "D").select(
+        "doc_id", "tokens", "n_tok", "source"
+    ).write.parquet(snap_dir)
+
+    _run(capsys, "init", "--table", t_boot, "--buckets", "8")
+    rec = _run(capsys, "bootstrap", "--table", t_boot, "--source", snap_dir,
+               "--log", log, "--chunks", "3", "--snapshot-lsn", str(snap_lsn))
+    assert rec[-1]["steps"] == 5  # 2 log batches + 3 chunks interleaved
+    snap_after = rec[-1]["snapshot"]
+
+    # crash-resume: the whole rerun replays as ledger no-ops
+    rec = _run(capsys, "bootstrap", "--table", t_boot, "--source", snap_dir,
+               "--log", log, "--chunks", "3", "--snapshot-lsn", str(snap_lsn))
+    assert rec[-1]["snapshot"] == snap_after
+
+    _run(capsys, "init", "--table", t_ref, "--buckets", "8")
+    _run(capsys, "replay", "--table", t_ref, "--log", log)
+
+    cols = ["doc_id", "n_tok", "source"]
+    got = {tuple(r) for r in ManifestParquetTable(spark, t_boot).read().select(*cols).collect()}
+    want = {tuple(r) for r in ManifestParquetTable(spark, t_ref).read().select(*cols).collect()}
+    assert got == want and len(got) > 0
