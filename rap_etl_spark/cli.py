@@ -608,6 +608,18 @@ def cmd_export(args) -> int:
     return 0
 
 
+def cmd_fsck(args) -> int:
+    """Integrity audit (lake.fsck): manifest↔disk existence, per-file
+    footer row counts vs manifest, bucket-residue routing, DV position
+    bounds, and single-live-row-per-key. Exit 1 on any violation."""
+    from rap_etl_spark.lake import ManifestParquetTable
+
+    t = ManifestParquetTable(_spark("rap-etl-fsck"), args.table)
+    rep = t.fsck(deep=not args.shallow)
+    print(json.dumps(rep))
+    return 0 if rep["ok"] else 1
+
+
 def cmd_bootstrap(args) -> int:
     """Chunked pause-free initial load (engine.chunked_bootstrap — the
     DBLog watermark algorithm in static-snapshot mode): a point-in-time
@@ -1002,6 +1014,11 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--weight-col", default="n_tok")
     sp.add_argument("--snapshot")
     sp.set_defaults(fn=cmd_export)
+
+    sp = sub.add_parser("fsck")
+    sp.add_argument("--table", required=True)
+    sp.add_argument("--shallow", action="store_true")
+    sp.set_defaults(fn=cmd_fsck)
 
     sp = sub.add_parser("bootstrap")
     sp.add_argument("--table", required=True)

@@ -2586,6 +2586,144 @@ class ManifestParquetTable(LakeTable):
             "rows_pre_split": sum(int(fe.get("rows", 0)) for fe in legacy),
         }
 
+    def fsck(self, deep: bool = True, sample: int = 5) -> dict:
+        """Table integrity audit (the `CALL system.check` / fsck ops tool):
+        verify the invariants every other code path ASSUMES, so silent
+        manifest/data corruption (a lost file, a hand-edited manifest, a
+        buggy external writer) surfaces as a report instead of a wrong
+        query result.
+
+        Metadata pass (driver-side, O(files) existence probes, no job):
+        - every manifest data-file entry and deletion-vector file exists.
+
+        Deep pass (``deep=True``, two Spark jobs over the live file set):
+        - ``footer_rows``: each file's actual row count equals the
+          manifest-recorded count (detects truncated/replaced files);
+        - ``misrouted``: every physical row's key hashes to its file's
+          bucket at the file's own write-time modulus
+          (``pmod(xxhash64(key), nb) == bucket`` — the invariant all
+          bucket pruning relies on; a violation means pruned reads LOSE
+          rows silently);
+        - ``dv_bounds``: every deletion-vector position is inside its data
+          file's row count;
+        - ``dup_live_keys``: the resolved live view has exactly one row
+          per key (LWW + tombstone + DV resolution ends single-winner).
+
+        Both jobs are ONE scan each: the file audit reads only the key
+        column + ``_metadata.file_path`` (column-pruned) and broadcast-
+        joins the O(files) manifest map; the dup check is the ordinary
+        resolved read + one count-distinct-shaped agg. Returns
+        ``{"ok": bool, "files": n, "errors": [...]}`` with up to
+        ``sample`` offending rows per check.
+        """
+        m = self._manifest()
+        files = m["files"]
+        errors: list[dict] = []
+        for fe in files:
+            if not self.fs.exists(os.path.join(self.path, fe["path"])):
+                errors.append({"check": "missing_file", "path": fe["path"]})
+            dv = fe.get("dv")
+            if dv and not self.fs.exists(os.path.join(self.path, dv["path"])):
+                errors.append(
+                    {"check": "missing_dv", "path": dv["path"], "of": fe["path"]}
+                )
+        if deep and files and not errors:
+            default_nb = int(m.get("n_buckets") or 1)
+            fmap = self.spark.createDataFrame(
+                [
+                    (
+                        os.path.basename(fe["path"]),
+                        int(fe["bucket"]),
+                        _entry_nb(fe, default_nb),
+                        int(fe.get("rows", -1)),
+                    )
+                    for fe in files
+                ],
+                "_fname string, bucket int, nb int, rows long",
+            )
+            raw = self.spark.read.parquet(
+                *[os.path.join(self.path, fe["path"]) for fe in files]
+            ).select(
+                F.col(self.key).alias("_k"),
+                F.element_at(
+                    F.split(F.col("_metadata.file_path"), "/"), -1
+                ).alias("_fname"),
+            )
+            audit = (
+                raw.join(F.broadcast(fmap), "_fname")
+                .groupBy("_fname", "rows")
+                .agg(
+                    F.count(F.lit(1)).alias("actual"),
+                    F.sum(
+                        F.when(
+                            F.pmod(F.xxhash64("_k"), F.col("nb"))
+                            != F.col("bucket"),
+                            1,
+                        ).otherwise(0)
+                    ).alias("misrouted"),
+                )
+                .filter(
+                    (F.col("actual") != F.col("rows"))
+                    | (F.col("misrouted") > 0)
+                )
+            )
+            for r in audit.limit(sample).collect():
+                if r["actual"] != r["rows"]:
+                    errors.append(
+                        {
+                            "check": "footer_rows",
+                            "file": r["_fname"],
+                            "manifest": int(r["rows"]),
+                            "actual": int(r["actual"]),
+                        }
+                    )
+                if r["misrouted"] > 0:
+                    errors.append(
+                        {
+                            "check": "misrouted",
+                            "file": r["_fname"],
+                            "rows": int(r["misrouted"]),
+                        }
+                    )
+            dv_entries = [fe for fe in files if fe.get("dv")]
+            if dv_entries:
+                bounds = (
+                    self._dv_frame(dv_entries)
+                    .groupBy("_dv_file")
+                    .agg(F.max("_dv_pos").alias("maxpos"))
+                    .join(
+                        F.broadcast(
+                            fmap.withColumnRenamed("_fname", "_dv_file")
+                        ),
+                        "_dv_file",
+                    )
+                    .filter(F.col("maxpos") >= F.col("rows"))
+                )
+                for r in bounds.limit(sample).collect():
+                    errors.append(
+                        {
+                            "check": "dv_bounds",
+                            "file": r["_dv_file"],
+                            "max_pos": int(r["maxpos"]),
+                            "rows": int(r["rows"]),
+                        }
+                    )
+            dups = (
+                self.read()
+                .groupBy(self.key)
+                .agg(F.count(F.lit(1)).alias("n"))
+                .filter(F.col("n") > 1)
+            )
+            for r in dups.limit(sample).collect():
+                errors.append(
+                    {
+                        "check": "dup_live_keys",
+                        "key": r[self.key],
+                        "n": int(r["n"]),
+                    }
+                )
+        return {"ok": not errors, "files": len(files), "errors": errors}
+
     def expire_snapshots(
         self, keep: int = 3, orphan_grace_sec: float = 3600.0
     ) -> int:
