@@ -701,40 +701,76 @@ def cmd_feed(args) -> int:
 
     spark = _spark("rap-etl-feed")
     t = ManifestParquetTable(spark, args.table)
+    if args.format == "topic":
+        from rap_etl_spark.fsio import POSIX_FS
+        from rap_etl_spark.sources.topic import write_topic
+
+        ledger_path = os.path.join(args.out, "_feed_ledger.json")
+
+        def _done():
+            return (
+                json.loads(POSIX_FS.read_text(ledger_path))
+                if POSIX_FS.exists(ledger_path)
+                else []
+            )
+
+        if args.batch is not None:
+            work = [(str(args.batch), lambda b=args.batch: t.changes_for_batch(b))]
+        elif args.from_snapshot or args.to_snapshot:
+            tag = args.to_snapshot or t.snapshot_id()
+            work = [
+                (
+                    str(tag),
+                    lambda: t.table_changes(args.from_snapshot, args.to_snapshot),
+                )
+            ]
+        else:
+            # catch-up mode: publish every committed batch the feed ledger
+            # hasn't seen, in batch order — `feed` with no selector is
+            # "sync the topic to the table's ledger now", so a cron'd feed
+            # after each replay keeps downstream replicas current
+            work = [
+                (str(b), lambda b=b: t.changes_for_batch(b))
+                for b in sorted(int(x) for x in t.committed_batches())
+            ]
+        for tag, load in work:
+            done = _done()
+            if tag in done:
+                print(json.dumps({"out": args.out, "tag": tag, "published": False}))
+                continue
+            try:
+                ev = changes_to_events(load())
+            except ValueError as e:
+                # retention gap: the batch's snapshot pair was expired
+                # before it was ever fed — surfaced, not fatal (matches
+                # publish_changes' contract)
+                print(
+                    json.dumps(
+                        {"out": args.out, "tag": tag, "published": False,
+                         "error": str(e)}
+                    )
+                )
+                continue
+            pubs = write_topic(ev, args.out, args.partitions)
+            os.makedirs(args.out, exist_ok=True)
+            POSIX_FS.write_text_atomic(ledger_path, json.dumps(_done() + [tag]))
+            print(
+                json.dumps(
+                    {
+                        "out": args.out,
+                        "tag": tag,
+                        "published": True,
+                        "segments": {str(k): v for k, v in pubs.items()},
+                    }
+                )
+            )
+        return 0
     if args.batch is not None:
         ch = t.changes_for_batch(args.batch)
         tag = args.batch
     else:
         ch = t.table_changes(args.from_snapshot, args.to_snapshot)
         tag = args.to_snapshot or t.snapshot_id()
-    if args.format == "topic":
-        from rap_etl_spark.fsio import POSIX_FS
-        from rap_etl_spark.sources.topic import write_topic
-
-        ledger_path = os.path.join(args.out, "_feed_ledger.json")
-        done = (
-            json.loads(POSIX_FS.read_text(ledger_path))
-            if POSIX_FS.exists(ledger_path)
-            else []
-        )
-        if str(tag) in done:
-            print(json.dumps({"out": args.out, "tag": str(tag), "published": False}))
-            return 0
-        ev = changes_to_events(ch)
-        pubs = write_topic(ev, args.out, args.partitions)
-        os.makedirs(args.out, exist_ok=True)
-        POSIX_FS.write_text_atomic(ledger_path, json.dumps(done + [str(tag)]))
-        print(
-            json.dumps(
-                {
-                    "out": args.out,
-                    "tag": str(tag),
-                    "published": True,
-                    "segments": {str(k): v for k, v in pubs.items()},
-                }
-            )
-        )
-        return 0
     # envelope: JSON-lines leaf, atomic rename (publish_changes pattern)
     payload = [f.name for f in t.schema().fields if f.name not in ("doc_id",)]
     env = fold_changes_to_envelopes(ch, payload, table_name=args.table_name)

@@ -502,3 +502,32 @@ def test_cli_bootstrap_chunked_converges(spark, sf_small, tmp_path, capsys):
     got = {tuple(r) for r in ManifestParquetTable(spark, t_boot).read().select(*cols).collect()}
     want = {tuple(r) for r in ManifestParquetTable(spark, t_ref).read().select(*cols).collect()}
     assert got == want and len(got) > 0
+
+
+def test_cli_feed_catchup_syncs_ledger(spark, sf_small, tmp_path, capsys):
+    """feed with no selector = catch-up: publishes every committed batch
+    the feed ledger hasn't seen, in order; a second invocation is all
+    no-ops; a new commit then feeds exactly the one new batch."""
+    log = str(tmp_path / "log")
+    src = str(tmp_path / "src")
+    topic = str(tmp_path / "topic")
+
+    _run(capsys, "synth", "--out", log, "--events", "2400",
+         "--sf", sf_small, "--batches", "3")
+    _run(capsys, "init", "--table", src, "--buckets", "4")
+    _run(capsys, "replay", "--table", src, "--log", log, "--batches", "0,1")
+
+    rec = _run(capsys, "feed", "--table", src, "--out", topic,
+               "--partitions", "2")
+    assert [r["tag"] for r in rec] == ["0", "1"]
+    assert all(r["published"] for r in rec)
+
+    rec = _run(capsys, "feed", "--table", src, "--out", topic,
+               "--partitions", "2")
+    assert all(not r["published"] for r in rec)
+
+    _run(capsys, "replay", "--table", src, "--log", log, "--batches", "2")
+    rec = _run(capsys, "feed", "--table", src, "--out", topic,
+               "--partitions", "2")
+    published = [r for r in rec if r["published"]]
+    assert [r["tag"] for r in published] == ["2"]
