@@ -165,6 +165,11 @@ def _run_sequence(spark, tmp_path, seed, n_ops=10):
             f"model-only: { {k: want[k] for k in set(want) - set(got)} }\n"
             f"diff: { {k: (got[k], want[k]) for k in set(got) & set(want) if got[k] != want[k]} }"
         )
+    # whatever layout the random walk produced (CoW/MoR deltas, DVs,
+    # mixed moduli, post-expire) must also pass the integrity audit —
+    # fsck's invariants are exactly what the walk's reads relied on
+    rep = t.fsck()
+    assert rep["ok"], f"fsck violations after trace {trace}: {rep['errors']}"
 
 
 @pytest.mark.parametrize("seed", [11, 23, 37, 59])
