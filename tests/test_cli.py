@@ -531,3 +531,49 @@ def test_cli_feed_catchup_syncs_ledger(spark, sf_small, tmp_path, capsys):
                "--partitions", "2")
     published = [r for r in rec if r["published"]]
     assert [r["tag"] for r in published] == ["2"]
+
+
+def test_cli_replication_topology_three_hops(spark, sf_small, tmp_path, capsys):
+    """The whole deployment story composed: WAL replay into a source
+    table; topic feed into a replica; the REPLICA's own changefeed as
+    Debezium envelopes, parsed and merged into a third table. All three
+    states must be identical — every hop preserves exactly-once state."""
+    from pyspark.sql import types as T
+
+    from rap_etl_spark.lake import ManifestParquetTable
+    from rap_etl_spark.operators.cdc import lww_latest, parse_debezium_envelope
+
+    log, src = str(tmp_path / "log"), str(tmp_path / "src")
+    topic, rep = str(tmp_path / "topic"), str(tmp_path / "rep")
+    env_out, third = str(tmp_path / "env"), str(tmp_path / "third")
+
+    _run(capsys, "synth", "--out", log, "--events", "2000",
+         "--sf", sf_small, "--batches", "2")
+    _run(capsys, "init", "--table", src, "--buckets", "8")
+    _run(capsys, "replay", "--table", src, "--log", log)
+    _run(capsys, "feed", "--table", src, "--out", topic, "--partitions", "2")
+    _run(capsys, "init", "--table", rep, "--buckets", "4")
+    _run(capsys, "stream", "--table", rep, "--log", topic,
+         "--checkpoint", str(tmp_path / "cp"), "--format", "topic")
+
+    # hop 3: replica's full changefeed as envelopes -> parse -> merge
+    rec = _run(capsys, "feed", "--table", rep, "--out", env_out,
+               "--format", "envelope")
+    leaf = rec[-1]["out"]
+    envs = spark.read.text(leaf).withColumnRenamed("value", "env")
+    parsed = parse_debezium_envelope(
+        envs, "env",
+        "doc_id: STRING, tokens: ARRAY<INT>, n_tok: INT, source: STRING",
+    ).drop("_corrupt", "ts_ms")
+    t_rep = ManifestParquetTable(spark, rep)
+    t3 = ManifestParquetTable.create(
+        spark, third, t_rep.schema(), n_buckets=2
+    )
+    t3.merge(lww_latest(parsed), batch_id=0)
+
+    cols = ["doc_id", "n_tok", "source"]
+    states = [
+        {tuple(r) for r in ManifestParquetTable(spark, p).read().select(*cols).collect()}
+        for p in (src, rep, third)
+    ]
+    assert states[0] == states[1] == states[2] and len(states[0]) > 0
