@@ -50,6 +50,26 @@ def test_fsck_clean_layouts(spark, tmp_path):
     rep = t2.fsck()
     assert rep["ok"], rep
 
+    # mixed schema versions: the audit's one-scan read must survive files
+    # written before AND after an evolve (int64 widening + added column)
+    v2 = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType()),
+            T.StructField("lsn", T.LongType()),
+            T.StructField("val", T.LongType()),
+            T.StructField("extra", T.StringType()),
+        ]
+    )
+    t3 = _mk(spark, str(tmp_path / "evo"))
+    t3.evolve(v2)
+    ev2 = spark.createDataFrame(
+        [("k1", 9001, 7, "x", "U"), ("z9", 9002, 8, "y", "U")],
+        T.StructType(v2.fields + [T.StructField("op", T.StringType())]),
+    )
+    t3.merge(ev2, batch_id=1)
+    rep = t3.fsck()
+    assert rep["ok"], rep
+
 
 def test_fsck_catches_missing_file(spark, tmp_path):
     t = _mk(spark, str(tmp_path / "t"))
