@@ -735,19 +735,25 @@ def cmd_feed(args) -> int:
             ]
         for tag, load in work:
             done = _done()
-            if tag in done:
+            if any(e.split("!", 1)[0] == tag for e in done):
                 print(json.dumps({"out": args.out, "tag": tag, "published": False}))
                 continue
             try:
                 ev = changes_to_events(load())
             except ValueError as e:
                 # retention gap: the batch's snapshot pair was expired
-                # before it was ever fed — surfaced, not fatal (matches
-                # publish_changes' contract)
+                # before it was ever fed — unrecoverable from this table,
+                # so record a permanent skip marker ("<tag>!expired") in
+                # the ledger: surfaced exactly once, never retried forever
+                # (the operator repairs the replica with snapshot_sync)
+                os.makedirs(args.out, exist_ok=True)
+                POSIX_FS.write_text_atomic(
+                    ledger_path, json.dumps(_done() + [f"{tag}!expired"])
+                )
                 print(
                     json.dumps(
                         {"out": args.out, "tag": tag, "published": False,
-                         "error": str(e)}
+                         "skipped_permanently": True, "error": str(e)}
                     )
                 )
                 continue
@@ -765,33 +771,35 @@ def cmd_feed(args) -> int:
                 )
             )
         return 0
-    if args.batch is not None:
-        ch = t.changes_for_batch(args.batch)
-        tag = args.batch
-    else:
-        ch = t.table_changes(args.from_snapshot, args.to_snapshot)
-        tag = args.to_snapshot or t.snapshot_id()
-    # envelope: JSON-lines leaf, atomic rename (publish_changes pattern)
+    try:
+        if args.batch is not None:
+            ch = t.changes_for_batch(args.batch)
+            tag = args.batch
+        else:
+            ch = t.table_changes(args.from_snapshot, args.to_snapshot)
+            tag = args.to_snapshot or t.snapshot_id()
+    except ValueError as e:
+        # retention gap: graceful JSON, same contract as the topic branch
+        print(json.dumps({"out": args.out, "published": False, "error": str(e)}))
+        return 1
+    # envelope: JSON-lines leaf through the shared exactly-once protocol
+    from rap_etl_spark.publish import atomic_publish
+
     payload = [f.name for f in t.schema().fields if f.name not in ("doc_id",)]
     env = fold_changes_to_envelopes(ch, payload, table_name=args.table_name)
-    dest = os.path.join(args.out, f"batch={tag}")
-    if os.path.exists(dest):
-        print(json.dumps({"out": dest, "published": False}))
-        return 0
-    import uuid as _uuid
-
-    tmp = os.path.join(args.out, f"_tmp-{_uuid.uuid4().hex[:8]}")
-    env.select(F.col("env").alias("value")).write.mode("overwrite").text(tmp)
-    n = spark.read.text(tmp).count()
-    try:
-        os.replace(tmp, dest)
-    except OSError:
-        import shutil
-
-        shutil.rmtree(tmp, ignore_errors=True)
-        print(json.dumps({"out": dest, "published": False}))
-        return 0
-    print(json.dumps({"out": dest, "published": True, "rows": int(n)}))
+    rep = atomic_publish(
+        args.out,
+        f"batch={tag}",
+        lambda tmp: env.select(F.col("env").alias("value"))
+        .write.mode("overwrite")
+        .text(tmp),
+        lambda tmp: spark.read.text(tmp).count(),
+    )
+    print(
+        json.dumps(
+            {"out": rep["dest"], "published": rep["published"], "rows": rep["rows"]}
+        )
+    )
     return 0
 
 

@@ -2649,9 +2649,9 @@ class ManifestParquetTable(LakeTable):
                     F.split(F.col("_metadata.file_path"), "/"), -1
                 ).alias("_fname"),
             )
-            audit = (
+            per_file = (
                 raw.join(F.broadcast(fmap), "_fname")
-                .groupBy("_fname", "rows")
+                .groupBy("_fname")
                 .agg(
                     F.count(F.lit(1)).alias("actual"),
                     F.sum(
@@ -2662,6 +2662,15 @@ class ManifestParquetTable(LakeTable):
                         ).otherwise(0)
                     ).alias("misrouted"),
                 )
+            )
+            # LEFT join from the manifest side: a file truncated/replaced
+            # with ZERO rows produces no scan group at all — an inner join
+            # would silently pass the exact corruption this check exists
+            # to catch (actual=0 != manifest rows must fire)
+            audit = (
+                fmap.join(per_file, "_fname", "left")
+                .withColumn("actual", F.coalesce("actual", F.lit(0)))
+                .withColumn("misrouted", F.coalesce("misrouted", F.lit(0)))
                 .filter(
                     (F.col("actual") != F.col("rows"))
                     | (F.col("misrouted") > 0)

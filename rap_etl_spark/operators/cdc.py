@@ -428,8 +428,16 @@ def emit_debezium_envelope(
         F.struct(F.col(KEY), *[F.col(c) for c in payload_cols]),
     )
     bcols = before_cols or []
+    if bcols and len(bcols) != len(payload_cols):
+        raise ValueError(
+            f"before_cols ({len(bcols)}) must match payload_cols "
+            f"({len(payload_cols)}) one-to-one"
+        )
+    # deletes AND updates always carry a before-image (key-only when the
+    # caller has no preimage values) — Debezium consumers key updates off
+    # before.<pk>, so a null before on 'u' breaks them
     before = F.when(
-        F.col(op_col).isin("D", "U") if bcols else (F.col(op_col) == "D"),
+        F.col(op_col).isin("D", "U"),
         F.struct(F.col(KEY), *[F.col(c).alias(t) for c, t in zip(bcols, payload_cols)]),
     )
     ts = ts_ms if ts_ms is not None else (F.col(lsn_col) * 1000)

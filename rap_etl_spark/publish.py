@@ -52,6 +52,29 @@ def changes_to_events(changes: DataFrame, lsn_col: str = "_change_lsn") -> DataF
     )
 
 
+def atomic_publish(out_dir: str, leaf: str, write, count) -> dict:
+    """The shared exactly-once leaf-publish protocol: write to a temp dir,
+    count what was written, atomically rename into place. An existing
+    destination (idempotent redelivery) and a lost rename race both report
+    ``published=False``. ``write(tmp_path)`` materializes the payload;
+    ``count(tmp_path)`` returns the row count recorded in the result."""
+    dest = os.path.join(out_dir, leaf)
+    if os.path.exists(dest):
+        return {"published": False, "rows": 0, "dest": dest}
+    os.makedirs(out_dir, exist_ok=True)
+    tmp = os.path.join(out_dir, f"_tmp-{uuid.uuid4().hex[:8]}")
+    write(tmp)
+    n = int(count(tmp))
+    try:
+        os.replace(tmp, dest)  # atomic publish; loser of a race cleans up
+    except OSError:
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
+        return {"published": False, "rows": 0, "dest": dest}
+    return {"published": True, "rows": n, "dest": dest}
+
+
 def publish_changes(
     table: ManifestParquetTable,
     batch_id: int,
@@ -82,8 +105,6 @@ def publish_changes(
             "rows": 0,
             "error": str(e),
         }
-    os.makedirs(out_dir, exist_ok=True)
-    tmp = os.path.join(out_dir, f"_tmp-{batch_id}-{uuid.uuid4().hex[:8]}")
     if fmt == "binlog":
         # the .rapwal wire carries exactly (op, doc_id, lsn, tokens,
         # source) — binlog publishing is for the tokenized-sequence table
@@ -97,21 +118,29 @@ def publish_changes(
             raise ValueError(
                 f"binlog publish needs wire columns {missing}; use fmt='parquet'"
             )
-        ev.select(*wire).write.format("rap-etl-binlog").mode(
-            "overwrite"
-        ).save(tmp)
-        n = table.spark.read.format("rap-etl-binlog").load(tmp).count()
-    else:
-        ev.write.mode("overwrite").parquet(tmp)
-        n = table.spark.read.parquet(tmp).count()
-    try:
-        os.replace(tmp, dest)  # atomic publish; loser of a race cleans up
-    except OSError:
-        import shutil
 
-        shutil.rmtree(tmp, ignore_errors=True)
-        return {"batch_id": batch_id, "published": False, "rows": 0}
-    return {"batch_id": batch_id, "published": True, "rows": int(n)}
+        def write(tmp):
+            ev.select(*wire).write.format("rap-etl-binlog").mode(
+                "overwrite"
+            ).save(tmp)
+
+        def count(tmp):
+            return table.spark.read.format("rap-etl-binlog").load(tmp).count()
+
+    else:
+
+        def write(tmp):
+            ev.write.mode("overwrite").parquet(tmp)
+
+        def count(tmp):
+            return table.spark.read.parquet(tmp).count()
+
+    rep = atomic_publish(out_dir, f"batch={batch_id}", write, count)
+    return {
+        "batch_id": batch_id,
+        "published": rep["published"],
+        "rows": rep["rows"],
+    }
 
 
 def apply_published(

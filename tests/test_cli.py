@@ -577,3 +577,35 @@ def test_cli_replication_topology_three_hops(spark, sf_small, tmp_path, capsys):
         for p in (src, rep, third)
     ]
     assert states[0] == states[1] == states[2] and len(states[0]) > 0
+
+
+def test_cli_feed_catchup_marks_expired_batches_permanently(
+    spark, sf_small, tmp_path, capsys
+):
+    """A batch whose snapshot pair was expired before it was ever fed is
+    unrecoverable from this table: catch-up surfaces it ONCE with a
+    permanent skip marker in the feed ledger, then never retries it —
+    and still publishes every batch retention kept."""
+    from rap_etl_spark.lake import ManifestParquetTable
+
+    log, src, topic = (
+        str(tmp_path / "log"), str(tmp_path / "src"), str(tmp_path / "topic")
+    )
+    _run(capsys, "synth", "--out", log, "--events", "2400",
+         "--sf", sf_small, "--batches", "3")
+    _run(capsys, "init", "--table", src, "--buckets", "4")
+    _run(capsys, "replay", "--table", src, "--log", log)
+
+    ManifestParquetTable(spark, src).expire_snapshots(
+        keep=2, orphan_grace_sec=0.0
+    )
+    rec = _run(capsys, "feed", "--table", src, "--out", topic,
+               "--partitions", "2")
+    by_tag = {r["tag"]: r for r in rec}
+    assert by_tag["0"]["skipped_permanently"] and by_tag["1"]["skipped_permanently"]
+    assert by_tag["2"]["published"]
+
+    rec = _run(capsys, "feed", "--table", src, "--out", topic,
+               "--partitions", "2")
+    assert all(not r["published"] for r in rec)
+    assert not any(r.get("skipped_permanently") for r in rec)

@@ -246,3 +246,31 @@ def test_changefeed_envelopes_end_to_end(spark, tmp_path):
     assert u["before"]["price_c"] == 10 and u["after"]["price_c"] == 40
     d = next(json.loads(e) for e in envs if json.loads(e)["op"] == "d")
     assert d["before"]["doc_id"] == "b" and d["after"] is None
+
+
+def test_emit_update_carries_key_only_before(spark):
+    """With no preimage columns supplied, a 'u' envelope still carries a
+    key-only before-image (Debezium consumers key updates off before.pk);
+    and a before_cols/payload_cols length mismatch raises."""
+    import json
+
+    from pyspark.sql import types as T
+
+    from rap_etl_spark.operators.cdc import emit_debezium_envelope
+
+    ev = spark.createDataFrame(
+        [("a", 1, 100, "U")],
+        T.StructType(
+            [
+                T.StructField("doc_id", T.StringType()),
+                T.StructField("lsn", T.LongType()),
+                T.StructField("price_c", T.LongType()),
+                T.StructField("op", T.StringType()),
+            ]
+        ),
+    )
+    env = json.loads(emit_debezium_envelope(ev, ["price_c"]).first()["env"])
+    assert env["op"] == "u" and env["before"] == {"doc_id": "a"}
+
+    with pytest.raises(ValueError, match="one-to-one"):
+        emit_debezium_envelope(ev, ["price_c"], before_cols=["x", "y"])

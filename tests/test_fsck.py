@@ -123,3 +123,23 @@ def test_fsck_catches_dv_out_of_bounds(spark, tmp_path):
     rep = t.fsck()
     assert not rep["ok"]
     assert any(e["check"] == "dv_bounds" for e in rep["errors"])
+
+
+def test_fsck_catches_zero_row_truncation(spark, tmp_path):
+    """A data file replaced by a VALID but EMPTY parquet produces no scan
+    group at all — the manifest-side left join must still fire
+    footer_rows (actual=0), the silent-corruption case an inner join
+    would pass."""
+    t = _mk(spark, str(tmp_path / "t"))
+    data = os.path.join(str(tmp_path / "t"), "data")
+    victim = sorted(f for f in os.listdir(data) if f.endswith(".parquet"))[0]
+    empty = spark.createDataFrame([], SCHEMA)
+    out = str(tmp_path / "empty")
+    empty.coalesce(1).write.mode("overwrite").parquet(out)
+    part = next(f for f in os.listdir(out) if f.endswith(".parquet"))
+    os.remove(os.path.join(data, victim))
+    shutil.copyfile(os.path.join(out, part), os.path.join(data, victim))
+    rep = t.fsck()
+    assert not rep["ok"]
+    hits = [e for e in rep["errors"] if e["check"] == "footer_rows"]
+    assert hits and hits[0]["actual"] == 0 and hits[0]["manifest"] > 0
