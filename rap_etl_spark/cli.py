@@ -183,6 +183,18 @@ def cmd_replay(args) -> int:
             rec["publish"] = publish_changes(
                 t, b, args.publish, fmt=args.publish_format
             )
+        if getattr(args, "feed_topic", None):
+            # outbound replication inline with the tail: each applied
+            # batch's changefeed goes straight to the topic under the
+            # feed-ledger idempotency contract — the apply→publish loop a
+            # downstream replica follows live
+            rec["feed"] = _feed_one_to_topic(
+                t,
+                str(b),
+                lambda b=b: t.changes_for_batch(b),
+                args.feed_topic,
+                args.feed_partitions,
+            )
         print(json.dumps(rec))
     return 0
 
@@ -608,6 +620,57 @@ def cmd_export(args) -> int:
     return 0
 
 
+def _feed_one_to_topic(t, tag: str, load, out: str, partitions: int) -> dict:
+    """Publish one changefeed slice to a partitioned WAL topic with the
+    feed-ledger idempotency contract (shared by `feed` and
+    `replay --feed-topic`): already-fed tags are no-ops, retention-expired
+    ones record a permanent skip marker, everything else appends segments
+    then records the tag."""
+    from rap_etl_spark.fsio import POSIX_FS
+    from rap_etl_spark.publish import changes_to_events
+    from rap_etl_spark.sources.topic import write_topic
+
+    ledger_path = os.path.join(out, "_feed_ledger.json")
+
+    def _done():
+        return (
+            json.loads(POSIX_FS.read_text(ledger_path))
+            if POSIX_FS.exists(ledger_path)
+            else []
+        )
+
+    if any(e.split("!", 1)[0] == tag for e in _done()):
+        return {"out": out, "tag": tag, "published": False}
+    try:
+        ev = changes_to_events(load())
+    except ValueError as e:
+        # retention gap: the batch's snapshot pair was expired before it
+        # was ever fed — unrecoverable from this table, so record a
+        # permanent skip marker ("<tag>!expired"): surfaced exactly once,
+        # never retried forever (the operator repairs the replica with
+        # snapshot_sync)
+        os.makedirs(out, exist_ok=True)
+        POSIX_FS.write_text_atomic(
+            ledger_path, json.dumps(_done() + [f"{tag}!expired"])
+        )
+        return {
+            "out": out,
+            "tag": tag,
+            "published": False,
+            "skipped_permanently": True,
+            "error": str(e),
+        }
+    pubs = write_topic(ev, out, partitions)
+    os.makedirs(out, exist_ok=True)
+    POSIX_FS.write_text_atomic(ledger_path, json.dumps(_done() + [tag]))
+    return {
+        "out": out,
+        "tag": tag,
+        "published": True,
+        "segments": {str(k): v for k, v in pubs.items()},
+    }
+
+
 def cmd_fsck(args) -> int:
     """Integrity audit (lake.fsck): manifest↔disk existence, per-file
     footer row counts vs manifest, bucket-residue routing, DV position
@@ -697,23 +760,10 @@ def cmd_feed(args) -> int:
 
     from rap_etl_spark.lake import ManifestParquetTable
     from rap_etl_spark.operators.cdc import fold_changes_to_envelopes
-    from rap_etl_spark.publish import changes_to_events
 
     spark = _spark("rap-etl-feed")
     t = ManifestParquetTable(spark, args.table)
     if args.format == "topic":
-        from rap_etl_spark.fsio import POSIX_FS
-        from rap_etl_spark.sources.topic import write_topic
-
-        ledger_path = os.path.join(args.out, "_feed_ledger.json")
-
-        def _done():
-            return (
-                json.loads(POSIX_FS.read_text(ledger_path))
-                if POSIX_FS.exists(ledger_path)
-                else []
-            )
-
         if args.batch is not None:
             work = [(str(args.batch), lambda b=args.batch: t.changes_for_batch(b))]
         elif args.from_snapshot or args.to_snapshot:
@@ -734,40 +784,9 @@ def cmd_feed(args) -> int:
                 for b in sorted(int(x) for x in t.committed_batches())
             ]
         for tag, load in work:
-            done = _done()
-            if any(e.split("!", 1)[0] == tag for e in done):
-                print(json.dumps({"out": args.out, "tag": tag, "published": False}))
-                continue
-            try:
-                ev = changes_to_events(load())
-            except ValueError as e:
-                # retention gap: the batch's snapshot pair was expired
-                # before it was ever fed — unrecoverable from this table,
-                # so record a permanent skip marker ("<tag>!expired") in
-                # the ledger: surfaced exactly once, never retried forever
-                # (the operator repairs the replica with snapshot_sync)
-                os.makedirs(args.out, exist_ok=True)
-                POSIX_FS.write_text_atomic(
-                    ledger_path, json.dumps(_done() + [f"{tag}!expired"])
-                )
-                print(
-                    json.dumps(
-                        {"out": args.out, "tag": tag, "published": False,
-                         "skipped_permanently": True, "error": str(e)}
-                    )
-                )
-                continue
-            pubs = write_topic(ev, args.out, args.partitions)
-            os.makedirs(args.out, exist_ok=True)
-            POSIX_FS.write_text_atomic(ledger_path, json.dumps(_done() + [tag]))
             print(
                 json.dumps(
-                    {
-                        "out": args.out,
-                        "tag": tag,
-                        "published": True,
-                        "segments": {str(k): v for k, v in pubs.items()},
-                    }
+                    _feed_one_to_topic(t, tag, load, args.out, args.partitions)
                 )
             )
         return 0
@@ -901,6 +920,12 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument(
         "--publish-format", choices=["parquet", "binlog"], default="parquet"
     )
+    sp.add_argument(
+        "--feed-topic",
+        help="feed each applied batch's changefeed into this WAL topic "
+        "(inline outbound replication; same ledger contract as `feed`)",
+    )
+    sp.add_argument("--feed-partitions", type=int, default=4)
     sp.add_argument(
         "--auto-evolve",
         action="store_true",

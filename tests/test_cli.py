@@ -609,3 +609,35 @@ def test_cli_feed_catchup_marks_expired_batches_permanently(
                "--partitions", "2")
     assert all(not r["published"] for r in rec)
     assert not any(r.get("skipped_permanently") for r in rec)
+
+
+def test_cli_replay_feed_topic_inline(spark, sf_small, tmp_path, capsys):
+    """replay --feed-topic: each applied batch's changefeed lands in the
+    topic inline with the tail; a streamed replica converges; redelivered
+    batches neither re-apply nor re-feed."""
+    from rap_etl_spark.lake import ManifestParquetTable
+
+    log, src = str(tmp_path / "log"), str(tmp_path / "src")
+    topic, rep = str(tmp_path / "topic"), str(tmp_path / "rep")
+
+    _run(capsys, "synth", "--out", log, "--events", "2000",
+         "--sf", sf_small, "--batches", "2")
+    _run(capsys, "init", "--table", src, "--buckets", "4")
+    rec = _run(capsys, "replay", "--table", src, "--log", log,
+               "--feed-topic", topic, "--feed-partitions", "2")
+    applied = [r for r in rec if "batch_id" in r]
+    assert all(r["feed"]["published"] for r in applied)
+
+    rec = _run(capsys, "replay", "--table", src, "--log", log,
+               "--feed-topic", topic, "--feed-partitions", "2",
+               "--batches", "1")
+    assert rec[-1]["skipped"] is True
+    assert rec[-1]["feed"]["published"] is False
+
+    _run(capsys, "init", "--table", rep, "--buckets", "4")
+    _run(capsys, "stream", "--table", rep, "--log", topic,
+         "--checkpoint", str(tmp_path / "cp"), "--format", "topic")
+    cols = ["doc_id", "n_tok", "source"]
+    s = {tuple(r) for r in ManifestParquetTable(spark, src).read().select(*cols).collect()}
+    r = {tuple(r) for r in ManifestParquetTable(spark, rep).read().select(*cols).collect()}
+    assert s == r and len(s) > 0
