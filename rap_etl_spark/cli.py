@@ -644,20 +644,26 @@ def _feed_one_to_topic(t, tag: str, load, out: str, partitions: int) -> dict:
     try:
         ev = changes_to_events(load())
     except ValueError as e:
-        # retention gap: the batch's snapshot pair was expired before it
-        # was ever fed — unrecoverable from this table, so record a
-        # permanent skip marker ("<tag>!expired"): surfaced exactly once,
-        # never retried forever (the operator repairs the replica with
-        # snapshot_sync)
-        os.makedirs(out, exist_ok=True)
-        POSIX_FS.write_text_atomic(
-            ledger_path, json.dumps(_done() + [f"{tag}!expired"])
-        )
+        # Only a PROVABLE retention expiry gets a permanent skip marker
+        # ("<tag>!expired"): the batch is in the commit ledger but its
+        # snapshot pair is gone — unrecoverable from this table, surfaced
+        # exactly once, never retried forever (the operator repairs the
+        # replica with snapshot_sync). Every other ValueError (batch not
+        # committed yet — operator typo or a race with the replay — or a
+        # bad snapshot id) is RECOVERABLE: surface it without recording
+        # anything, so a corrected retry still feeds the data instead of
+        # hitting a poisoned ledger entry.
+        permanent = tag.isdigit() and t.is_committed(int(tag))
+        if permanent:
+            os.makedirs(out, exist_ok=True)
+            POSIX_FS.write_text_atomic(
+                ledger_path, json.dumps(_done() + [f"{tag}!expired"])
+            )
         return {
             "out": out,
             "tag": tag,
             "published": False,
-            "skipped_permanently": True,
+            "skipped_permanently": permanent,
             "error": str(e),
         }
     pubs = write_topic(ev, out, partitions)
@@ -798,9 +804,12 @@ def cmd_feed(args) -> int:
             ch = t.table_changes(args.from_snapshot, args.to_snapshot)
             tag = args.to_snapshot or t.snapshot_id()
     except ValueError as e:
-        # retention gap: graceful JSON, same contract as the topic branch
+        # retention gap: graceful JSON, exit 0 — same surfaced-not-fatal
+        # contract as the topic branch and publish_changes (a scripted
+        # catch-up loop must not halt on a condition the sibling format
+        # treats as non-fatal)
         print(json.dumps({"out": args.out, "published": False, "error": str(e)}))
-        return 1
+        return 0
     # envelope: JSON-lines leaf through the shared exactly-once protocol
     from rap_etl_spark.publish import atomic_publish
 

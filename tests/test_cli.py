@@ -641,3 +641,26 @@ def test_cli_replay_feed_topic_inline(spark, sf_small, tmp_path, capsys):
     s = {tuple(r) for r in ManifestParquetTable(spark, src).read().select(*cols).collect()}
     r = {tuple(r) for r in ManifestParquetTable(spark, rep).read().select(*cols).collect()}
     assert s == r and len(s) > 0
+
+
+def test_cli_feed_uncommitted_batch_is_recoverable(spark, sf_small, tmp_path, capsys):
+    """Feeding a batch that is not committed yet (typo or race with the
+    replay) must NOT poison the feed ledger: the error surfaces, nothing
+    is recorded, and once the batch commits the same feed succeeds."""
+    log, src, topic = (
+        str(tmp_path / "log"), str(tmp_path / "src"), str(tmp_path / "topic")
+    )
+    _run(capsys, "synth", "--out", log, "--events", "1600",
+         "--sf", sf_small, "--batches", "2")
+    _run(capsys, "init", "--table", src, "--buckets", "4")
+    _run(capsys, "replay", "--table", src, "--log", log, "--batches", "0")
+
+    rec = _run(capsys, "feed", "--table", src, "--out", topic,
+               "--partitions", "2", "--batch", "1")
+    assert not rec[-1]["published"]
+    assert rec[-1]["error"] and not rec[-1]["skipped_permanently"]
+
+    _run(capsys, "replay", "--table", src, "--log", log, "--batches", "1")
+    rec = _run(capsys, "feed", "--table", src, "--out", topic,
+               "--partitions", "2", "--batch", "1")
+    assert rec[-1]["published"] is True
