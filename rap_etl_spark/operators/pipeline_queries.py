@@ -111,6 +111,41 @@ def q_simhash_sig(spark, sf):
     return simhash(_t(spark, sf, "documents"))
 
 
+def q_minhash_planted(spark, sf):
+    """Oracled twin of minhash_neardup: EXACT-duplicate copies planted at
+    doc_id+1,000,000 have the identical shingle set, hence the identical
+    MinHash signature — they MUST agree in every LSH band and verify at
+    est_jaccard exactly 1.0. Restricting the detected pairs to the planted
+    namespace (b = a + 1e6) therefore yields exactly the planted set — a
+    deterministic, SQL-expressible truth the rows-only key can't
+    hash-compare. (Recall on PERTURBED near-dups stays pytest-gated.)"""
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    planted = d.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    pairs = minhash_near_dups(d.unionByName(planted), threshold=0.5)
+    return pairs.filter(F.col("b") == F.col("a") + 1_000_000).select(
+        "a", "b", F.round("est_jaccard", 2).alias("est_jaccard")
+    )
+
+
+def q_simhash_planted(spark, sf):
+    """Oracled twin of simhash_sig: exact-duplicate copies share the
+    64-bit signature, so every planted pair appears at hamming distance 0
+    in all four 16-bit pigeonhole buckets. Same planted-truth pattern as
+    q_minhash_planted."""
+    from rap_etl_spark.operators.neardup import simhash_near_dups
+
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    planted = d.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    pairs = simhash_near_dups(d.unionByName(planted), max_hamming=3)
+    return pairs.filter(F.col("b") == F.col("a") + 1_000_000).select(
+        "a", "b", F.col("hamming").cast("int").alias("hamming")
+    )
+
+
 # --------------------------------------------------------------------------
 # similarity search
 # --------------------------------------------------------------------------
@@ -796,6 +831,8 @@ QUERIES2 = {
     "ngram_jaccard": q_ngram_jaccard,
     "minhash_neardup": q_minhash_neardup,
     "simhash_sig": q_simhash_sig,
+    "minhash_planted": q_minhash_planted,
+    "simhash_planted": q_simhash_planted,
     "embed_cosine": q_embed_cosine,
     "embed_neardup": q_embed_neardup,
     "embed_topk": q_embed_topk,
@@ -808,6 +845,16 @@ QUERIES2 = {
 }
 
 ORACLES2 = {
+    "minhash_planted": (
+        "SELECT doc_id AS a, doc_id + 1000000 AS b,"
+        " CAST(1.0 AS DOUBLE) AS est_jaccard"
+        " FROM documents WHERE doc_id % 10 = 0"
+    ),
+    "simhash_planted": (
+        "SELECT doc_id AS a, doc_id + 1000000 AS b,"
+        " CAST(0 AS INT) AS hamming"
+        " FROM documents WHERE doc_id % 10 = 0"
+    ),
     "recipe_plan": (
         " WITH base AS (SELECT doc_id, source, text,"
         "  CASE source WHEN 'src0' THEN 2.0 WHEN 'src1' THEN 1.5"

@@ -9,12 +9,13 @@ incremental-maintenance form: per-batch sketches persisted next to the
 aggregate and folded in per micro-batch without re-reading history
 (compare operators/incremental.py for the exact-distributive case).
 
-Oracle note: the HLL and theta entries are value-oracled against EXACT SQL
-because at driver scale (sf0.01) every cardinality involved sits inside
-the sketches' exact regime (HLL sparse mode below ~2^lgK entries; theta
-in exact mode below its nominal 4096 entries) — measured: suppliers 100,
-priority-pair customer union 1468. KLL quantiles carry no such exactness
-guarantee, so they are rows-only with a pytest epsilon gate.
+Oracle note: all four entries are value-oracled against EXACT SQL because
+at driver scale (sf0.01) every cardinality involved sits inside the
+sketches' exact regime (HLL sparse mode below ~2^lgK entries; theta in
+exact mode below its nominal 4096 entries; KLL retains all items while
+n <= k=65535 so quantiles are true order statistics) — measured:
+suppliers 100, priority-pair customer union 1468, largest KLL group ~20k.
+The approximate regimes are pytest-gated (tests/test_sketches.py).
 """
 
 from __future__ import annotations
@@ -61,12 +62,19 @@ def q_sketch_theta_setops(spark, sf):
 
 
 def q_sketch_kll_quantiles(spark, sf):
-    """Rows-only: KLL quantile sketch of l_quantity per returnflag — the
-    mergeable alternative to exact percentiles (agg_percentile); rank
-    accuracy is pytest-gated (tests/test_sketches.py), not oracled."""
+    """KLL quantile sketch of l_quantity per returnflag — the mergeable
+    alternative to exact percentiles (agg_percentile).
+
+    Oracled via the same exact-regime trick as HLL/theta above: with
+    k=65535 (the KLL maximum) every per-returnflag group at driver scale
+    (~20k rows at sf0.01) fits inside the sketch's pre-compaction buffer,
+    so ALL items are retained, partial-sketch merges stay exact, and
+    get_quantile returns the true discrete order statistic — measured
+    equal to DuckDB's quantile_disc. The compacted (approximate) regime's
+    rank-epsilon guarantee is pytest-gated (tests/test_sketches.py)."""
     li = _t(spark, sf, "lineitem")
     sk = li.groupBy("l_returnflag").agg(
-        F.kll_sketch_agg_double("l_quantity").alias("sk")
+        F.kll_sketch_agg_double("l_quantity", F.lit(65535)).alias("sk")
     )
     return sk.select(
         "l_returnflag",
@@ -174,5 +182,12 @@ SKETCH_ORACLES = {
         "   SELECT * FROM l)) AS n_both,"
         " (SELECT count(*) FROM (SELECT * FROM u UNION"
         "   SELECT * FROM l)) AS n_either"
+    ),
+    "sketch_kll_quantiles": (
+        "SELECT l_returnflag,"
+        " quantile_disc(l_quantity, 0.25) AS q25,"
+        " quantile_disc(l_quantity, 0.5) AS median,"
+        " quantile_disc(l_quantity, 0.75) AS q75"
+        " FROM lineitem GROUP BY l_returnflag"
     ),
 }
