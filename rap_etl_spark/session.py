@@ -88,6 +88,10 @@ def get_spark(
         .config("spark.python.worker.faulthandler.enabled", "true")
         .config("spark.sql.execution.pyspark.udf.faulthandler.enabled", "true")
         .config("spark.ui.enabled", "false")
+        # never write progress bars to stdout: the bench/driver contract
+        # reserves stdout for one-line JSON results (round-1/2 artifacts
+        # show \r-progress frames flooding the driver's captured tail)
+        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.parquet.compression.codec", "snappy")
         # deterministic timestamp behavior for oracle comparison
         .config("spark.sql.parquet.int96RebaseModeInRead", "CORRECTED")
