@@ -124,6 +124,7 @@ def cmd_replay(args) -> int:
         lineage_dir=args.lineage,
         auto_evolve=getattr(args, "auto_evolve", False),
         auto_split_rows=getattr(args, "auto_split_rows", None),
+        quarantine_dir=getattr(args, "quarantine", None),
     )
     if args.format == "binlog":
         from rap_etl_spark.sources.binlog import _list_segments, as_events, register
@@ -256,6 +257,7 @@ def cmd_stream(args) -> int:
             publish_dir=args.publish,
             publish_format=args.publish_format,
             auto_evolve=args.auto_evolve,
+            quarantine_dir=getattr(args, "quarantine", None),
         )
     q.awaitTermination()
     if listener is not None:
@@ -745,6 +747,21 @@ def cmd_bootstrap(args) -> int:
     return 0
 
 
+def cmd_compact_topic(args) -> int:
+    """X91: Kafka-style log compaction of a partitioned WAL topic —
+    latest record per key survives, segment count (= stream offsets)
+    preserved, tombstones kept unless --drop-tombstones."""
+    from rap_etl_spark.sources.topic import compact_topic, register
+
+    spark = _spark("rap-etl-compact-topic")
+    register(spark)
+    stats = compact_topic(
+        spark, args.topic, drop_tombstones=args.drop_tombstones
+    )
+    print(json.dumps({str(p): s for p, s in sorted(stats.items())}))
+    return 0
+
+
 def cmd_feed(args) -> int:
     """Outbound replication feed: publish a committed batch's changes (or
     a snapshot range's) downstream.
@@ -922,6 +939,11 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--table", required=True)
     sp.add_argument("--log", required=True)
     sp.add_argument("--lineage")
+    sp.add_argument(
+        "--quarantine",
+        help="dead-letter dir: malformed events divert here with a reason "
+        "column instead of poisoning the merge (engine.quarantine_dir)",
+    )
     sp.add_argument("--batches")
     sp.add_argument("--format", choices=["parquet", "binlog"], default="parquet")
     sp.add_argument("--branch", help="stage the replay on a WAP branch")
@@ -971,6 +993,11 @@ def build_parser() -> argparse.ArgumentParser:
         help="envelope payload schema, e.g. 'doc_id: STRING, price_c: BIGINT'",
     )
     sp.add_argument("--dlq", help="quarantine dir for malformed envelopes")
+    sp.add_argument(
+        "--quarantine",
+        help="dead-letter dir for semantically malformed events "
+        "(post-parse: bad op / null key / bad lsn / torn blob)",
+    )
     sp.add_argument("--branch", help="stage the stream's commits on a WAP branch")
     sp.add_argument("--publish", help="publish each micro-batch's delta here")
     sp.add_argument(
@@ -1130,6 +1157,16 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--table", required=True)
     sp.add_argument("--name")
     sp.set_defaults(fn=cmd_branch)
+
+    sp = sub.add_parser("compact-topic")
+    sp.add_argument("--topic", required=True)
+    sp.add_argument(
+        "--drop-tombstones",
+        action="store_true",
+        help="also drop 'D' records (Kafka delete-retention expiry); "
+        "default keeps tombstones so bootstrapping consumers see deletes",
+    )
+    sp.set_defaults(fn=cmd_compact_topic)
 
     sp = sub.add_parser("synth")
     sp.add_argument("--out", required=True)

@@ -46,6 +46,7 @@ class BatchMetrics:
     snapshot_id: str
     seconds: float
     events_per_sec: float
+    quarantined_rows: int = 0
 
 
 @dataclass
@@ -120,6 +121,16 @@ class CdcEngine:
     # than silently nulling. Off by default: schema changes are otherwise
     # an explicit operator action.
     auto_evolve: bool = False
+    # Dead-letter quarantine (X89, operators/quarantine.py): when set,
+    # malformed events (bad op / null key / bad lsn / torn packed blob /
+    # n_tok mismatch) are diverted to <dir>/batch=<id>/ with a reason
+    # column instead of poisoning the merge. The classifier is a pure
+    # Catalyst expression folded into the existing scan pipeline, and a
+    # df.observe counter on that same pass answers "any bad rows?" — a
+    # clean batch pays ZERO extra jobs; only a dirty batch pays one extra
+    # pruned pass to write the (tiny) dead-letter set. None = off: the
+    # operator owns upstream hygiene (the pre-round-4 behavior).
+    quarantine_dir: str | None = None
     metrics: list[BatchMetrics] = field(default_factory=list)
 
     # wire/meta columns that never map to table payload: the change-op
@@ -175,6 +186,37 @@ class CdcEngine:
             return m
         if self.auto_evolve:
             self._maybe_auto_evolve(events)
+
+        # DLQ classification (X89): tag each event with a NULL-when-valid
+        # reason, count the bad rows via an observation that piggybacks on
+        # whatever action scans the batch first (winners count / staging
+        # write — the X66 trick), and let only valid rows continue. The
+        # bad-row WRITE is deferred until after the merge and only happens
+        # when the observed count is non-zero, so a clean batch never pays
+        # a second pass over the raw scan.
+        q_obs = None
+        bad_src = None
+        n_quarantined = 0
+        if self.quarantine_dir is not None:
+            from pyspark.sql import Observation
+
+            from rap_etl_spark.operators.quarantine import (
+                REASON_COL,
+                quarantine_reason,
+            )
+
+            tagged = events.withColumn(
+                REASON_COL, quarantine_reason(events, key=KEY)
+            )
+            q_obs = Observation(f"quarantine-{batch_id}-{id(self)}")
+            tagged = tagged.observe(
+                q_obs,
+                F.sum(
+                    F.when(F.col(REASON_COL).isNotNull(), 1).otherwise(0)
+                ).alias("bad"),
+            )
+            bad_src = tagged
+            events = tagged.filter(F.col(REASON_COL).isNull()).drop(REASON_COL)
 
         # Caching the raw batch only pays when it is scanned more than once
         # (lineage and/or input counting). The pure apply path scans events
@@ -419,6 +461,23 @@ class CdcEngine:
                             stacklevel=2,
                         )
 
+            if q_obs is not None:
+                # The observation fired with the first action over the
+                # batch (winners count or staging write) — reading it here
+                # is a dict lookup, not a job. sum() over zero rows is
+                # NULL, hence the `or 0`.
+                n_quarantined = int(q_obs.get["bad"] or 0)
+                if n_quarantined > 0:
+                    from rap_etl_spark.operators.quarantine import (
+                        REASON_COL,
+                        write_quarantine,
+                    )
+
+                    write_quarantine(
+                        bad_src.filter(F.col(REASON_COL).isNotNull()),
+                        self.quarantine_dir,
+                        batch_id,
+                    )
             if self.count_input:
                 input_rows = events.count()
             if self.lineage_dir is not None:
@@ -473,6 +532,11 @@ class CdcEngine:
                 events.unpersist()
 
         dt = time.monotonic() - t0
+        # input_rows keeps meaning "rows delivered in the batch": the
+        # post-filter count sees only valid rows, so dead letters are
+        # added back on top.
+        if input_rows >= 0:
+            input_rows += n_quarantined
         m = BatchMetrics(
             batch_id,
             input_rows,
@@ -481,6 +545,7 @@ class CdcEngine:
             info.snapshot_id,
             dt,
             input_rows / dt if dt > 0 and input_rows > 0 else 0.0,
+            quarantined_rows=n_quarantined,
         )
         self.metrics.append(m)
         return m

@@ -463,3 +463,90 @@ CDC_ORACLES["snapshot_diff"] = (
     " FROM s FULL OUTER JOIN t ON s.doc_id = t.doc_id"
 )
 CDC_ORACLES["snapshot_sync"] = _SYNC_S
+
+
+def q_cdc_quarantine(spark, sf):
+    """X89 end-to-end: a deliberately dirty change stream (unknown op
+    codes, null keys, negative LSNs, n_tok/payload disagreements —
+    deterministic injections keyed off o_orderkey) driven through the
+    REAL engine with a dead-letter dir. Output = the quarantined events
+    tagged with their classifier reason UNION the table's surviving rows
+    tagged 'live', so the oracle pins BOTH sides: exactly which rows were
+    diverted (and why, in classifier order), and that the merge saw only
+    the valid remainder."""
+    from pyspark.sql import types as T
+
+    from rap_etl_spark.engine import CdcEngine
+    from rap_etl_spark.lake import ManifestParquetTable
+    from rap_etl_spark.operators.quarantine import REASON_COL, read_quarantine
+
+    k = F.col("o_orderkey")
+    ev = _t(spark, sf, "orders").select(
+        F.when(k % 13 == 0, "X")
+        .when(k % 10 == 0, "D")
+        .otherwise("U")
+        .alias("op"),
+        F.when(k % 17 == 0, F.lit(None).cast("string"))
+        .otherwise(F.col("o_custkey").cast("string"))
+        .alias("doc_id"),
+        F.when(k % 19 == 0, -k).otherwise(k).cast("long").alias("lsn"),
+        F.array((k % 100).cast("int")).alias("tokens"),
+        F.when(k % 23 == 0, F.lit(2)).otherwise(F.lit(1)).cast("int").alias("n_tok"),
+    )
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType()),
+            T.StructField("lsn", T.LongType()),
+            T.StructField("n_tok", T.IntegerType()),
+        ]
+    )
+    work = tempfile.mkdtemp(prefix="rap-etl-quarantine-")
+    try:
+        t = ManifestParquetTable.create(
+            spark, os.path.join(work, "t"), schema, n_buckets=8
+        )
+        qdir = os.path.join(work, "dlq")
+        eng = CdcEngine(spark, t, quarantine_dir=qdir)
+        m = eng.apply_batch(ev, batch_id=0)
+        assert m.quarantined_rows > 0  # the injections must have fired
+        bad = read_quarantine(spark, qdir).select(
+            "lsn", F.col(REASON_COL).alias("tag")
+        )
+        live = t.read().select("lsn", F.lit("live").alias("tag"))
+        rows = bad.unionByName(live).collect()
+        out = T.StructType(
+            [
+                T.StructField("lsn", T.LongType()),
+                T.StructField("tag", T.StringType()),
+            ]
+        )
+        return spark.createDataFrame(rows, out)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+CDC_QUERIES["cdc_quarantine"] = q_cdc_quarantine
+
+CDC_ORACLES["cdc_quarantine"] = (
+    "WITH ev AS (SELECT"
+    "  CASE WHEN o_orderkey % 13 = 0 THEN 'X'"
+    "   WHEN o_orderkey % 10 = 0 THEN 'D' ELSE 'U' END AS op,"
+    "  CASE WHEN o_orderkey % 17 = 0 THEN NULL"
+    "   ELSE CAST(o_custkey AS VARCHAR) END AS doc_id,"
+    "  CASE WHEN o_orderkey % 19 = 0 THEN -o_orderkey"
+    "   ELSE o_orderkey END AS lsn,"
+    "  CASE WHEN o_orderkey % 23 = 0 THEN 2 ELSE 1 END AS n_tok,"
+    "  1 AS tok_len FROM orders),"
+    " cls AS (SELECT *, concat_ws(',',"
+    "  CASE WHEN op IS NULL OR op NOT IN ('I','U','D') THEN 'bad_op' END,"
+    "  CASE WHEN doc_id IS NULL OR doc_id = '' THEN 'null_key' END,"
+    "  CASE WHEN lsn IS NULL OR lsn < 0 THEN 'bad_lsn' END,"
+    "  CASE WHEN tok_len <> n_tok THEN 'ntok_mismatch' END) AS reason"
+    "  FROM ev),"
+    " bad AS (SELECT lsn, reason AS tag FROM cls WHERE reason <> ''),"
+    " valid AS (SELECT * FROM cls WHERE reason = ''),"
+    " w AS (SELECT *, row_number() OVER"
+    "  (PARTITION BY doc_id ORDER BY lsn DESC) AS rn FROM valid),"
+    " live AS (SELECT lsn, 'live' AS tag FROM w WHERE rn = 1 AND op <> 'D')"
+    " SELECT lsn, tag FROM bad UNION ALL SELECT lsn, tag FROM live"
+)

@@ -79,6 +79,64 @@ def q_fn_json(spark, sf):
     )
 
 
+def _orders_variant(spark, sf):
+    """A nested semi-structured payload as Spark 4's VARIANT type (the
+    Parquet/Iceberg-v3 variant column shape): the JSON text is built by
+    plain string concat from ints/strings only, so the DuckDB oracle can
+    construct the byte-identical document — no float-formatting hazard —
+    and `parse_json` shreds it to the binary variant encoding once."""
+    o = _t(spark, sf, "orders")
+    js = F.concat(
+        F.lit('{"id":'),
+        F.col("o_orderkey").cast("string"),
+        F.lit(',"cust":{"key":'),
+        F.col("o_custkey").cast("string"),
+        F.lit(',"prio":"'),
+        F.col("o_orderpriority"),
+        F.lit('"},"tags":['),
+        (F.col("o_orderkey") % 7).cast("string"),
+        F.lit(","),
+        (F.col("o_custkey") % 5).cast("string"),
+        F.lit("]}"),
+    )
+    return o.select("o_orderkey", F.parse_json(js).alias("v"))
+
+
+def q_fn_variant(spark, sf):
+    """VARIANT path extraction (F9): typed `variant_get` at nested object
+    and array-index paths, plus `try_variant_get` on a missing path (NULL,
+    not error). Unlike get_json_object, the variant is parsed ONCE and
+    every extraction is a cheap binary-encoding probe — the right shape
+    when one payload feeds many projections at scale."""
+    ov = _orders_variant(spark, sf)
+    return ov.select(
+        F.col("o_orderkey").alias("k"),
+        F.variant_get("v", "$.cust.key", "bigint").alias("cust_key"),
+        F.variant_get("v", "$.cust.prio", "string").alias("prio"),
+        F.variant_get("v", "$.tags[1]", "int").alias("tag1"),
+        F.try_variant_get("v", "$.missing", "int").alias("absent"),
+    )
+
+
+def q_variant_shred(spark, sf):
+    """Shred-then-aggregate: extract typed columns out of the variant and
+    run a relational aggregate over them — the lazy-shredding pattern that
+    lets a 100-TB table keep one variant column yet pay columnar costs
+    only for the paths a query touches."""
+    ov = _orders_variant(spark, sf)
+    return (
+        ov.select(
+            F.variant_get("v", "$.cust.prio", "string").alias("prio"),
+            F.variant_get("v", "$.tags[0]", "long").alias("tag0"),
+        )
+        .groupBy("prio")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("tag0").alias("sum_tag0"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # joins
 # --------------------------------------------------------------------------
@@ -550,6 +608,8 @@ QUERIES = {
     "filter_pred": q_filter_pred,
     "json_extract": q_json_extract,
     "fn_json": q_fn_json,
+    "fn_variant": q_fn_variant,
+    "variant_shred": q_variant_shred,
     "join_broadcast": q_join_broadcast,
     "join_sortmerge": q_join_sortmerge,
     "join_semi": q_join_semi,
@@ -611,6 +671,24 @@ ORACLES = {
     "fn_json": (
         "SELECT event_id,"
         " CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val FROM events"
+    ),
+    "fn_variant": (
+        "WITH j AS (SELECT o_orderkey,"
+        " '{\"id\":' || o_orderkey || ',\"cust\":{\"key\":' || o_custkey"
+        " || ',\"prio\":\"' || o_orderpriority || '\"},\"tags\":['"
+        " || (o_orderkey % 7) || ',' || (o_custkey % 5) || ']}' AS js"
+        " FROM orders)"
+        " SELECT o_orderkey AS k,"
+        " CAST(json_extract_string(js, '$.cust.key') AS BIGINT) AS cust_key,"
+        " json_extract_string(js, '$.cust.prio') AS prio,"
+        " CAST(json_extract_string(js, '$.tags[1]') AS INTEGER) AS tag1,"
+        " CAST(NULL AS INTEGER) AS absent FROM j"
+    ),
+    "variant_shred": (
+        "WITH j AS (SELECT o_orderpriority AS prio, (o_orderkey % 7) AS tag0"
+        " FROM orders)"
+        " SELECT prio, count(*) AS cnt, CAST(sum(tag0) AS BIGINT) AS sum_tag0"
+        " FROM j GROUP BY prio"
     ),
     "join_broadcast": (
         "SELECT n_name, count(*) AS cnt FROM customer"

@@ -1853,3 +1853,76 @@ TPCH_ORACLES2["incr_token_stats"] = (
     " ex AS (SELECT unnest(tokens) AS token FROM live)"
     " SELECT token, count(*) AS freq FROM ex GROUP BY token"
 )
+
+
+def q_topic_compacted(spark, sf):
+    """X91: Kafka-style log compaction on the partitioned WAL topic. The
+    topic_roundtrip derivation is produced in TWO producer calls (two
+    segments per partition, so the compactor has a real prefix to fold),
+    compacted in place (latest record per key survives, tombstones kept,
+    segment count/offsets preserved), and read back whole. The oracle is
+    the plain LWW window SQL over the derivation: any winner lost, any
+    superseded record surviving, or any cross-partition routing error
+    breaks the value hash."""
+    from rap_etl_spark.sources.topic import compact_topic, register, write_topic
+
+    ev = _t(spark, sf, "events").select(
+        F.when(F.col("event_id") % 10 == 0, "D")
+        .when(F.col("event_id") % 10 == 1, "I")
+        .otherwise("U")
+        .alias("op"),
+        F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("doc_id"),
+        F.col("event_id").alias("lsn"),
+        F.when(
+            F.col("event_id") % 10 == 0,
+            F.array().cast("array<int>"),
+        )
+        .otherwise(
+            F.sequence(F.lit(1), (F.col("event_id") % 7 + 1).cast("int"))
+        )
+        .alias("tokens"),
+        F.col("event_type").alias("source"),
+    )
+    work = tempfile.mkdtemp(prefix="rap-etl-topic-compact-")
+    try:
+        register(spark)
+        topic = os.path.join(work, "topic")
+        # two produce calls -> two segments per partition
+        write_topic(ev.filter(F.col("lsn") % 2 == 0), topic, n_partitions=4)
+        write_topic(ev.filter(F.col("lsn") % 2 == 1), topic, n_partitions=4)
+        stats = compact_topic(spark, topic)
+        assert all(s["segments"] == 2 for s in stats.values())
+        got = (
+            spark.read.format("rap-etl-topic")
+            .option("path", topic)
+            .load()
+        )
+        rows = got.collect()
+        return spark.createDataFrame(rows, got.schema).select(
+            "op",
+            "doc_id",
+            "lsn",
+            F.concat_ws(",", "tokens").alias("tokens"),
+            "source",
+        )
+    finally:
+        import shutil
+
+        shutil.rmtree(work, ignore_errors=True)
+
+
+TPCH_QUERIES2["topic_compacted"] = q_topic_compacted
+TPCH_ORACLES2["topic_compacted"] = (
+    "WITH ev AS (SELECT CASE WHEN event_id % 10 = 0 THEN 'D'"
+    " WHEN event_id % 10 = 1 THEN 'I' ELSE 'U' END AS op,"
+    " 'u' || CAST(user_id AS VARCHAR) AS doc_id,"
+    " event_id AS lsn,"
+    " CASE WHEN event_id % 10 = 0 THEN ''"
+    " ELSE array_to_string("
+    "   range(1, CAST(event_id % 7 AS INTEGER) + 2), ',')"
+    " END AS tokens,"
+    " event_type AS source FROM events),"
+    " w AS (SELECT *, row_number() OVER"
+    " (PARTITION BY doc_id ORDER BY lsn DESC) AS rn FROM ev)"
+    " SELECT op, doc_id, lsn, tokens, source FROM w WHERE rn = 1"
+)

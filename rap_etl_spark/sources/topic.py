@@ -84,6 +84,29 @@ def write_topic(
     executors write attempt-unique temps, and the driver publishes each
     partition dir by ordered atomic rename. Returns {partition: segments
     published}. Repeated calls append segments — the producer loop."""
+    commits = _stage_segments(events, path, n_partitions, route_col)
+    published: dict[int, int] = {}
+    for p in sorted({int(r["p"]) for r in commits}):
+        msgs = [
+            SegmentCommit(i, r["tmp"], int(r["rows"]))
+            for i, r in enumerate(sorted(commits, key=lambda r: r["tmp"]))
+            if int(r["p"]) == p
+        ]
+        published[p] = _publish(os.path.join(path, f"p={p}"), msgs)
+    return published
+
+
+def _stage_segments(
+    events: DataFrame,
+    path: str,
+    n_partitions: int,
+    route_col: str = "doc_id",
+) -> list:
+    """Shared producer core: route rows to topic partitions and write one
+    attempt-unique temp file per (task, partition) executor-side. Returns
+    the collected (p, tmp, rows) commit rows; the CALLER decides how the
+    temps become visible (append-publish for the producer, atomic
+    replacement for the compactor)."""
     missing = [c for c in _WIRE_COLS if c not in events.columns]
     if missing:
         raise ValueError(f"topic writer needs wire columns {missing}")
@@ -135,16 +158,104 @@ def write_topic(
             preserve_index=False,
         )
 
-    commits = routed.mapInArrow(_task, "p long, tmp string, rows long").collect()
-    published: dict[int, int] = {}
-    for p in sorted({int(r["p"]) for r in commits}):
-        msgs = [
-            SegmentCommit(i, r["tmp"], int(r["rows"]))
-            for i, r in enumerate(sorted(commits, key=lambda r: r["tmp"]))
-            if int(r["p"]) == p
-        ]
-        published[p] = _publish(os.path.join(path, f"p={p}"), msgs)
-    return published
+    return routed.mapInArrow(_task, "p long, tmp string, rows long").collect()
+
+
+def compact_topic(
+    spark,
+    path: str,
+    drop_tombstones: bool = False,
+) -> dict[int, dict]:
+    """Kafka-style log compaction (X91): rewrite each partition's current
+    segment prefix so only the LATEST record per key survives (plus 'D'
+    tombstones, unless ``drop_tombstones``) — the retention mode a CDC
+    changelog topic runs under, where the topic's value is "latest state
+    per key", not full history.
+
+    Offset preservation: the stream offset is "segments consumed", so the
+    segment COUNT must not change. The compacted winner set lands in the
+    snapshot's LAST segment (atomic per-file replace) and every earlier
+    segment becomes a valid EMPTY segment (bare magic). A consumer whose
+    checkpoint sits anywhere inside the compacted range therefore resumes
+    at a real offset; it re-receives at most the winner set, which the
+    LWW/ledger downstream collapses — the same at-least-once → exactly-once
+    argument as segment redelivery.
+
+    Crash safety is by SEMANTICS, not by multi-file atomicity: the winner
+    blob is installed FIRST, and only then are older segments emptied, so
+    at every intermediate state the partition's union of segments is a
+    per-key superset of the latest state (compaction only ever removes
+    superseded records). A crash mid-compaction leaves a bigger topic,
+    never a wrong one.
+
+    Concurrency: producers appending NEW segments (>= the snapshot count)
+    are untouched; run at most one compactor per topic. Assumes the
+    partition count has never changed (fixed at creation — the Kafka
+    model), so key→partition routing is stable and global LWW equals
+    per-partition LWW.
+
+    Scale: one Spark job (segment-parallel decode → winner reduce → one
+    writer task per partition); the driver only lists, renames and writes
+    O(segments) empty headers — no data moves through it."""
+    from rap_etl_spark.operators.cdc import lww_latest
+
+    parts = _part_dirs(path)
+    if not parts:
+        return {}
+    snapshot: dict[int, list[str]] = {
+        p: _list_segments(pdir) for p, pdir in parts
+    }
+    snapshot = {p: segs for p, segs in snapshot.items() if segs}
+    if not snapshot:
+        return {}
+    n_partitions = len(parts)
+    register(spark)  # idempotent: latest registration wins
+    df = (
+        spark.read.format("rap-etl-topic").option("path", path).load()
+    )
+    winners = lww_latest(df, key="doc_id")
+    if drop_tombstones:
+        winners = winners.filter(F.col("op") != "D")
+    commits = _stage_segments(winners, path, n_partitions)
+    by_p = {int(r["p"]): r for r in commits}
+    stats: dict[int, dict] = {}
+    for p, segs in snapshot.items():
+        before = sum(os.path.getsize(s) for s in segs)
+        staged = by_p.pop(p, None)
+        # install the winner blob in the LAST snapshot segment first...
+        if staged is not None:
+            os.replace(staged["tmp"], segs[-1])
+        else:
+            # no winners routed here (all keys tombstoned + dropped):
+            # the last segment becomes empty too
+            _write_empty_segment(segs[-1])
+        # ...then empty the superseded prefix (crash-safe order)
+        for s in segs[:-1]:
+            _write_empty_segment(s)
+        stats[p] = {
+            "segments": len(segs),
+            "rows_after": int(staged["rows"]) if staged is not None else 0,
+            "bytes_before": before,
+            "bytes_after": sum(os.path.getsize(s) for s in segs),
+        }
+    # a staged temp for a partition with no snapshot segments can only
+    # mean rows routed to a partition dir the snapshot missed — impossible
+    # under a fixed partition count, so treat leftovers as a bug signal
+    for r in by_p.values():
+        os.unlink(r["tmp"])
+    if by_p:
+        raise RuntimeError(
+            f"compaction routed rows to unknown partitions {sorted(by_p)}"
+        )
+    return stats
+
+
+def _write_empty_segment(dest: str) -> None:
+    """Atomically replace ``dest`` with a valid zero-record segment."""
+    tmp = dest + ".compact-tmp"
+    with open(tmp, "wb") as f:
+        f.write(MAGIC)
+    os.replace(tmp, dest)
 
 
 class TopicSegment(InputPartition):

@@ -39,6 +39,7 @@ def stream_tail(
     publish_dir: str | None = None,
     publish_format: str = "parquet",
     auto_evolve: bool = False,
+    quarantine_dir: str | None = None,
 ) -> StreamingQuery:
     """Tail `src_dir` (parquet change-event files, `.rapwal` binlog
     segments with ``source="binlog"``, or a partitioned WAL topic with
@@ -86,7 +87,13 @@ def stream_tail(
     # with the widened read schema — the engine then evolves the table on
     # the first batch that carries it (no manual DDL step).
     engine = CdcEngine(
-        spark, table, lineage_dir=lineage_dir, auto_evolve=auto_evolve
+        spark,
+        table,
+        lineage_dir=lineage_dir,
+        auto_evolve=auto_evolve,
+        # DLQ writes are per-batch overwrites, so foreachBatch's
+        # at-least-once redelivery rewrites the identical dead letters
+        quarantine_dir=quarantine_dir,
     )
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
