@@ -762,6 +762,41 @@ def cmd_compact_topic(args) -> int:
     return 0
 
 
+def cmd_mv(args) -> int:
+    """X92: materialized views with incremental refresh. `mv create`
+    bootstraps the view at the base table's current snapshot; `mv refresh`
+    advances it from the changefeed (bucket-pruned incremental read, never
+    a full-table recompute unless the cursor's snapshot was expired);
+    `mv status` prints the commit file."""
+    from rap_etl_spark.lake import ManifestParquetTable
+    from rap_etl_spark.mv import MaterializedView
+
+    spark = _spark("rap-etl-mv")
+    if args.action == "create":
+        base = ManifestParquetTable(spark, args.table)
+        mv = MaterializedView.create(
+            spark, args.mv, base, json.loads(args.spec)
+        )
+        meta = mv._meta()
+        print(json.dumps({"mv": args.mv, "cursor": meta["cursor"],
+                          "version": meta["version"], "rows": meta["rows"]}))
+        return 0
+    mv = MaterializedView.load(spark, args.mv)
+    if args.action == "refresh":
+        info = mv.refresh()
+        print(json.dumps({
+            "skipped": info.skipped,
+            "from": info.from_snapshot,
+            "to": info.to_snapshot,
+            "version": info.version,
+            "rows": info.rows,
+            "full_recompute": info.full_recompute,
+        }))
+        return 0
+    print(json.dumps(mv._meta()))
+    return 0
+
+
 def cmd_feed(args) -> int:
     """Outbound replication feed: publish a committed batch's changes (or
     a snapshot range's) downstream.
@@ -1157,6 +1192,17 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--table", required=True)
     sp.add_argument("--name")
     sp.set_defaults(fn=cmd_branch)
+
+    sp = sub.add_parser("mv")
+    sp.add_argument("action", choices=["create", "refresh", "status"])
+    sp.add_argument("--mv", required=True, help="materialized view dir")
+    sp.add_argument("--table", help="base table (create only)")
+    sp.add_argument(
+        "--spec",
+        help='view definition JSON, e.g. {"kind":"agg","group_cols":'
+        '["source"],"sum_cols":["n_tok"]} (create only)',
+    )
+    sp.set_defaults(fn=cmd_mv)
 
     sp = sub.add_parser("compact-topic")
     sp.add_argument("--topic", required=True)

@@ -550,3 +550,80 @@ CDC_ORACLES["cdc_quarantine"] = (
     " live AS (SELECT lsn, 'live' AS tag FROM w WHERE rn = 1 AND op <> 'D')"
     " SELECT lsn, tag FROM bad UNION ALL SELECT lsn, tag FROM live"
 )
+
+
+def q_mv_incremental(spark, sf):
+    """X92 end-to-end: a two-batch change stream (inserts, cross-group
+    updates, deletes — derived deterministically from orders) through the
+    REAL engine into a lake table, with a materialized aggregate view
+    created after batch 0 and incrementally refreshed after batch 1 (the
+    changefeed path, never a recompute). Output = the refreshed view.
+    The oracle computes the definition query over the FULL final LWW
+    state, so any IVM drift — a group missed, a delete not unfolded, a
+    moved key double-counted — breaks the value hash."""
+    from pyspark.sql import types as T
+
+    from rap_etl_spark.engine import CdcEngine
+    from rap_etl_spark.lake import ManifestParquetTable
+    from rap_etl_spark.mv import MaterializedView
+
+    k = F.col("o_orderkey")
+    ev = _t(spark, sf, "orders").select(
+        F.when(k % 10 == 0, "D").otherwise("U").alias("op"),
+        F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("doc_id"),
+        k.cast("long").alias("lsn"),
+        F.col("o_orderpriority").alias("grp"),
+        (k % 97).cast("long").alias("val"),
+    )
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType()),
+            T.StructField("lsn", T.LongType()),
+            T.StructField("grp", T.StringType()),
+            T.StructField("val", T.LongType()),
+        ]
+    )
+    work = tempfile.mkdtemp(prefix="rap-etl-mv-")
+    try:
+        t = ManifestParquetTable.create(
+            spark, os.path.join(work, "t"), schema, n_buckets=8
+        )
+        eng = CdcEngine(spark, t)
+        eng.apply_batch(ev.filter(F.col("lsn") % 2 == 0), batch_id=0)
+        mv = MaterializedView.create(
+            spark,
+            os.path.join(work, "mv"),
+            t,
+            {"kind": "agg", "group_cols": ["grp"], "sum_cols": ["val"]},
+        )
+        eng.apply_batch(ev.filter(F.col("lsn") % 2 == 1), batch_id=1)
+        info = mv.refresh()
+        assert not info.skipped and not info.full_recompute
+        rows = mv.read().collect()
+        out = T.StructType(
+            [
+                T.StructField("grp", T.StringType()),
+                T.StructField("n", T.LongType()),
+                T.StructField("val", T.LongType()),
+            ]
+        )
+        return spark.createDataFrame(rows, out)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+CDC_QUERIES["mv_incremental"] = q_mv_incremental
+
+CDC_ORACLES["mv_incremental"] = (
+    "WITH ev AS (SELECT"
+    "  CASE WHEN o_orderkey % 10 = 0 THEN 'D' ELSE 'U' END AS op,"
+    "  'c' || CAST(o_custkey AS VARCHAR) AS doc_id,"
+    "  o_orderkey AS lsn,"
+    "  o_orderpriority AS grp,"
+    "  o_orderkey % 97 AS val FROM orders),"
+    " w AS (SELECT *, row_number() OVER"
+    "  (PARTITION BY doc_id ORDER BY lsn DESC) AS rn FROM ev),"
+    " live AS (SELECT * FROM w WHERE rn = 1 AND op <> 'D')"
+    " SELECT grp, count(*) AS n, CAST(sum(val) AS BIGINT) AS val"
+    " FROM live GROUP BY grp"
+)

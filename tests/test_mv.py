@@ -1,0 +1,224 @@
+"""Materialized views with incremental refresh (X92, rap_etl_spark/mv.py).
+
+Each test drives the REAL pipeline: change batches through CdcEngine into
+a lake table, then MV refreshes from the table's changefeed — and checks
+the view equals the full recompute of its definition query at the
+table's head snapshot (the IVM correctness contract)."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from rap_etl_spark.engine import CdcEngine
+from rap_etl_spark.lake import ManifestParquetTable
+from rap_etl_spark.mv import MV_FILE, MaterializedView
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("lsn", T.LongType()),
+        T.StructField("grp", T.StringType()),
+        T.StructField("val", T.LongType()),
+    ]
+)
+
+
+def _batch(spark, rows):
+    return spark.createDataFrame(
+        rows, "op string, doc_id string, lsn long, grp string, val long"
+    )
+
+
+def _setup(spark, tmp_path):
+    t = ManifestParquetTable.create(
+        spark, str(tmp_path / "t"), SCHEMA, n_buckets=4
+    )
+    eng = CdcEngine(spark, t)
+    b0 = [
+        ("I", f"d{i}", i, "a" if i % 2 == 0 else "b", i * 10) for i in range(20)
+    ]
+    eng.apply_batch(_batch(spark, b0), batch_id=0)
+    return t, eng
+
+
+def _full_agg(t):
+    return (
+        t.read()
+        .groupBy("grp")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("val").alias("val"))
+    )
+
+
+def _rows(df):
+    return {tuple(r) for r in df.collect()}
+
+
+def test_agg_mv_create_refresh_matches_full(spark, tmp_path):
+    t, eng = _setup(spark, tmp_path)
+    mv = MaterializedView.create(
+        spark,
+        str(tmp_path / "mv"),
+        t,
+        {"kind": "agg", "group_cols": ["grp"], "sum_cols": ["val"]},
+    )
+    assert _rows(mv.read()) == _rows(_full_agg(t))
+
+    # updates move keys between groups, deletes remove rows, inserts add a
+    # brand-new group — every delta class in one batch
+    b1 = (
+        [("U", f"d{i}", 100 + i, "c", i * 7) for i in range(0, 6)]
+        + [("D", f"d{i}", 200 + i, None, None) for i in range(6, 10)]
+        + [("I", f"x{i}", 300 + i, "d", i) for i in range(3)]
+    )
+    eng.apply_batch(_batch(spark, b1), batch_id=1)
+    info = mv.refresh()
+    assert not info.skipped and not info.full_recompute
+    assert info.version == 2 and info.to_snapshot == t.snapshot_id()
+    assert _rows(mv.read()) == _rows(_full_agg(t))
+
+    # second batch, second incremental refresh: cursor chains correctly
+    b2 = [("D", "x0", 400, None, None), ("U", "d15", 401, "a", 999)]
+    eng.apply_batch(_batch(spark, b2), batch_id=2)
+    assert not mv.refresh().skipped
+    assert _rows(mv.read()) == _rows(_full_agg(t))
+
+
+def test_refresh_is_noop_when_base_unchanged(spark, tmp_path):
+    t, _ = _setup(spark, tmp_path)
+    mv = MaterializedView.create(
+        spark,
+        str(tmp_path / "mv"),
+        t,
+        {"kind": "agg", "group_cols": ["grp"], "sum_cols": ["val"]},
+    )
+    info = mv.refresh()
+    assert info.skipped and info.version == 1
+    assert mv.cursor() == t.snapshot_id()
+
+
+def test_minmax_mv_extremum_delete_takes_dirty_path(spark, tmp_path):
+    t, eng = _setup(spark, tmp_path)
+    mv = MaterializedView.create(
+        spark,
+        str(tmp_path / "mv"),
+        t,
+        {"kind": "minmax", "group_cols": ["grp"], "val_col": "val"},
+    )
+    # d18 holds group a's max (180), d19 group b's max (190): deleting both
+    # forces the dirty-group re-aggregation, not the closed form
+    b1 = [("D", "d18", 500, None, None), ("D", "d19", 501, None, None)]
+    eng.apply_batch(_batch(spark, b1), batch_id=1)
+    assert not mv.refresh().skipped
+    want = _rows(
+        t.read()
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("val").alias("min_v"),
+            F.max("val").alias("max_v"),
+        )
+    )
+    assert _rows(mv.read()) == want
+
+
+def test_crash_before_commit_is_idempotent(spark, tmp_path, monkeypatch):
+    """The pointer swap is the commit: kill the refresh after the v2 data
+    write but before the swap — the view still reads v1, and the retried
+    refresh re-runs the SAME delta (cursor never advanced) and lands
+    correctly."""
+    t, eng = _setup(spark, tmp_path)
+    mv = MaterializedView.create(
+        spark,
+        str(tmp_path / "mv"),
+        t,
+        {"kind": "agg", "group_cols": ["grp"], "sum_cols": ["val"]},
+    )
+    eng.apply_batch(
+        _batch(spark, [("U", "d0", 600, "z", 1)]), batch_id=1
+    )
+    v1_state = _rows(mv.read())
+    boom = RuntimeError("crash before mv commit")
+    monkeypatch.setattr(
+        MaterializedView, "_commit", lambda *a, **k: (_ for _ in ()).throw(boom)
+    )
+    with pytest.raises(RuntimeError, match="crash before mv commit"):
+        mv.refresh()
+    monkeypatch.undo()
+    # nothing visible changed: pointer still v1, reads serve the old state
+    assert mv._meta()["version"] == 1
+    assert _rows(mv.read()) == v1_state
+    info = mv.refresh()  # retry converges
+    assert info.version == 2
+    assert _rows(mv.read()) == _rows(_full_agg(t))
+
+
+def test_concurrent_refresh_loses_cleanly(spark, tmp_path):
+    t, eng = _setup(spark, tmp_path)
+    mv = MaterializedView.create(
+        spark,
+        str(tmp_path / "mv"),
+        t,
+        {"kind": "agg", "group_cols": ["grp"], "sum_cols": ["val"]},
+    )
+    eng.apply_batch(_batch(spark, [("I", "y0", 700, "q", 5)]), batch_id=1)
+    # simulate a racing refresher that committed first
+    p = os.path.join(mv.path, MV_FILE)
+    meta = json.loads(mv.fs.read_text(p))
+    meta["version"] = 7
+    mv.fs.write_text_atomic(p, json.dumps(meta))
+    with pytest.raises(RuntimeError, match="concurrent mv refresh"):
+        mv._commit(dict(meta, version=2), expect_version=1)
+
+
+def test_expired_cursor_falls_back_to_full_recompute(spark, tmp_path):
+    t, eng = _setup(spark, tmp_path)
+    mv = MaterializedView.create(
+        spark,
+        str(tmp_path / "mv"),
+        t,
+        {"kind": "agg", "group_cols": ["grp"], "sum_cols": ["val"]},
+    )
+    for b in (1, 2, 3):
+        eng.apply_batch(
+            _batch(spark, [("U", f"d{b}", 800 + b, "r", b)]), batch_id=b
+        )
+    # expire everything but the head: the MV cursor's snapshot is gone
+    t.expire_snapshots(keep=1)
+    info = mv.refresh()
+    assert info.full_recompute and not info.skipped
+    assert _rows(mv.read()) == _rows(_full_agg(t))
+
+
+def test_load_and_gc(spark, tmp_path):
+    t, eng = _setup(spark, tmp_path)
+    path = str(tmp_path / "mv")
+    MaterializedView.create(
+        spark, path, t, {"kind": "agg", "group_cols": ["grp"], "sum_cols": ["val"]}
+    )
+    # reopen purely from disk (base path recorded in the commit file)
+    mv = MaterializedView.load(spark, path)
+    assert mv.base.path == t.path
+    for b in (1, 2, 3):
+        eng.apply_batch(
+            _batch(spark, [("I", f"g{b}", 900 + b, "g", b)]), batch_id=b
+        )
+        mv.refresh()
+    assert mv._meta()["version"] == 4
+    live = sorted(os.listdir(os.path.join(path, "data")))
+    assert live == ["v3", "v4"]  # KEEP_VERSIONS=2 window enforced
+    assert _rows(mv.read()) == _rows(_full_agg(t))
+
+
+def test_bad_specs_rejected(spark, tmp_path):
+    t, _ = _setup(spark, tmp_path)
+    for spec in (
+        {"kind": "nope", "group_cols": ["grp"]},
+        {"kind": "agg", "group_cols": []},
+        {"kind": "agg", "group_cols": ["grp"]},
+        {"kind": "minmax", "group_cols": ["grp"]},
+    ):
+        with pytest.raises(ValueError):
+            MaterializedView.create(spark, str(tmp_path / "bad"), t, spec)
