@@ -242,6 +242,7 @@ def cmd_stream(args) -> int:
             max_files_per_trigger=args.max_files,
             available_now=not args.continuous,
             auto_evolve=args.auto_evolve,
+            mv_dirs=getattr(args, "mv", None),
         )
     else:
         q = stream_tail(
@@ -258,6 +259,7 @@ def cmd_stream(args) -> int:
             publish_format=args.publish_format,
             auto_evolve=args.auto_evolve,
             quarantine_dir=getattr(args, "quarantine", None),
+            mv_dirs=getattr(args, "mv", None),
         )
     q.awaitTermination()
     if listener is not None:
@@ -1034,6 +1036,12 @@ def build_parser() -> argparse.ArgumentParser:
         "(post-parse: bad op / null key / bad lsn / torn blob)",
     )
     sp.add_argument("--branch", help="stage the stream's commits on a WAP branch")
+    sp.add_argument(
+        "--mv",
+        action="append",
+        help="materialized view dir to refresh after each micro-batch "
+        "(repeatable; cursor-based, so redelivery stays exactly-once)",
+    )
     sp.add_argument("--publish", help="publish each micro-batch's delta here")
     sp.add_argument(
         "--publish-format", choices=["parquet", "binlog"], default="parquet"

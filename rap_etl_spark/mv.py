@@ -53,7 +53,7 @@ MV_FILE = "_mv.json"
 #: pointer just before the swap (same grace rationale as table vacuum).
 KEEP_VERSIONS = 2
 
-KINDS = ("agg", "minmax")
+KINDS = ("agg", "minmax", "join")
 
 
 @dataclass
@@ -70,12 +70,21 @@ def _validate_spec(spec: dict) -> None:
     kind = spec.get("kind")
     if kind not in KINDS:
         raise ValueError(f"mv kind must be one of {KINDS}, got {kind!r}")
-    if not spec.get("group_cols"):
-        raise ValueError("mv spec needs non-empty group_cols")
+    if kind in ("agg", "minmax") and not spec.get("group_cols"):
+        raise ValueError(f"{kind} mv spec needs non-empty group_cols")
     if kind == "agg" and "sum_cols" not in spec:
         raise ValueError("agg mv spec needs sum_cols (may be [])")
     if kind == "minmax" and not spec.get("val_col"):
         raise ValueError("minmax mv spec needs val_col")
+    if kind == "join":
+        for need in ("dim_path", "fact_col", "dim_col", "select"):
+            if not spec.get(need):
+                raise ValueError(f"join mv spec needs {need}")
+        if spec["fact_col"] == spec["dim_col"]:
+            raise ValueError(
+                "join mv needs distinct fact_col/dim_col names (the "
+                "maintenance join resolves the condition by column name)"
+            )
 
 
 class MaterializedView:
@@ -103,6 +112,11 @@ class MaterializedView:
         to that snapshot — every later `refresh()` is incremental from
         there."""
         _validate_spec(spec)
+        if spec["kind"] == "join" and base.key not in spec["select"]:
+            raise ValueError(
+                f"join mv select list must include the table key "
+                f"{base.key!r} (the maintenance anti-join needs it)"
+            )
         mv = cls(spark, path, base)
         if mv.fs.exists(os.path.join(path, MV_FILE)) and not overwrite:
             raise FileExistsError(f"materialized view already exists at {path}")
@@ -184,6 +198,11 @@ class MaterializedView:
 
     def _definition(self, df: DataFrame, spec: dict) -> DataFrame:
         """The full (bootstrap / fallback) form of the view query."""
+        if spec["kind"] == "join":
+            dim = self._dim(spec)
+            cond = F.col(spec["fact_col"]) == dim[spec["dim_col"]]
+            how = spec.get("how", "inner")
+            return df.join(dim, cond, how).select(*spec["select"])
         g = spec["group_cols"]
         n = spec.get("count_col", "n")
         if spec["kind"] == "agg":
@@ -198,11 +217,28 @@ class MaterializedView:
             F.max(v).alias("max_v"),
         )
 
+    def _dim(self, spec: dict) -> DataFrame:
+        """The dimension side of a join view: a parquet dir recorded in the
+        spec. Small by assumption (the one-sided-IVM contract in
+        maintain_join_view); dim-side CHANGES mean re-deriving affected
+        keys or a full refresh — classic one-sided IVM."""
+        return self.spark.read.parquet(spec["dim_path"])
+
     def _maintain(
         self, view: DataFrame, changes: DataFrame, spec: dict, head: str
     ) -> DataFrame:
         from rap_etl_spark.operators import incremental as ivm
 
+        if spec["kind"] == "join":
+            dim = self._dim(spec)
+            return ivm.maintain_join_view(
+                view,
+                changes,
+                dim,
+                key=self.base.key,
+                on=F.col(spec["fact_col"]) == dim[spec["dim_col"]],
+                how=spec.get("how", "inner"),
+            )
         g = spec["group_cols"]
         n = spec.get("count_col", "n")
         if spec["kind"] == "agg":

@@ -627,3 +627,91 @@ CDC_ORACLES["mv_incremental"] = (
     " SELECT grp, count(*) AS n, CAST(sum(val) AS BIGINT) AS val"
     " FROM live GROUP BY grp"
 )
+
+
+def q_mv_join(spark, sf):
+    """X92 join kind: a fact lake table maintained by the engine, a
+    customer dimension read straight from the sf dir, and a join VIEW
+    refreshed incrementally across a batch that inserts, re-points (the
+    update moves a fact row to a different dim key), and deletes. The
+    oracle joins the final LWW state against the same dimension."""
+    from pyspark.sql import types as T
+
+    from rap_etl_spark.engine import CdcEngine
+    from rap_etl_spark.lake import ManifestParquetTable
+    from rap_etl_spark.mv import MaterializedView
+
+    k = F.col("o_orderkey")
+    ev = _t(spark, sf, "orders").select(
+        F.when(k % 11 == 0, "D").otherwise("U").alias("op"),
+        # keys collide (mod 997): most see several events, so the refresh
+        # exercises real LWW updates and deletes, not just inserts
+        F.concat(F.lit("o"), (k % 997).cast("string")).alias("doc_id"),
+        k.cast("long").alias("lsn"),
+        # the update half re-points half the keys at a shifted customer
+        F.when(k % 2 == 1, F.col("o_custkey") + 1)
+        .otherwise(F.col("o_custkey"))
+        .cast("long")
+        .alias("cust"),
+        (k % 53).cast("long").alias("val"),
+    )
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType()),
+            T.StructField("lsn", T.LongType()),
+            T.StructField("cust", T.LongType()),
+            T.StructField("val", T.LongType()),
+        ]
+    )
+    work = tempfile.mkdtemp(prefix="rap-etl-mvjoin-")
+    try:
+        t = ManifestParquetTable.create(
+            spark, os.path.join(work, "t"), schema, n_buckets=8
+        )
+        eng = CdcEngine(spark, t)
+        eng.apply_batch(ev.filter(F.col("lsn") % 3 != 2), batch_id=0)
+        mv = MaterializedView.create(
+            spark,
+            os.path.join(work, "mv"),
+            t,
+            {
+                "kind": "join",
+                "dim_path": os.path.join(sf, "customer.parquet"),
+                "fact_col": "cust",
+                "dim_col": "c_custkey",
+                "how": "inner",
+                "select": ["doc_id", "val", "c_nationkey"],
+            },
+        )
+        eng.apply_batch(ev.filter(F.col("lsn") % 3 == 2), batch_id=1)
+        info = mv.refresh()
+        assert not info.skipped and not info.full_recompute
+        rows = mv.read().collect()
+        out = T.StructType(
+            [
+                T.StructField("doc_id", T.StringType()),
+                T.StructField("val", T.LongType()),
+                T.StructField("c_nationkey", T.IntegerType()),
+            ]
+        )
+        return spark.createDataFrame(rows, out)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+CDC_QUERIES["mv_join"] = q_mv_join
+
+CDC_ORACLES["mv_join"] = (
+    "WITH ev AS (SELECT"
+    "  CASE WHEN o_orderkey % 11 = 0 THEN 'D' ELSE 'U' END AS op,"
+    "  'o' || CAST(o_orderkey % 997 AS VARCHAR) AS doc_id,"
+    "  o_orderkey AS lsn,"
+    "  CASE WHEN o_orderkey % 2 = 1 THEN o_custkey + 1"
+    "   ELSE o_custkey END AS cust,"
+    "  o_orderkey % 53 AS val FROM orders),"
+    " w AS (SELECT *, row_number() OVER"
+    "  (PARTITION BY doc_id ORDER BY lsn DESC) AS rn FROM ev),"
+    " live AS (SELECT * FROM w WHERE rn = 1 AND op <> 'D')"
+    " SELECT doc_id, val, c_nationkey FROM live"
+    " JOIN customer ON cust = c_custkey"
+)

@@ -40,6 +40,7 @@ def stream_tail(
     publish_format: str = "parquet",
     auto_evolve: bool = False,
     quarantine_dir: str | None = None,
+    mv_dirs: list[str] | None = None,
 ) -> StreamingQuery:
     """Tail `src_dir` (parquet change-event files, `.rapwal` binlog
     segments with ``source="binlog"``, or a partitioned WAL topic with
@@ -58,6 +59,10 @@ def stream_tail(
     is in the checkpoint's commit log and never re-emitted — so entries at
     or below batch_id-1 can never be consulted again, and commit metadata
     stays O(K) over an unbounded run.
+
+    ``mv_dirs``: materialized views (mv.py) to refresh after each
+    committed micro-batch — the stream keeps its downstream views current
+    (the DLT pipeline shape) with cursor-based exactly-once refreshes.
     """
     if source in ("binlog", "topic"):
         from rap_etl_spark.sources.binlog import as_events
@@ -116,6 +121,16 @@ def stream_tail(
             and hasattr(table, "prune_ledger")
         ):
             table.prune_ledger(batch_id - 1)
+        if mv_dirs:
+            # the DLT pipeline shape: downstream materialized views advance
+            # with the stream. MV refresh is cursor-based (snapshot->head),
+            # so a redelivered micro-batch re-runs a refresh that sees no
+            # new snapshot and no-ops — at-least-once delivery stays
+            # exactly-once view state, same argument as the table ledger.
+            from rap_etl_spark.mv import MaterializedView
+
+            for mdir in mv_dirs:
+                MaterializedView.load(spark, mdir).refresh()
 
     writer = (
         events.writeStream.foreachBatch(apply_batch)
@@ -150,6 +165,7 @@ def stream_envelope_tail(
     max_files_per_trigger: int | None = None,
     available_now: bool = True,
     auto_evolve: bool = False,
+    mv_dirs: list[str] | None = None,
 ) -> StreamingQuery:
     """Tail a directory of JSON-lines Debezium-style envelope files into
     `table` — the connector-wire twin of stream_tail: text readStream →
@@ -185,6 +201,11 @@ def stream_envelope_tail(
                 os.path.join(dlq_dir, f"batch={batch_id}")
             )
         engine.apply_batch(good.drop("ts_ms"), batch_id=batch_id)
+        if mv_dirs:
+            from rap_etl_spark.mv import MaterializedView
+
+            for mdir in mv_dirs:
+                MaterializedView.load(spark, mdir).refresh()
 
     writer = (
         parsed.writeStream.foreachBatch(apply_batch)

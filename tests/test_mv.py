@@ -222,3 +222,100 @@ def test_bad_specs_rejected(spark, tmp_path):
     ):
         with pytest.raises(ValueError):
             MaterializedView.create(spark, str(tmp_path / "bad"), t, spec)
+
+
+def test_join_mv_matches_full(spark, tmp_path):
+    """One-sided join IVM through the MV orchestration: fact changes
+    (insert / cross-dim update / delete) replace exactly the changed
+    keys' view rows; the fact table is never re-scanned."""
+    t, eng = _setup(spark, tmp_path)
+    dim_path = str(tmp_path / "dim")
+    spark.createDataFrame(
+        [("a", "alpha"), ("b", "beta"), ("c", "gamma"), ("d", "delta")],
+        "g string, label string",
+    ).write.parquet(dim_path)
+    spec = {
+        "kind": "join",
+        "dim_path": dim_path,
+        "fact_col": "grp",
+        "dim_col": "g",
+        "how": "inner",
+        "select": ["doc_id", "val", "label"],
+    }
+    mv = MaterializedView.create(spark, str(tmp_path / "mv"), t, spec)
+
+    def full():
+        dim = spark.read.parquet(dim_path)
+        return _rows(
+            t.read()
+            .join(dim, F.col("grp") == dim["g"], "inner")
+            .select("doc_id", "val", "label")
+        )
+
+    assert _rows(mv.read()) == full()
+    b1 = (
+        [("U", "d0", 100, "c", 7)]          # moves between dim rows
+        + [("U", "d1", 101, "zz", 8)]       # now matches NO dim row
+        + [("D", "d2", 102, None, None)]    # delete drops the view row
+        + [("I", "j0", 103, "d", 9)]        # brand-new key
+    )
+    eng.apply_batch(_batch(spark, b1), batch_id=1)
+    info = mv.refresh()
+    assert not info.skipped
+    assert _rows(mv.read()) == full()
+
+
+def test_join_mv_spec_validation(spark, tmp_path):
+    t, _ = _setup(spark, tmp_path)
+    with pytest.raises(ValueError, match="needs dim_path"):
+        MaterializedView.create(
+            spark, str(tmp_path / "bad"), t,
+            {"kind": "join", "fact_col": "grp", "dim_col": "g",
+             "select": ["doc_id"]},
+        )
+    with pytest.raises(ValueError, match="must include the table key"):
+        MaterializedView.create(
+            spark, str(tmp_path / "bad"), t,
+            {"kind": "join", "dim_path": "/x", "fact_col": "grp",
+             "dim_col": "g", "select": ["val"]},
+        )
+    with pytest.raises(ValueError, match="distinct fact_col/dim_col"):
+        MaterializedView.create(
+            spark, str(tmp_path / "bad"), t,
+            {"kind": "join", "dim_path": "/x", "fact_col": "grp",
+             "dim_col": "grp", "select": ["doc_id"]},
+        )
+
+
+def test_stream_tail_refreshes_mvs_per_microbatch(spark, tmp_path):
+    """The DLT pipeline shape: a streaming tail keeps downstream MVs
+    current — after the availableNow backlog drains, every MV sits at the
+    table's head snapshot and equals its full recompute."""
+    from rap_etl_spark.streaming.tail import stream_tail
+
+    t, eng = _setup(spark, tmp_path)
+    mv = MaterializedView.create(
+        spark,
+        str(tmp_path / "mv"),
+        t,
+        {"kind": "agg", "group_cols": ["grp"], "sum_cols": ["val"]},
+    )
+    src = str(tmp_path / "src")
+    b1 = [("U", f"d{i}", 1000 + i, "s", i) for i in range(5)] + [
+        ("D", "d10", 1100, None, None)
+    ]
+    b2 = [("I", f"n{i}", 1200 + i, "t", i * 3) for i in range(4)]
+    _batch(spark, b1).write.parquet(os.path.join(src, "f1"))
+    _batch(spark, b2).write.parquet(os.path.join(src, "f2"))
+    q = stream_tail(
+        spark,
+        src,
+        str(tmp_path / "cp"),
+        t,
+        schema=_batch(spark, b1).schema,
+        max_files_per_trigger=1,  # forces >=2 micro-batches
+        mv_dirs=[str(tmp_path / "mv")],
+    )
+    q.awaitTermination()
+    assert mv.cursor() == t._manifest(refresh=True)["snapshot_id"]
+    assert _rows(mv.read()) == _rows(_full_agg(t))
