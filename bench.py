@@ -854,6 +854,20 @@ def main() -> None:
         "bench_full_last.json" if stock_shape else "bench_smoke_last.json",
     )
     rep = _Reporter(out_path, sf, clock)
+
+    # The driver enforces its own wall-clock limit with SIGTERM. If the
+    # budget estimate ever runs long anyway, turn the kill into a clean
+    # finish: emit the final compact line (every section measured so far)
+    # and exit, so the driver's stdout tail always ends in parseable JSON.
+    def _on_term(signum, frame):  # noqa: ARG001
+        try:
+            rep.flush(final=True)
+        finally:
+            os._exit(0)
+
+    import signal
+
+    signal.signal(signal.SIGTERM, _on_term)
     est = dict(PRIORS)
     keep_logs = bool(explicit_work)
 

@@ -53,7 +53,7 @@ MV_FILE = "_mv.json"
 #: pointer just before the swap (same grace rationale as table vacuum).
 KEEP_VERSIONS = 2
 
-KINDS = ("agg", "minmax", "join")
+KINDS = ("agg", "minmax", "join", "token_stats")
 
 
 @dataclass
@@ -76,6 +76,8 @@ def _validate_spec(spec: dict) -> None:
         raise ValueError("agg mv spec needs sum_cols (may be [])")
     if kind == "minmax" and not spec.get("val_col"):
         raise ValueError("minmax mv spec needs val_col")
+    if kind == "token_stats" and not spec.get("tokens_col"):
+        raise ValueError("token_stats mv spec needs tokens_col")
     if kind == "join":
         for need in ("dim_path", "fact_col", "dim_col", "select"):
             if not spec.get(need):
@@ -203,6 +205,18 @@ class MaterializedView:
             cond = F.col(spec["fact_col"]) == dim[spec["dim_col"]]
             how = spec.get("how", "inner")
             return df.join(dim, cond, how).select(*spec["select"])
+        if spec["kind"] == "token_stats":
+            # the ONE corpus-wide explode this view ever pays; every
+            # refresh after this explodes only the change stream
+            return (
+                df.select(
+                    F.explode(spec["tokens_col"]).alias(
+                        spec.get("token_col", "token")
+                    )
+                )
+                .groupBy(spec.get("token_col", "token"))
+                .agg(F.count(F.lit(1)).alias(spec.get("count_col", "freq")))
+            )
         g = spec["group_cols"]
         n = spec.get("count_col", "n")
         if spec["kind"] == "agg":
@@ -229,6 +243,14 @@ class MaterializedView:
     ) -> DataFrame:
         from rap_etl_spark.operators import incremental as ivm
 
+        if spec["kind"] == "token_stats":
+            return ivm.maintain_token_stats(
+                view,
+                changes,
+                tokens_col=spec["tokens_col"],
+                token_col=spec.get("token_col", "token"),
+                count_col=spec.get("count_col", "freq"),
+            )
         if spec["kind"] == "join":
             dim = self._dim(spec)
             return ivm.maintain_join_view(

@@ -319,3 +319,57 @@ def test_stream_tail_refreshes_mvs_per_microbatch(spark, tmp_path):
     q.awaitTermination()
     assert mv.cursor() == t._manifest(refresh=True)["snapshot_id"]
     assert _rows(mv.read()) == _rows(_full_agg(t))
+
+
+def test_token_stats_mv_matches_full_explode(spark, tmp_path):
+    """Tokens-axis MV: corpus-wide token frequencies maintained from the
+    changefeed — the corpus is exploded exactly once (bootstrap); updates
+    fold preimage tokens at -1 / postimage at +1, deletes retire counts,
+    and vanished tokens drop out at freq 0."""
+    tok_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType()),
+            T.StructField("lsn", T.LongType()),
+            T.StructField("tokens", T.ArrayType(T.IntegerType())),
+        ]
+    )
+    t = ManifestParquetTable.create(
+        spark, str(tmp_path / "t"), tok_schema, n_buckets=4
+    )
+    eng = CdcEngine(spark, t)
+
+    def tb(rows):
+        return spark.createDataFrame(
+            rows, "op string, doc_id string, lsn long, tokens array<int>"
+        )
+
+    eng.apply_batch(
+        tb([("I", f"d{i}", i, [i % 3, i % 5, 7]) for i in range(12)]),
+        batch_id=0,
+    )
+    mv = MaterializedView.create(
+        spark,
+        str(tmp_path / "mv"),
+        t,
+        {"kind": "token_stats", "tokens_col": "tokens"},
+    )
+
+    def full():
+        return _rows(
+            t.read()
+            .select(F.explode("tokens").alias("token"))
+            .groupBy("token")
+            .agg(F.count(F.lit(1)).alias("freq"))
+        )
+
+    assert _rows(mv.read()) == full()
+    # updates swap token contents (9991/9992 appear; some 7s vanish),
+    # deletes retire whole docs' tokens
+    b1 = (
+        [("U", f"d{i}", 100 + i, [9991, i % 3]) for i in range(4)]
+        + [("D", f"d{i}", 200 + i, None) for i in range(4, 7)]
+        + [("I", "x0", 300, [9992])]
+    )
+    eng.apply_batch(tb(b1), batch_id=1)
+    assert not mv.refresh().skipped
+    assert _rows(mv.read()) == full()
