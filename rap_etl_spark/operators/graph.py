@@ -2,20 +2,34 @@
 
 Near-dup detection (neardup.py: MinHash/SimHash/Jaccard) emits PAIRS; a
 training-data pipeline needs CLUSTERS — transitively closed groups — so
-one representative per cluster can be kept. This is iterative min-label
-propagation (Pregel-lite) on the DataFrame API:
+one representative per cluster can be kept. Transitive closure is the
+gap between the two, and at 10^10 documents it cannot be a driver-side
+union-find: the edge set alone may be billions of rows.
 
-    comp(v) <- min(comp(v), min over neighbors comp(u))   until fixpoint
+Algorithm: alternating large-star / small-star (Kiveris et al.,
+"Connected Components in MapReduce and Beyond", SoCC'14 — public
+literature). Each round is two shuffles of the EDGE set (a groupBy-min
+and a join); no per-node adjacency lists are ever materialized (no
+collect_list, so a 10^6-degree hub costs the same shuffle bytes as a
+leaf), and convergence is O(log^2 n) rounds on ANY graph shape — not
+O(diameter) like naive label propagation, which needs 500 rounds for a
+500-link chain. Dedup graphs are usually shallow (diameter 3-4), but
+"usually" is not an engine guarantee; chains DO arise (doc A ~ B ~ C
+... under a sliding similarity threshold), and the star algorithm makes
+the worst case cheap instead of hoping it never happens.
 
 Scale notes:
-- dedup graphs are near-degenerate: millions of tiny components, diameter
-  rarely >3-4, so the loop converges in a handful of iterations;
-- each iteration is one join + one groupBy on (edge, label) — both shuffle
-  on the node key; labels persist per iteration and the previous iteration
-  is unpersisted (bounded memory, bounded lineage via localCheckpoint);
-- a skewed super-node (one doc near-duping everything) is an input-quality
-  signal; AQE skew-join handles the shuffle, and `max_degree` optionally
-  drops super-nodes first (standard dedup hygiene).
+- state between rounds is exactly one (u, v) long-pair DataFrame,
+  canonical orientation u < v; each round shuffles O(|E|) longs;
+- the loop is a driver-side WHILE over Spark jobs with eager
+  localCheckpoint() per round to truncate lineage (round k's plan would
+  otherwise nest 2k joins and overwhelm the optimizer long before the
+  data hurts);
+- the convergence probe is two limit(1)-counted exceptAll diffs — no
+  driver materialization beyond a 0/1 count;
+- a skewed super-node (one doc near-duping everything) is an
+  input-quality signal; `max_degree` optionally drops super-nodes first
+  (standard dedup hygiene) and AQE handles residual shuffle skew.
 """
 
 from __future__ import annotations
@@ -24,21 +38,64 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _star_round(edges: DataFrame, large: bool) -> DataFrame:
+    """One large-star (large=True) or small-star round over a canonical
+    (u < v, deduped) edge set.
+
+    Both rounds compute, per node, the minimum of its closed neighborhood
+    m(n) = min({n} U neighbors(n)), then re-point a subset of neighbors
+    at m(n):
+
+    - large-star re-points each node's STRICTLY LARGER neighbors at m(n)
+      (trees get shallower; every original edge (u,v) is covered by the
+      smaller endpoint's star, and the kept (n, m(n)) edge preserves
+      connectivity through the minimum);
+    - small-star re-points each node's SMALLER neighbors (and the node
+      itself) at m(n) (stars contract onto the minimum).
+    """
+    sym = edges.select(
+        F.col("u").alias("n"), F.col("v").alias("nb")
+    ).unionAll(edges.select(F.col("v").alias("n"), F.col("u").alias("nb")))
+    # m(n) = min over the closed neighborhood — map-side combinable
+    m = sym.groupBy("n").agg(
+        F.min(F.least(F.col("n"), F.col("nb"))).alias("m")
+    )
+    flt = F.col("nb") > F.col("n") if large else F.col("nb") < F.col("n")
+    repoint = (
+        sym.filter(flt)
+        .join(m, "n")
+        .select(F.col("nb").alias("a"), F.col("m").alias("b"))
+    )
+    keep = m.select(F.col("n").alias("a"), F.col("m").alias("b"))
+    return (
+        repoint.unionAll(keep)
+        .filter(F.col("a") != F.col("b"))
+        .select(
+            F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
+        )
+        .distinct()
+    )
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "a",
     dst: str = "b",
     max_iter: int = 25,
     max_degree: int | None = None,
-    checkpoint_every: int = 5,
+    checkpoint_every: int = 1,  # kept for API compat; rounds always checkpoint
 ) -> DataFrame:
     """Return DF[node, comp] where comp = min node id reachable from node.
 
-    ``edges`` is an undirected pair list (each pair listed once is enough).
-    Node ids must be orderable (bigint or string).
+    ``edges`` is an undirected pair list (each pair listed once is
+    enough; duplicate/reversed/self-loop rows are tolerated). Node ids
+    must be orderable (bigint or string). Isolated nodes don't appear in
+    an edge list, so they don't appear in the output — callers that need
+    every corpus row join back with how='left' + coalesce (see
+    keep_representatives).
     """
     e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).filter(
-        F.col("s") != F.col("d")
+        F.col("s").isNotNull() & F.col("d").isNotNull() & (F.col("s") != F.col("d"))
     )
     if max_degree is not None:
         deg = (
@@ -51,64 +108,38 @@ def connected_components(
         )
         e = e.join(deg, e.s == deg.n, "left_anti").drop("n")
         e = e.join(deg, e.d == deg.n, "left_anti").drop("n")
-    sym = e.unionAll(e.select(F.col("d").alias("s"), F.col("s").alias("d")))
-    sym = sym.distinct().persist()
-
-    labels = (
-        sym.select(F.col("s").alias("node"))
+    cur = (
+        e.select(F.least("s", "d").alias("u"), F.greatest("s", "d").alias("v"))
         .distinct()
-        .withColumn("comp", F.col("node"))
-        .persist()
+        .localCheckpoint(eager=True)
     )
-    labels.count()
-
-    for i in range(max_iter):
-        # candidate label for each node: min label among its neighbors
-        cand = (
-            sym.join(labels, sym.d == labels.node)
-            .select(F.col("s").alias("node"), F.col("comp").alias("ncomp"))
-            .groupBy("node")
-            .agg(F.min("ncomp").alias("ncomp"))
-        )
-        new_labels = (
-            labels.join(cand, on="node", how="left")
-            .select(
-                "node",
-                F.least(F.col("comp"), F.coalesce(F.col("ncomp"), F.col("comp"))).alias(
-                    "comp"
-                ),
-            )
-        )
-        if (i + 1) % checkpoint_every == 0:
-            # cut the lineage: iterative plans otherwise grow without bound
-            new_labels = new_labels.localCheckpoint(eager=True)
-        else:
-            new_labels = new_labels.persist()
+    converged = False
+    for _ in range(max_iter):
+        nxt = _star_round(_star_round(cur, large=True), large=False)
+        nxt = nxt.localCheckpoint(eager=True)
+        # fixpoint = the canonical edge set is unchanged (a star forest:
+        # every edge is (component-min, member))
         changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), on="node")
-            .filter(F.col("n.comp") != F.col("o.comp"))
-            .count()
+            nxt.exceptAll(cur).limit(1).count()
+            + cur.exceptAll(nxt).limit(1).count()
         )
-        labels.unpersist()
-        labels = new_labels
+        cur = nxt
         if changed == 0:
+            converged = True
             break
-    else:
+    if not converged:
         import warnings
 
         warnings.warn(
-            f"connected_components did not converge in {max_iter} iterations "
-            "(a component has larger diameter); labels may be split",
+            f"connected_components did not converge in {max_iter} rounds "
+            "(pathological input?); labels may be split",
             stacklevel=2,
         )
-    sym.unpersist()
-    # hand back a checkpointed, UNpersisted frame: the result stays cheap
-    # to re-scan (no loop re-execution) without leaking cached partitions
-    # the caller never knows to unpersist
-    out = labels.localCheckpoint(eager=True)
-    labels.unpersist()
-    return out
+    # star forest -> assignment: members point at their rep; each rep
+    # gets a self row so every non-isolated node appears exactly once
+    members = cur.select(F.col("v").alias("node"), F.col("u").alias("comp"))
+    reps = cur.select(F.col("u").alias("node"), F.col("u").alias("comp")).distinct()
+    return members.unionAll(reps).distinct()
 
 
 def dedup_clusters(pairs: DataFrame, src: str = "a", dst: str = "b") -> DataFrame:

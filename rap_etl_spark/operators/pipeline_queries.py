@@ -395,8 +395,9 @@ def q_bpe_train(spark, sf):
 def q_neardup_components(spark, sf):
     """Near-dup clustering (graph.py): deterministic chain edges over
     documents (i -> i+1 when i%10 < 3, both endpoints existing) yield
-    4-node components; iterative min-label propagation must equal the
-    transitive closure the oracle computes with a recursive CTE."""
+    4-node components; the alternating large-star/small-star engine must
+    equal the transitive closure the oracle computes with a recursive
+    CTE."""
     from rap_etl_spark.operators.graph import connected_components
 
     d = _t(spark, sf, "documents").select("doc_id")
