@@ -321,6 +321,25 @@ def cmd_compact(args) -> int:
     return 0
 
 
+def cmd_blooms(args) -> int:
+    """Key-bloom maintenance (the puffin-style point-lookup index): one
+    incremental pass over files lacking a bloom sidecar."""
+    from rap_etl_spark.lake import ManifestParquetTable
+
+    t = ManifestParquetTable(_spark("rap-etl-blooms"), args.table)
+    info = t.build_key_blooms(fpp=args.fpp)
+    print(
+        json.dumps(
+            {
+                "snapshot": info.snapshot_id,
+                "files_bloomed": info.rows_written,
+                "skipped": info.skipped,
+            }
+        )
+    )
+    return 0
+
+
 def cmd_delete(args) -> int:
     """DELETE FROM ... WHERE from the command line; `--mode dv` commits a
     deletion vector (no data rewrite, no tombstone delta)."""
@@ -1070,6 +1089,11 @@ def build_parser() -> argparse.ArgumentParser:
         help="rewrite only files whose deletion-vector density >= RATIO",
     )
     sp.set_defaults(fn=cmd_compact)
+
+    sp = sub.add_parser("blooms")
+    sp.add_argument("--table", required=True)
+    sp.add_argument("--fpp", type=float, default=0.01)
+    sp.set_defaults(fn=cmd_blooms)
 
     sp = sub.add_parser("delete")
     sp.add_argument("--table", required=True)

@@ -60,6 +60,8 @@ class TableFS(Protocol):
     def getsize(self, path: str) -> int: ...
     def write_text(self, path: str, data: str) -> None: ...
     def write_text_atomic(self, path: str, data: str) -> None: ...
+    def read_bytes(self, path: str) -> bytes: ...
+    def write_bytes(self, path: str, data: bytes) -> None: ...
     def makedirs(self, path: str) -> None: ...
     def remove(self, path: str) -> None: ...
     def rmtree(self, path: str) -> None: ...
@@ -111,6 +113,20 @@ class PosixFS:
 
         tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
         with open(tmp, "w") as f:
+            f.write(data)
+        os.replace(tmp, path)
+
+    def read_bytes(self, path: str) -> bytes:
+        with open(path, "rb") as f:
+            return f.read()
+
+    def write_bytes(self, path: str, data: bytes) -> None:
+        """Immutable binary sidecars (bloom blobs): staged + renamed like
+        write_text so readers never see a torn blob."""
+        import uuid
+
+        tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "wb") as f:
             f.write(data)
         os.replace(tmp, path)
 
@@ -239,6 +255,20 @@ class ObjectStoreFS:
         called only inside ``commit_lock``'s critical section, which is
         what makes the read→check→swap sequence safe."""
         self._put(path, data)
+
+    def read_bytes(self, path: str) -> bytes:
+        """GetObject (binary body)."""
+        with open(path, "rb") as f:
+            return f.read()
+
+    def write_bytes(self, path: str, data: bytes) -> None:
+        """PutObject (immutable binary sidecar, e.g. bloom blobs)."""
+        import uuid
+
+        tmp = f"{path}.put-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "wb") as f:
+            f.write(data)
+        os.replace(tmp, path)
 
     def makedirs(self, path: str) -> None:
         """No-op concept on a key-value store (prefixes need no creation);

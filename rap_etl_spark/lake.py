@@ -261,6 +261,21 @@ def _closure_split(
         hit = hit2
 
 
+def _bloom_geometry(n_rows: int, fpp: float) -> tuple[int, int]:
+    """Standard bloom sizing for n keys at target false-positive rate:
+    m = -n ln(p)/ln2^2 bits rounded UP to a power of two (capped at 2^23
+    = 1 MiB so a pathological file can't produce an unbounded sidecar),
+    k = (m/n) ln2 hash functions. The chosen (m, k) are stored in the
+    manifest entry, so probes never depend on recomputing this."""
+    import math
+
+    n = max(1, int(n_rows))
+    mbits = int(-n * math.log(fpp) / (math.log(2) ** 2))
+    mbits = 1 << min(23, max(10, (max(1, mbits) - 1).bit_length()))
+    k = max(1, min(16, round(mbits / n * math.log(2))))
+    return mbits, k
+
+
 def _fold_modulus(files: list[dict], default_nb: int) -> int:
     """Coarsest write-time modulus among entries: grouping file entries by
     ``bucket % fold`` puts any two KEY-SHARING zones in the same group
@@ -372,6 +387,7 @@ class ManifestParquetTable(LakeTable):
             "files": [],
             "committed": {},
             "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+            "committed_at_us": int(time.time() * 1_000_000),
         }
         t._write_manifest(manifest)
         return t
@@ -526,6 +542,14 @@ class ManifestParquetTable(LakeTable):
         nxt["seq"] = m["seq"] + 1
         nxt["snapshot_id"] = self._new_snapshot_id(nxt["seq"])
         nxt["committed_at"] = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
+        # microsecond commit timestamp, STRICTLY monotonic along the
+        # lineage even under clock skew/step-back (max with parent+1):
+        # what makes AS-OF-timestamp reads well-defined — the wall-clock
+        # committed_at above has second granularity, so two commits in
+        # one second would otherwise be ambiguous
+        nxt["committed_at_us"] = max(
+            int(time.time() * 1_000_000), int(m.get("committed_at_us") or 0) + 1
+        )
         return nxt
 
     # ---------- metadata API ----------
@@ -1559,23 +1583,30 @@ class ManifestParquetTable(LakeTable):
         # Rather than reimplement xxhash64 in Python, compute via a tiny
         # local DataFrame (exact same JVM function).
         kdf = self.spark.createDataFrame([(k,) for k in keys], f"{self.key} string")
-        buckets = {
-            r["_b"]
-            for r in kdf.select(self._bucket_expr(self.key).alias("_b"))
-            .distinct()
-            .collect()
-        }
+        probe_rows = kdf.select(
+            self._bucket_expr(self.key).alias("_b"),
+            F.xxhash64(F.col(self.key)).alias("h1"),
+            F.xxhash64(F.col(self.key), F.lit(1)).alias("h2"),
+        ).collect()
+        buckets = {r["_b"] for r in probe_rows}
+        mask = (1 << 64) - 1
+        probes = [(r["h1"] & mask, r["h2"] & mask) for r in probe_rows]
         files = self._prune_files_by_key(
             _bucket_zones(buckets, self.n_buckets()).split(
                 m["files"], self.n_buckets()
             )[0],
             keys,
+            probes,
         )
         df = self._read_resolved(files, self.schema())
         return df.filter(F.col(self.key).isin(list(keys)))
 
-    @staticmethod
-    def _prune_files_by_key(files: list[dict], keys: list[str]) -> list[dict]:
+    def _prune_files_by_key(
+        self,
+        files: list[dict],
+        keys: list[str],
+        probes: list[tuple[int, int]] | None = None,
+    ) -> list[dict]:
         """Zone-map file skipping: drop files whose [min_key, max_key]
         bounds (recorded from parquet footers at commit time) contain none
         of the requested keys. After a sorted compaction
@@ -1587,14 +1618,19 @@ class ManifestParquetTable(LakeTable):
         out = []
         for fe in files:
             lo, hi = fe.get("min_key"), fe.get("max_key")
-            if lo is None or hi is None:
-                out.append(fe)
-                continue
-            import bisect
+            if lo is not None and hi is not None:
+                import bisect
 
-            i = bisect.bisect_left(skeys, lo)
-            if i < len(skeys) and skeys[i] <= hi:
-                out.append(fe)
+                i = bisect.bisect_left(skeys, lo)
+                if i >= len(skeys) or skeys[i] > hi:
+                    continue  # zone map proves no key in range
+            # zone map can't rule the file out (or has no bounds): the
+            # bloom sidecar can — the membership test that stays selective
+            # on UNSORTED files, where every delta's [min,max] spans the
+            # whole bucket (build_key_blooms)
+            if probes is not None and not self._bloom_hits(fe, probes):
+                continue
+            out.append(fe)
         return out
 
     def read_range(self, col: str, lo=None, hi=None) -> DataFrame:
@@ -2241,6 +2277,139 @@ class ManifestParquetTable(LakeTable):
             nxt["snapshot_id"], None, sum(int(e["rows"]) for e in new_entries)
         )
 
+    def build_key_blooms(self, fpp: float = 0.01) -> CommitInfo:
+        """Per-file key bloom filters (Iceberg puffin-blob analogue): an
+        explicit maintenance pass — zero cost on the ingest hot path —
+        that gives `lookup()` file-level skipping where zone maps can't
+        help. Zone maps prune by [min_key, max_key] RANGE, which is
+        selective only after a sorted compaction; a CDC table's MoR delta
+        stack holds each batch's random key sample, so every delta file's
+        range spans the whole bucket and a point lookup degenerates to
+        reading the full file stack. A bloom answers "is this key
+        POSSIBLY in this file" regardless of layout.
+
+        Build is ONE column-pruned Spark job over exactly the files that
+        lack a bloom (new files lose theirs by construction — entries are
+        immutable — so repeated calls are incremental): scan key +
+        `_metadata.file_path`, hash JVM-side (two xxhash64 streams), and
+        fold bits per file with applyInPandas — the only per-row Python
+        is vectorized numpy on Arrow batches. Filters are sized from each
+        file's true row count (m = -n ln(fpp)/ln2^2 rounded to a power of
+        two, k = m/n ln2, both recomputed identically at probe time from
+        the stored geometry) and written as immutable SIDECAR files under
+        `blooms/` — never inlined into the manifest, whose per-bucket
+        pages are rewritten on every commit that touches the bucket; the
+        entry carries only {m, k, file} (the reason Iceberg keeps puffin
+        separate from manifests). Probes are driver-local: O(candidate
+        files) cached sidecar reads, no job. A deletion vector on a
+        bloomed file only ever yields false positives (allowed); rewrites
+        and compaction drop the pointer with the entry (conservative)."""
+        import base64
+        import math
+
+        m = self._manifest()
+        cand = [
+            fe
+            for fe in m["files"]
+            if "bloom" not in fe and int(fe.get("rows", 0)) > 0
+        ]
+        if not cand:
+            return CommitInfo(m["snapshot_id"], None, 0, skipped=True)
+        key_field = next(
+            f for f in self.schema().fields if f.name == self.key
+        )
+        kschema = T.StructType([key_field])
+        by_base = {os.path.basename(fe["path"]): fe for fe in cand}
+        hashed = (
+            self.spark.read.schema(kschema)
+            .parquet(*[os.path.join(self.path, fe["path"]) for fe in cand])
+            .select(
+                F.element_at(
+                    F.split(F.col("_metadata.file_path"), "/"), -1
+                ).alias("f"),
+                F.xxhash64(F.col(self.key)).alias("h1"),
+                F.xxhash64(F.col(self.key), F.lit(1)).alias("h2"),
+            )
+        )
+
+        def _build(pdf):
+            import numpy as np
+            import pandas as pd
+
+            n = len(pdf)
+            mbits, k = _bloom_geometry(n, fpp)
+            h1 = pdf["h1"].to_numpy(dtype=np.int64).view(np.uint64)
+            h2 = pdf["h2"].to_numpy(dtype=np.int64).view(np.uint64)
+            bits = np.zeros(mbits // 8, dtype=np.uint8)
+            for i in range(k):
+                idx = (h1 + np.uint64(i) * h2) % np.uint64(mbits)
+                np.bitwise_or.at(
+                    bits,
+                    (idx >> np.uint64(3)).astype(np.int64),
+                    np.left_shift(
+                        np.uint8(1), (idx & np.uint64(7)).astype(np.uint8)
+                    ),
+                )
+            return pd.DataFrame(
+                {
+                    "f": [pdf["f"].iloc[0]],
+                    "n": [n],
+                    "bits": [base64.b64encode(bits.tobytes()).decode()],
+                }
+            )
+
+        built = hashed.groupBy("f").applyInPandas(
+            _build, "f string, n long, bits string"
+        ).collect()
+        self.fs.makedirs(os.path.join(self.path, "blooms"))
+        nxt = self._next_manifest(m)
+        new_by_path: dict[str, dict] = {}
+        for r in built:
+            fe = by_base[r["f"]]
+            mbits, k = _bloom_geometry(int(r["n"]), fpp)
+            name = f"blooms/{r['f']}.bloom"
+            self.fs.write_bytes(
+                os.path.join(self.path, name), base64.b64decode(r["bits"])
+            )
+            nfe = dict(fe)  # entries are shared across snapshots: copy
+            nfe["bloom"] = {"m": mbits, "k": k, "file": name}
+            new_by_path[fe["path"]] = nfe
+        nxt["files"] = [new_by_path.get(fe["path"], fe) for fe in m["files"]]
+        self._write_manifest(nxt)
+        return CommitInfo(nxt["snapshot_id"], None, len(built))
+
+    def _bloom_bits(self, name: str) -> bytes:
+        """Sidecar blobs are immutable and content-tied to their data
+        file — cache per table handle, keyed by relative path."""
+        cache = getattr(self, "_bloom_blob_cache", None)
+        if cache is None:
+            cache = self._bloom_blob_cache = {}
+        if name not in cache:
+            cache[name] = self.fs.read_bytes(os.path.join(self.path, name))
+        return cache[name]
+
+    def _bloom_hits(self, fe: dict, probes: list[tuple[int, int]]) -> bool:
+        """True if ANY probe key may be present (or the file has no
+        bloom — conservative). Probe hashes are (h1, h2) uint64 pairs
+        from the same JVM xxhash64 streams the build used."""
+        bl = fe.get("bloom")
+        if not bl:
+            return True
+        try:
+            bits = self._bloom_bits(bl["file"])
+        except FileNotFoundError:
+            return True  # vanished sidecar: pruning is an optimization
+        mbits, k = int(bl["m"]), int(bl["k"])
+        mask = (1 << 64) - 1
+        for h1, h2 in probes:
+            for i in range(k):
+                idx = ((h1 + i * h2) & mask) % mbits
+                if not (bits[idx >> 3] >> (idx & 7)) & 1:
+                    break
+            else:
+                return True
+        return False
+
     def update_where(
         self,
         condition,
@@ -2826,6 +2995,31 @@ class ManifestParquetTable(LakeTable):
                     deleted += 1
             except FileNotFoundError:
                 pass
+        # bloom-sidecar GC: a bloom blob is content-tied to one data file
+        # (blooms/<basename>.bloom); when the data file leaves every
+        # retained snapshot, the sidecar is an orphan too. Entries that
+        # merely DROPPED their pointer (compaction rewrote the entry)
+        # keep the blob only while some retained snapshot's entry still
+        # names it — same grace window as data files.
+        bdir = os.path.join(self.path, "blooms")
+        if self.fs.exists(bdir):
+            referenced_bl: set[str] = set()
+            for fn, man in manifests:
+                if fn in keep_set:
+                    referenced_bl.update(
+                        os.path.basename(fe["bloom"]["file"])
+                        for fe in man["files"]
+                        if fe.get("bloom")
+                    )
+            for fn in self.fs.listdir(bdir):
+                if fn in referenced_bl or not fn.endswith(".bloom"):
+                    continue
+                p = os.path.join(bdir, fn)
+                try:
+                    if now - self.fs.getmtime(p) >= orphan_grace_sec:
+                        self.fs.remove(p)
+                except FileNotFoundError:
+                    pass
         # bucket-manifest GC: content-addressed bm-*.json pages referenced
         # by no surviving root expire too; the same grace window protects
         # an in-flight commit that wrote its pages but hasn't swapped the
@@ -2863,12 +3057,57 @@ class ManifestParquetTable(LakeTable):
                         "snapshot_id": man["snapshot_id"],
                         "parent": man["parent"],
                         "committed_at": man["committed_at"],
+                        "committed_at_us": man.get("committed_at_us"),
                         "n_files": man.get(
                             "n_files", len(man.get("files", []))
                         ),
                     }
                 )
         return sorted(out, key=lambda d: d["seq"], reverse=True)
+
+    def snapshot_as_of(self, ts_us: int) -> str:
+        """Resolve a microsecond timestamp to the snapshot CURRENT at that
+        instant on this ref's lineage — the Iceberg `FOR TIMESTAMP AS OF`
+        resolution. Walks the current snapshot's parent chain (never
+        sibling branches' histories) for the newest commit with
+        committed_at_us <= ts; commits predating the us field fall back
+        to their second-granularity committed_at. Raises if the timestamp
+        predates the table (or the lineage older than it was expired)."""
+        import calendar
+
+        by_id: dict[str, dict] = {}
+        mdir = os.path.join(self.path, "manifests")
+        for fn in self.fs.listdir(mdir):
+            if fn.startswith("manifest-"):
+                man = json.loads(self.fs.read_text(os.path.join(mdir, fn)))
+                by_id[man["snapshot_id"]] = man
+        cur = self._manifest()["snapshot_id"]
+        while cur is not None:
+            man = by_id.get(cur)
+            if man is None:
+                break  # lineage beyond retention
+            at = man.get("committed_at_us")
+            if at is None:
+                at = (
+                    calendar.timegm(
+                        time.strptime(
+                            man["committed_at"], "%Y-%m-%dT%H:%M:%SZ"
+                        )
+                    )
+                    * 1_000_000
+                )
+            if int(at) <= int(ts_us):
+                return man["snapshot_id"]
+            cur = man.get("parent")
+        raise ValueError(
+            f"no snapshot at or before ts_us={ts_us} (table younger, or "
+            f"history expired past it)"
+        )
+
+    def read_as_of(self, ts_us: int) -> DataFrame:
+        """Time-travel read at a wall-clock instant (microseconds since
+        epoch); see snapshot_as_of for the resolution rule."""
+        return self.read(snapshot_id=self.snapshot_as_of(ts_us))
 
     # ---------- clone ----------
     def clone(
@@ -2922,6 +3161,7 @@ class ManifestParquetTable(LakeTable):
         manifest["committed_at"] = time.strftime(
             "%Y-%m-%dT%H:%M:%SZ", time.gmtime()
         )
+        manifest["committed_at_us"] = int(time.time() * 1_000_000)
         manifest["cloned_from"] = {
             "path": self.path,
             "snapshot_id": m["snapshot_id"],
@@ -2964,6 +3204,69 @@ class ManifestParquetTable(LakeTable):
         )
         total += self._read_resolved(sub, self.schema()).count()
         return total
+
+    def min_max(self, cols: list[str]) -> tuple[dict[str, tuple], bool]:
+        """EXACT per-column (min, max) — answered from manifest zone maps
+        with ZERO Spark jobs when the snapshot provably contains only
+        live rows (the Iceberg manifest-stats aggregate pushdown; at
+        100 TB the difference between a dashboard probe and a full scan).
+
+        The metadata path requires every file to be all-live (no MoR
+        deltas whose superseded base rows would poison the extremes, no
+        tombstones, no deletion vectors — a masked row might BE the max)
+        and every requested column to carry complete NUMERIC footer
+        stats. String stats are excluded on purpose: parquet writers may
+        truncate string min/max, which is fine for pruning (conservative)
+        but not for an exact answer. Anything unprovable falls back to
+        one aggregate over the resolved read — still exact, never wrong.
+
+        Returns ({col: (min, max)}, metadata_only)."""
+        m = self._manifest()
+        files = [fe for fe in m["files"] if int(fe.get("rows", 0)) > 0]
+        clean = all(
+            fe.get("kind") != "delta"
+            and fe.get("has_dels") is False
+            and not fe.get("dv")
+            for fe in files
+        )
+        if clean:
+            vals: dict[str, tuple] = {}
+            for c in cols:
+                lo = hi = None
+                for fe in files:
+                    cs = fe.get("col_stats", {}).get(c)
+                    if (
+                        not cs
+                        or isinstance(cs[0], (str, bool))
+                        or isinstance(cs[1], (str, bool))
+                    ):
+                        lo = None
+                        break
+                    lo = cs[0] if lo is None or cs[0] < lo else lo
+                    hi = cs[1] if hi is None or cs[1] > hi else hi
+                if lo is None and files:
+                    break
+                vals[c] = (lo, hi)
+            else:
+                return vals, True
+        row = (
+            self.read()
+            .agg(
+                *[
+                    f
+                    for c in cols
+                    for f in (
+                        F.min(c).alias(f"min_{c}"),
+                        F.max(c).alias(f"max_{c}"),
+                    )
+                ]
+            )
+            .collect()[0]
+        )
+        return (
+            {c: (row[f"min_{c}"], row[f"max_{c}"]) for c in cols},
+            False,
+        )
 
     def files_df(self) -> DataFrame:
         """Live data files as a DataFrame (the Iceberg `.files` metadata

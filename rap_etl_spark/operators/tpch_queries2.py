@@ -436,7 +436,74 @@ def q_publish_roundtrip(spark, sf):
         shutil.rmtree(work, ignore_errors=True)
 
 
+def q_stats_minmax(spark, sf):
+    """Metadata-only aggregate (lake.min_max): a clean CoW table answers
+    exact min/max from manifest zone maps with ZERO data-reading jobs.
+    The returned metadata_only flag is part of the compared result, so
+    the oracle hash FAILS if the engine silently fell back to a scan —
+    the fast path itself is under test, not just the values."""
+    work = tempfile.mkdtemp(prefix="rap-etl-stats-minmax-")
+    try:
+        table, schema = _dml_table(spark, work, sf, "cow")
+        vals, meta_only = table.min_max(["bal"])
+        return spark.createDataFrame(
+            [(float(vals["bal"][0]), float(vals["bal"][1]), bool(meta_only))],
+            "min_bal double, max_bal double, metadata_only boolean",
+        )
+    finally:
+        import shutil
+
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def q_lookup_bloom(spark, sf):
+    """Bloom-indexed point lookup: a MoR stack (base + update deltas
+    whose key ranges span every bucket — the zone-map-blind layout) gets
+    per-file key bloom sidecars (lake.build_key_blooms), then lookup()
+    must return exactly the LWW winners for a fixed key set. Bloom false
+    negatives would LOSE rows here; stale/over-broad blooms would only
+    cost extra reads, never wrong answers."""
+    from pyspark.sql import types as T
+
+    from rap_etl_spark.lake import ManifestParquetTable
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType()),
+            T.StructField("bal", T.DoubleType()),
+        ]
+    )
+    base = _t(spark, sf, "customer").select(
+        F.col("c_custkey").cast("string").alias("doc_id"),
+        F.col("c_acctbal").alias("bal"),
+        F.lit(1).alias("lsn"),
+    )
+    upd = _t(spark, sf, "customer").filter(F.col("c_custkey") % 7 == 0).select(
+        F.col("c_custkey").cast("string").alias("doc_id"),
+        (F.col("c_acctbal") + 1000.0).alias("bal"),
+        F.lit(2).alias("lsn"),
+    )
+    work = tempfile.mkdtemp(prefix="rap-etl-lookup-bloom-")
+    try:
+        table = ManifestParquetTable.create(
+            spark, os.path.join(work, "t"), schema, n_buckets=8,
+            merge_mode="mor",
+        )
+        table.merge(base, batch_id=0)
+        table.merge(upd, batch_id=1)
+        table.build_key_blooms()
+        keys = [str(k) for k in range(1, 41)]
+        rows = table.lookup(keys).select("doc_id", "bal").collect()
+        return spark.createDataFrame(rows, schema)
+    finally:
+        import shutil
+
+        shutil.rmtree(work, ignore_errors=True)
+
+
 TPCH_QUERIES2 = {
+    "stats_minmax": q_stats_minmax,
+    "lookup_bloom": q_lookup_bloom,
     "publish_roundtrip": q_publish_roundtrip,
     "read_range_prune": q_read_range,
     "q4_order_priority": q4_order_priority,
@@ -455,6 +522,16 @@ TPCH_QUERIES2 = {
 }
 
 TPCH_ORACLES2 = {
+    "stats_minmax": (
+        "SELECT min(c_acctbal) AS min_bal, max(c_acctbal) AS max_bal,"
+        " CAST(1 AS BOOLEAN) AS metadata_only FROM customer"
+    ),
+    "lookup_bloom": (
+        "SELECT CAST(c_custkey AS VARCHAR) AS doc_id,"
+        " CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 1000.0"
+        " ELSE c_acctbal END AS bal FROM customer"
+        " WHERE c_custkey BETWEEN 1 AND 40"
+    ),
     "publish_roundtrip": (
         "WITH ev AS (SELECT CAST(o_custkey AS VARCHAR) AS doc_id,"
         " o_orderkey AS lsn, o_totalprice AS price,"

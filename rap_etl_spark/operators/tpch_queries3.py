@@ -454,8 +454,57 @@ def q_time_travel(spark, sf):
         shutil.rmtree(work, ignore_errors=True)
 
 
+def q_time_travel_ts(spark, sf):
+    """AS-OF-TIMESTAMP time travel (lake.read_as_of): same two-merge
+    drive as time_travel_read, but the historical read resolves by the
+    first commit's microsecond wall-clock stamp instead of its snapshot
+    id. The strictly-monotonic committed_at_us (parent+1 floor) is what
+    makes this deterministic even when both commits land in the same
+    second — the oracle is batch 0's plain LWW statement."""
+    import os
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from rap_etl_spark.lake import ManifestParquetTable
+    from rap_etl_spark.operators.cdc import lww_latest
+
+    ev = _t(spark, sf, "orders").select(
+        F.col("o_custkey").cast("string").alias("doc_id"),
+        F.col("o_orderkey").alias("lsn"),
+        F.col("o_totalprice").alias("price"),
+        F.when(F.col("o_orderkey") % 10 == 0, "D").otherwise("U").alias("op"),
+    )
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType()),
+            T.StructField("lsn", T.LongType()),
+            T.StructField("price", T.DoubleType()),
+        ]
+    )
+    work = tempfile.mkdtemp(prefix="rap-etl-time-travel-ts-")
+    try:
+        table = ManifestParquetTable.create(
+            spark, os.path.join(work, "t"), schema, n_buckets=8
+        )
+        table.merge(lww_latest(ev.filter(F.col("lsn") % 2 == 0)), batch_id=0)
+        ts0 = table._manifest()["committed_at_us"]
+        table.merge(lww_latest(ev.filter(F.col("lsn") % 2 == 1)), batch_id=1)
+        rows = (
+            table.read_as_of(ts0)
+            .select("doc_id", "lsn", "price")
+            .collect()
+        )
+        return spark.createDataFrame(rows, schema)
+    finally:
+        import shutil
+
+        shutil.rmtree(work, ignore_errors=True)
+
+
 TPCH_QUERIES3 = {
     "time_travel_read": q_time_travel,
+    "time_travel_ts": q_time_travel_ts,
     "q2_min_supplier": q2_min_acctbal_supplier,
     "q8_market_share": q8_market_share,
     "q9_profit": q9_profit,
@@ -469,6 +518,15 @@ TPCH_QUERIES3 = {
 }
 
 TPCH_ORACLES3 = {
+    "time_travel_ts": (
+        "WITH ev AS (SELECT CAST(o_custkey AS VARCHAR) AS doc_id,"
+        " o_orderkey AS lsn, o_totalprice AS price,"
+        " CASE WHEN o_orderkey % 10 = 0 THEN 'D' ELSE 'U' END AS op"
+        " FROM orders WHERE o_orderkey % 2 = 0),"
+        " w AS (SELECT *, row_number() OVER"
+        " (PARTITION BY doc_id ORDER BY lsn DESC) AS rn FROM ev)"
+        " SELECT doc_id, lsn, price FROM w WHERE rn = 1 AND op <> 'D'"
+    ),
     "time_travel_read": (
         "WITH ev AS (SELECT CAST(o_custkey AS VARCHAR) AS doc_id,"
         " o_orderkey AS lsn, o_totalprice AS price,"

@@ -664,3 +664,23 @@ def test_cli_feed_uncommitted_batch_is_recoverable(spark, sf_small, tmp_path, ca
     rec = _run(capsys, "feed", "--table", src, "--out", topic,
                "--partitions", "2", "--batch", "1")
     assert rec[-1]["published"] is True
+
+
+def test_cli_blooms(spark, sf_small, tmp_path, capsys):
+    """`blooms` maintenance subcommand: incremental build, then skipped
+    rerun; lookups through the bloomed table still answer."""
+    log = str(tmp_path / "log")
+    table = str(tmp_path / "t")
+    _run(capsys, "synth", "--out", log, "--events", "1500",
+         "--sf", sf_small, "--batches", "2")
+    _run(capsys, "init", "--table", table, "--buckets", "8")
+    _run(capsys, "replay", "--table", table, "--log", log)
+    rec = _run(capsys, "blooms", "--table", table)
+    assert rec[-1]["files_bloomed"] > 0 and not rec[-1]["skipped"]
+    rec = _run(capsys, "blooms", "--table", table)
+    assert rec[-1]["skipped"] is True
+    from rap_etl_spark.lake import ManifestParquetTable
+
+    t = ManifestParquetTable(spark, table)
+    keys = [r["doc_id"] for r in t.read().limit(3).collect()]
+    assert t.lookup(keys).count() == len(keys)
