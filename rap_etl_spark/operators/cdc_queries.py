@@ -629,6 +629,82 @@ CDC_ORACLES["mv_incremental"] = (
 )
 
 
+def q_mv_token_stats(spark, sf):
+    """X92's tokens-payload kind end-to-end: a vocabulary/frequency view
+    over a CDC'd tokenized-sequence table, bootstrapped with the one
+    corpus-wide explode and then refreshed from the changefeed alone
+    (maintain_token_stats — only batch 1's token arrays explode; updates
+    fold preimage -1 / postimage +1, zero-frequency tokens drop out).
+    Oracle = explode-and-count over the final LWW state."""
+    from pyspark.sql import types as T
+
+    from rap_etl_spark.engine import CdcEngine
+    from rap_etl_spark.lake import ManifestParquetTable
+    from rap_etl_spark.mv import MaterializedView
+
+    k = F.col("o_orderkey")
+    ev = _t(spark, sf, "orders").select(
+        F.when(k % 10 == 0, "D").otherwise("U").alias("op"),
+        F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("doc_id"),
+        k.cast("long").alias("lsn"),
+        F.array(
+            (k % 50).cast("int"),
+            (F.col("o_custkey") % 50).cast("int"),
+            ((k + F.col("o_custkey")) % 50).cast("int"),
+        ).alias("tokens"),
+    )
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType()),
+            T.StructField("lsn", T.LongType()),
+            T.StructField("tokens", T.ArrayType(T.IntegerType())),
+        ]
+    )
+    work = tempfile.mkdtemp(prefix="rap-etl-mv-tok-")
+    try:
+        t = ManifestParquetTable.create(
+            spark, os.path.join(work, "t"), schema, n_buckets=8
+        )
+        eng = CdcEngine(spark, t)
+        eng.apply_batch(ev.filter(F.col("lsn") % 2 == 0), batch_id=0)
+        mv = MaterializedView.create(
+            spark,
+            os.path.join(work, "mv"),
+            t,
+            {"kind": "token_stats", "tokens_col": "tokens"},
+        )
+        eng.apply_batch(ev.filter(F.col("lsn") % 2 == 1), batch_id=1)
+        info = mv.refresh()
+        assert not info.skipped and not info.full_recompute
+        rows = mv.read().collect()
+        out = T.StructType(
+            [
+                T.StructField("token", T.IntegerType()),
+                T.StructField("freq", T.LongType()),
+            ]
+        )
+        return spark.createDataFrame(rows, out)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+CDC_QUERIES["mv_token_stats"] = q_mv_token_stats
+
+CDC_ORACLES["mv_token_stats"] = (
+    "WITH ev AS (SELECT"
+    "  CASE WHEN o_orderkey % 10 = 0 THEN 'D' ELSE 'U' END AS op,"
+    "  'c' || CAST(o_custkey AS VARCHAR) AS doc_id,"
+    "  o_orderkey AS lsn,"
+    "  [CAST(o_orderkey % 50 AS INT), CAST(o_custkey % 50 AS INT),"
+    "   CAST((o_orderkey + o_custkey) % 50 AS INT)] AS tokens FROM orders),"
+    " w AS (SELECT *, row_number() OVER"
+    "  (PARTITION BY doc_id ORDER BY lsn DESC) AS rn FROM ev),"
+    " live AS (SELECT * FROM w WHERE rn = 1 AND op <> 'D'),"
+    " tok AS (SELECT CAST(unnest(tokens) AS INT) AS token FROM live)"
+    " SELECT token, count(*) AS freq FROM tok GROUP BY token"
+)
+
+
 def q_mv_join(spark, sf):
     """X92 join kind: a fact lake table maintained by the engine, a
     customer dimension read straight from the sf dir, and a join VIEW

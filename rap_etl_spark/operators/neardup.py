@@ -525,6 +525,69 @@ def jaccard_pairs(
     )
 
 
+def exact_window_pairs(
+    df: DataFrame,
+    col: str = "text",
+    key: str = "doc_id",
+    window: int = 40,
+    stride: int = 16,
+    max_docs_per_window: int = 8,
+) -> DataFrame:
+    """Exact-substring duplicate detection (the deduplicating-training-
+    data construction of Lee et al., "Deduplicating Training Data Makes
+    Language Models Better", ACL'22 — public literature): two documents
+    pair when they share ANY identical `window`-char substring sampled at
+    `stride` offsets. Catches verbatim-copied passages (boilerplate,
+    license blocks, quoted articles) that MinHash dilutes away in long
+    documents — the exact complement of the probabilistic detectors.
+
+    Scale shape: each doc emits ~len/stride fingerprints (md5 of the
+    window — fixed 32-byte keys, the document text itself never joins),
+    one distinct + one groupBy + one hash-key self-join. Windows shared
+    by more than `max_docs_per_window` docs are DROPPED before the
+    self-join (the LSH oversized-bucket rule): a universal boilerplate
+    window would otherwise emit O(n^2) pairs — at corpus scale that
+    window is a stop-fingerprint, not a duplication signal. Strided
+    sampling means a copy shifted by a non-multiple of `stride` can be
+    missed (the standard recall/cost dial; stride=1 is exhaustive).
+    Docs shorter than `window` emit nothing."""
+    wins = (
+        df.filter(F.length(F.col(col)) >= window)
+        .select(
+            F.col(key),
+            F.explode(
+                F.sequence(
+                    F.lit(0),
+                    F.length(F.col(col)) - window,
+                    F.lit(stride),
+                )
+            ).alias("p"),
+            F.col(col),
+        )
+        .select(
+            F.col(key),
+            F.md5(F.col(col).substr(F.col("p") + 1, F.lit(window))).alias(
+                "h"
+            ),
+        )
+        .distinct()
+    )
+    ok = (
+        wins.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter((F.col("n") >= 2) & (F.col("n") <= max_docs_per_window))
+        .select("h")
+    )
+    a = wins.join(ok, "h").select("h", F.col(key).alias("a"))
+    b = wins.join(ok, "h").select("h", F.col(key).alias("b"))
+    return (
+        a.join(b, "h")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
 def drop_existing_payloads(
     delta: DataFrame,
     corpus: DataFrame,

@@ -129,6 +129,28 @@ def q_minhash_planted(spark, sf):
     )
 
 
+def q_exact_substring_pairs(spark, sf):
+    """Exact-substring dedup (neardup.exact_window_pairs) over a corpus
+    with planted verbatim copies (+1e6: byte-identical; +2e6: original
+    text plus an appended tail — the copied PREFIX region still aligns on
+    stride boundaries, modeling a quoted-passage partial dup). The whole
+    construction — strided windows, md5 fingerprints, the 2..8 docs-per-
+    window band, the a<b pair set — is mirrored verbatim in SQL, so the
+    oracle checks the operator's exact semantics, not just the plants."""
+    from rap_etl_spark.operators.neardup import exact_window_pairs
+
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    full = d.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    partial = d.filter(F.col("doc_id") % 20 == 0).select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" appended tail marker")).alias("text"),
+    )
+    corpus = d.unionByName(full).unionByName(partial)
+    return exact_window_pairs(corpus, window=40, stride=16)
+
+
 def q_simhash_planted(spark, sf):
     """Oracled twin of simhash_sig: exact-duplicate copies share the
     64-bit signature, so every planted pair appears at hamming distance 0
@@ -834,6 +856,7 @@ QUERIES2 = {
     "simhash_sig": q_simhash_sig,
     "minhash_planted": q_minhash_planted,
     "simhash_planted": q_simhash_planted,
+    "exact_substring_pairs": q_exact_substring_pairs,
     "embed_cosine": q_embed_cosine,
     "embed_neardup": q_embed_neardup,
     "embed_topk": q_embed_topk,
@@ -855,6 +878,24 @@ ORACLES2 = {
         "SELECT doc_id AS a, doc_id + 1000000 AS b,"
         " CAST(0 AS INT) AS hamming"
         " FROM documents WHERE doc_id % 10 = 0"
+    ),
+    "exact_substring_pairs": (
+        "WITH corpus AS ("
+        " SELECT doc_id, text FROM documents"
+        " UNION ALL SELECT doc_id + 1000000, text FROM documents"
+        "   WHERE doc_id % 10 = 0"
+        " UNION ALL SELECT doc_id + 2000000, text || ' appended tail marker'"
+        "   FROM documents WHERE doc_id % 20 = 0),"
+        " pos AS (SELECT doc_id, text,"
+        "   unnest(range(0, length(text) - 40 + 1, 16)) AS p"
+        "   FROM corpus WHERE length(text) >= 40),"
+        " w AS (SELECT DISTINCT doc_id,"
+        "   md5(substr(text, CAST(p AS BIGINT) + 1, 40)) AS h FROM pos),"
+        " ok AS (SELECT h FROM w GROUP BY h"
+        "   HAVING count(*) BETWEEN 2 AND 8)"
+        " SELECT DISTINCT a.doc_id AS a, b.doc_id AS b"
+        " FROM w a JOIN ok USING (h) JOIN w b USING (h)"
+        " WHERE a.doc_id < b.doc_id"
     ),
     "recipe_plan": (
         " WITH base AS (SELECT doc_id, source, text,"
