@@ -2796,6 +2796,18 @@ class ManifestParquetTable(LakeTable):
                 errors.append(
                     {"check": "missing_dv", "path": dv["path"], "of": fe["path"]}
                 )
+            bl = fe.get("bloom")
+            if bl and not self.fs.exists(os.path.join(self.path, bl["file"])):
+                # reads stay correct (the probe keeps the file when its
+                # sidecar is gone), but the manifest references something
+                # that doesn't exist — the invariant fsck is for
+                errors.append(
+                    {
+                        "check": "missing_bloom",
+                        "path": bl["file"],
+                        "of": fe["path"],
+                    }
+                )
         if deep and files and not errors:
             default_nb = int(m.get("n_buckets") or 1)
             fmap = self.spark.createDataFrame(

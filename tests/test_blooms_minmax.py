@@ -209,3 +209,17 @@ def test_read_as_of_timestamp(spark, tmp_path):
     assert t.read_as_of(ts1 + 10**9).count() == 20
     with _pytest.raises(ValueError):
         t.snapshot_as_of(0)
+
+
+def test_fsck_reports_missing_bloom_sidecar(spark, tmp_path):
+    t = _mk(spark, tmp_path, mode="mor", n=50)
+    t.build_key_blooms()
+    assert t.fsck(deep=False)["ok"]
+    bdir = os.path.join(t.path, "blooms")
+    victim = [f for f in t.fs.listdir(bdir) if f.endswith(".bloom")][0]
+    t.fs.remove(os.path.join(bdir, victim))
+    rep = t.fsck(deep=False)
+    assert not rep["ok"]
+    assert any(e["check"] == "missing_bloom" for e in rep["errors"])
+    # reads remain correct: the probe is conservative on a lost sidecar
+    assert t.lookup(["k1"]).collect()[0]["val"] == 1
