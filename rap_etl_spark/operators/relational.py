@@ -319,6 +319,67 @@ def q_win_running_sum(spark, sf):
     )
 
 
+def _epoch_us(df: DataFrame, ts_col: str):
+    """Epoch microseconds of a timestamp column, NTZ-safe: a naive
+    (TIMESTAMP_NTZ) value is treated as UTC — the same convention DuckDB's
+    epoch_us uses — via timestampdiff from the NTZ epoch literal, so no
+    session-timezone reinterpretation sneaks in."""
+    dt = dict(df.dtypes)[ts_col]
+    if dt == "timestamp_ntz":
+        return F.expr(
+            f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', {ts_col})"
+        )
+    return F.unix_micros(F.col(ts_col))
+
+
+def sessionize(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    gap_us: int,
+    tiebreak_col: str,
+) -> DataFrame:
+    """Batch sessionization (gaps-and-islands): rows of one key belong to
+    the same session while consecutive timestamps are within `gap_us`
+    microseconds; a larger gap opens a new session. Two window passes
+    over the SAME (key, ts) ordering — one lag, one running sum — so
+    there is exactly one shuffle (partitionBy key) and both windows
+    pipeline in a single sort. This is the batch twin of the streaming
+    session window (streaming/tail.py R4): same semantics, replayable
+    over history instead of a watermark."""
+    w = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
+    us = _epoch_us(df, ts_col)
+    new_session = (
+        F.coalesce(
+            (us - F.lag(us).over(w)) > F.lit(int(gap_us)), F.lit(True)
+        )
+    ).cast("int")
+    return df.withColumn(
+        "session_id",
+        F.sum(new_session)
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("int"),
+    )
+
+
+def q_win_sessionize(spark, sf):
+    """Gaps-and-islands sessionization over the events stream: 30-minute
+    inactivity gap per user; output = per-session bounds + volume. The
+    oracle is the identical lag/cumsum statement in SQL — epoch
+    microseconds on both sides keep timestamp arithmetic dialect-free."""
+    ev = _t(spark, sf, "events")
+    s = sessionize(
+        ev, "user_id", "ts", gap_us=1_800_000_000, tiebreak_col="event_id"
+    )
+    us = _epoch_us(s, "ts")
+    return s.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min(us).alias("start_us"),
+        F.max(us).alias("end_us"),
+        F.round(F.sum("value"), 4).alias("total_value"),
+    )
+
+
 def q_win_ntile(spark, sf):
     o = _t(spark, sf, "orders")
     w = Window.orderBy("o_totalprice", "o_orderkey")
@@ -627,6 +688,7 @@ QUERIES = {
     "win_lag": q_win_lag,
     "win_running_sum": q_win_running_sum,
     "win_ntile": q_win_ntile,
+    "win_sessionize": q_win_sessionize,
     "agg_histogram": q_agg_histogram,
     "sort_orders": q_sort_orders,
     "topk_orders": q_topk_orders,
@@ -773,6 +835,23 @@ ORACLES = {
     "win_ntile": (
         "SELECT o_orderkey, ntile(4) OVER (ORDER BY o_totalprice, o_orderkey) AS tile"
         " FROM orders"
+    ),
+    "win_sessionize": (
+        "WITH e AS (SELECT user_id, ts, event_id, value,"
+        "   epoch_us(ts) AS us FROM events),"
+        " g AS (SELECT *, CASE WHEN"
+        "   us - lag(us) OVER (PARTITION BY user_id ORDER BY ts, event_id)"
+        "   > 1800000000"
+        "   OR lag(us) OVER (PARTITION BY user_id ORDER BY ts, event_id)"
+        "   IS NULL THEN 1 ELSE 0 END AS ns FROM e),"
+        " s AS (SELECT *, CAST(sum(ns) OVER"
+        "   (PARTITION BY user_id ORDER BY ts, event_id"
+        "    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INT)"
+        "   AS session_id FROM g)"
+        " SELECT user_id, session_id, count(*) AS n_events,"
+        "  min(us) AS start_us, max(us) AS end_us,"
+        "  round(sum(value), 4) AS total_value"
+        " FROM s GROUP BY user_id, session_id"
     ),
     "agg_histogram": (
         "SELECT least(CAST(floor(o_totalprice / 25000) AS BIGINT), 19) AS bucket,"

@@ -456,6 +456,54 @@ def q_stats_minmax(spark, sf):
         shutil.rmtree(work, ignore_errors=True)
 
 
+def q_fast_count_meta(spark, sf):
+    """lake.fast_count through BOTH of its regimes in one result: on the
+    all-live snapshot it answers from manifest metadata alone (zero
+    jobs), and after a tombstone-bearing MoR delta lands it must fall
+    back to a bucket-pruned resolved scan for exactly the touched
+    buckets — still exact. A wrong ledger count, a double-counted
+    superseded row, or a miscounted DV would break either column."""
+    from pyspark.sql import types as T
+
+    from rap_etl_spark.lake import ManifestParquetTable
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType()),
+            T.StructField("bal", T.DoubleType()),
+        ]
+    )
+    c = _t(spark, sf, "customer")
+    base = c.select(
+        F.col("c_custkey").cast("string").alias("doc_id"),
+        F.col("c_acctbal").alias("bal"),
+        F.lit(1).alias("lsn"),
+    )
+    dels = c.filter(F.col("c_custkey") % 5 == 0).select(
+        F.col("c_custkey").cast("string").alias("doc_id"),
+        F.col("c_acctbal").alias("bal"),
+        F.lit(2).alias("lsn"),
+        F.lit("D").alias("op"),
+    )
+    work = tempfile.mkdtemp(prefix="rap-etl-fast-count-")
+    try:
+        table = ManifestParquetTable.create(
+            spark, os.path.join(work, "t"), schema, n_buckets=8,
+            merge_mode="mor",
+        )
+        table.merge(base, batch_id=0)
+        clean = table.fast_count()
+        table.merge(dels, batch_id=1)
+        mixed = table.fast_count()
+        return spark.createDataFrame(
+            [(int(clean), int(mixed))], "clean_count long, mixed_count long"
+        )
+    finally:
+        import shutil
+
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def q_lookup_bloom(spark, sf):
     """Bloom-indexed point lookup: a MoR stack (base + update deltas
     whose key ranges span every bucket — the zone-map-blind layout) gets
@@ -504,6 +552,7 @@ def q_lookup_bloom(spark, sf):
 TPCH_QUERIES2 = {
     "stats_minmax": q_stats_minmax,
     "lookup_bloom": q_lookup_bloom,
+    "fast_count_meta": q_fast_count_meta,
     "publish_roundtrip": q_publish_roundtrip,
     "read_range_prune": q_read_range,
     "q4_order_priority": q4_order_priority,
@@ -525,6 +574,11 @@ TPCH_ORACLES2 = {
     "stats_minmax": (
         "SELECT min(c_acctbal) AS min_bal, max(c_acctbal) AS max_bal,"
         " CAST(1 AS BOOLEAN) AS metadata_only FROM customer"
+    ),
+    "fast_count_meta": (
+        "SELECT (SELECT count(*) FROM customer) AS clean_count,"
+        " (SELECT count(*) FROM customer WHERE c_custkey % 5 <> 0)"
+        " AS mixed_count"
     ),
     "lookup_bloom": (
         "SELECT CAST(c_custkey AS VARCHAR) AS doc_id,"
