@@ -342,3 +342,35 @@ def test_dv_masked_read_broadcasts_and_fast_path_clean_files(spark, tmp_path):
     assert "LeftAnti" in plan
     # mask adds no exchange beyond the broadcast itself
     assert "Exchange hashpartitioning" not in plan
+
+
+def test_sessionize_single_exchange(spark, sf_oracle):
+    """Gaps-and-islands must cost ONE shuffle: the lag window and the
+    running-sum window share (key, ts) ordering, so Catalyst plans both
+    over a single hashpartitioning exchange."""
+    from rap_etl_spark.operators.relational import q_win_sessionize
+
+    df = q_win_sessionize(spark, sf_oracle)
+    plan = formatted_plan(df)
+    # one exchange for the windows + one for the final groupBy, no more
+    assert count_exchanges(df) <= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_exact_substring_no_cartesian_and_text_never_joins(spark, sf_oracle):
+    """The window self-join runs on 32-byte md5 fingerprints: no
+    cartesian product, and the document text column is projected away
+    before any exchange (only fingerprints shuffle)."""
+    from rap_etl_spark.operators.pipeline_queries import (
+        q_exact_substring_pairs,
+    )
+
+    df = q_exact_substring_pairs(spark, sf_oracle)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # every exchange's output is fingerprint/id-shaped, never the text
+    import re
+
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "text" not in m.group(1)
