@@ -2378,14 +2378,27 @@ class ManifestParquetTable(LakeTable):
         self._write_manifest(nxt)
         return CommitInfo(nxt["snapshot_id"], None, len(built))
 
+    #: driver-side bloom blob cache bound: blobs are up to 1 MiB each, so
+    #: an unbounded cache over a 10^5-file table would be a driver OOM —
+    #: 256 entries (~≤256 MiB worst case, typically ~MBs) covers the hot
+    #: buckets of a lookup workload; misses are one sidecar read each
+    _BLOOM_CACHE_MAX = 256
+
     def _bloom_bits(self, name: str) -> bytes:
         """Sidecar blobs are immutable and content-tied to their data
-        file — cache per table handle, keyed by relative path."""
+        file — cached per table handle with LRU eviction, keyed by
+        relative path."""
+        from collections import OrderedDict
+
         cache = getattr(self, "_bloom_blob_cache", None)
         if cache is None:
-            cache = self._bloom_blob_cache = {}
-        if name not in cache:
+            cache = self._bloom_blob_cache = OrderedDict()
+        if name in cache:
+            cache.move_to_end(name)
+        else:
             cache[name] = self.fs.read_bytes(os.path.join(self.path, name))
+            while len(cache) > self._BLOOM_CACHE_MAX:
+                cache.popitem(last=False)
         return cache[name]
 
     def _bloom_hits(self, fe: dict, probes: list[tuple[int, int]]) -> bool:

@@ -223,3 +223,16 @@ def test_fsck_reports_missing_bloom_sidecar(spark, tmp_path):
     assert any(e["check"] == "missing_bloom" for e in rep["errors"])
     # reads remain correct: the probe is conservative on a lost sidecar
     assert t.lookup(["k1"]).collect()[0]["val"] == 1
+
+
+def test_bloom_blob_cache_is_bounded(spark, tmp_path, monkeypatch):
+    t = _mk(spark, tmp_path, mode="mor", n=100)
+    t.build_key_blooms()
+    monkeypatch.setattr(type(t), "_BLOOM_CACHE_MAX", 2)
+    m = t._manifest(refresh=True)
+    bloomed = [fe for fe in m["files"] if fe.get("bloom")]
+    assert len(bloomed) > 2
+    probes = [(1, 2)]
+    for fe in bloomed:
+        t._bloom_hits(fe, probes)
+    assert len(t._bloom_blob_cache) <= 2
