@@ -1090,9 +1090,15 @@ def build_parser() -> argparse.ArgumentParser:
     )
     sp.set_defaults(fn=cmd_compact)
 
+    def _fpp(v: str) -> float:
+        f = float(v)
+        if not (0.0 < f < 1.0):
+            raise argparse.ArgumentTypeError("fpp must be in (0, 1)")
+        return f
+
     sp = sub.add_parser("blooms")
     sp.add_argument("--table", required=True)
-    sp.add_argument("--fpp", type=float, default=0.01)
+    sp.add_argument("--fpp", type=_fpp, default=0.01)
     sp.set_defaults(fn=cmd_blooms)
 
     sp = sub.add_parser("delete")

@@ -60,7 +60,6 @@ class TableFS(Protocol):
     def getsize(self, path: str) -> int: ...
     def write_text(self, path: str, data: str) -> None: ...
     def write_text_atomic(self, path: str, data: str) -> None: ...
-    def read_bytes(self, path: str) -> bytes: ...
     def write_bytes(self, path: str, data: bytes) -> None: ...
     def makedirs(self, path: str) -> None: ...
     def remove(self, path: str) -> None: ...
@@ -109,20 +108,13 @@ class PosixFS:
         self.write_text_atomic(path, data)
 
     def write_text_atomic(self, path: str, data: str) -> None:
-        import uuid
-
-        tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
-        with open(tmp, "w") as f:
-            f.write(data)
-        os.replace(tmp, path)
-
-    def read_bytes(self, path: str) -> bytes:
-        with open(path, "rb") as f:
-            return f.read()
+        self.write_bytes(path, data.encode("utf-8"))
 
     def write_bytes(self, path: str, data: bytes) -> None:
-        """Immutable binary sidecars (bloom blobs): staged + renamed like
-        write_text so readers never see a torn blob."""
+        """THE staged-write primitive (text writes delegate here):
+        scratch file + same-directory os.replace, so readers never see a
+        torn file. Also used directly for immutable binary sidecars
+        (bloom blobs)."""
         import uuid
 
         tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
@@ -236,39 +228,29 @@ class ObjectStoreFS:
         return os.path.getsize(path)
 
     # ---- writes (PUT / COPY / DELETE) ----
-    def _put(self, path: str, data: str) -> None:
+    def _put(self, path: str, data: bytes) -> None:
         # simulation of S3's atomic whole-object PUT visibility — see
         # class docstring; not an engine-visible primitive
-        import uuid
-
-        tmp = f"{path}.put-{uuid.uuid4().hex[:8]}"
-        with open(tmp, "w") as f:
-            f.write(data)
-        os.replace(tmp, path)
-
-    def write_text(self, path: str, data: str) -> None:
-        """PutObject (immutable content-addressed pages, snapshot roots)."""
-        self._put(path, data)
-
-    def write_text_atomic(self, path: str, data: str) -> None:
-        """PutObject — a PUT is atomic and last-writer-wins by contract;
-        called only inside ``commit_lock``'s critical section, which is
-        what makes the read→check→swap sequence safe."""
-        self._put(path, data)
-
-    def read_bytes(self, path: str) -> bytes:
-        """GetObject (binary body)."""
-        with open(path, "rb") as f:
-            return f.read()
-
-    def write_bytes(self, path: str, data: bytes) -> None:
-        """PutObject (immutable binary sidecar, e.g. bloom blobs)."""
         import uuid
 
         tmp = f"{path}.put-{uuid.uuid4().hex[:8]}"
         with open(tmp, "wb") as f:
             f.write(data)
         os.replace(tmp, path)
+
+    def write_text(self, path: str, data: str) -> None:
+        """PutObject (immutable content-addressed pages, snapshot roots)."""
+        self._put(path, data.encode("utf-8"))
+
+    def write_text_atomic(self, path: str, data: str) -> None:
+        """PutObject — a PUT is atomic and last-writer-wins by contract;
+        called only inside ``commit_lock``'s critical section, which is
+        what makes the read→check→swap sequence safe."""
+        self._put(path, data.encode("utf-8"))
+
+    def write_bytes(self, path: str, data: bytes) -> None:
+        """PutObject (immutable binary sidecar, e.g. bloom blobs)."""
+        self._put(path, data)
 
     def makedirs(self, path: str) -> None:
         """No-op concept on a key-value store (prefixes need no creation);

@@ -2305,8 +2305,9 @@ class ManifestParquetTable(LakeTable):
         bloomed file only ever yields false positives (allowed); rewrites
         and compaction drop the pointer with the entry (conservative)."""
         import base64
-        import math
 
+        if not (0.0 < fpp < 1.0):
+            raise ValueError(f"fpp must be in (0, 1), got {fpp!r}")
         m = self._manifest()
         cand = [
             fe
@@ -2360,11 +2361,16 @@ class ManifestParquetTable(LakeTable):
 
         built = hashed.groupBy("f").applyInPandas(
             _build, "f string, n long, bits string"
-        ).collect()
+        )
         self.fs.makedirs(os.path.join(self.path, "blooms"))
         nxt = self._next_manifest(m)
         new_by_path: dict[str, dict] = {}
-        for r in built:
+        n_built = 0
+        # stream blobs to disk one at a time (toLocalIterator): a single
+        # collect() over a 10^5-file table would materialize up to
+        # ~files x 1 MiB of base64 on the driver — the very OOM class the
+        # bounded read-side cache exists to prevent
+        for r in built.toLocalIterator():
             fe = by_base[r["f"]]
             mbits, k = _bloom_geometry(int(r["n"]), fpp)
             name = f"blooms/{r['f']}.bloom"
@@ -2374,9 +2380,10 @@ class ManifestParquetTable(LakeTable):
             nfe = dict(fe)  # entries are shared across snapshots: copy
             nfe["bloom"] = {"m": mbits, "k": k, "file": name}
             new_by_path[fe["path"]] = nfe
+            n_built += 1
         nxt["files"] = [new_by_path.get(fe["path"], fe) for fe in m["files"]]
         self._write_manifest(nxt)
-        return CommitInfo(nxt["snapshot_id"], None, len(built))
+        return CommitInfo(nxt["snapshot_id"], None, n_built)
 
     #: driver-side bloom blob cache bound: blobs are up to 1 MiB each, so
     #: an unbounded cache over a 10^5-file table would be a driver OOM —
@@ -2396,7 +2403,8 @@ class ManifestParquetTable(LakeTable):
         if name in cache:
             cache.move_to_end(name)
         else:
-            cache[name] = self.fs.read_bytes(os.path.join(self.path, name))
+            with self.fs.open_binary(os.path.join(self.path, name)) as f:
+                cache[name] = f.read()
             while len(cache) > self._BLOOM_CACHE_MAX:
                 cache.popitem(last=False)
         return cache[name]
@@ -2410,9 +2418,13 @@ class ManifestParquetTable(LakeTable):
             return True
         try:
             bits = self._bloom_bits(bl["file"])
-        except FileNotFoundError:
+        except (FileNotFoundError, OSError):
             return True  # vanished sidecar: pruning is an optimization
         mbits, k = int(bl["m"]), int(bl["k"])
+        if len(bits) * 8 < mbits:
+            # truncated/mismatched blob (fsck checks existence, not size):
+            # degrade conservatively like every other sidecar failure
+            return True
         mask = (1 << 64) - 1
         for h1, h2 in probes:
             for i in range(k):
@@ -3100,16 +3112,19 @@ class ManifestParquetTable(LakeTable):
         predates the table (or the lineage older than it was expired)."""
         import calendar
 
-        by_id: dict[str, dict] = {}
         mdir = os.path.join(self.path, "manifests")
-        for fn in self.fs.listdir(mdir):
-            if fn.startswith("manifest-"):
-                man = json.loads(self.fs.read_text(os.path.join(mdir, fn)))
-                by_id[man["snapshot_id"]] = man
         cur = self._manifest()["snapshot_id"]
         while cur is not None:
-            man = by_id.get(cur)
-            if man is None:
+            # roots resolve by name (manifest-<sid>.json): the walk reads
+            # O(chain prefix) roots, never LISTs + parses every retained
+            # (or dead OCC-loser) manifest in the directory
+            try:
+                man = json.loads(
+                    self.fs.read_text(
+                        os.path.join(mdir, f"manifest-{cur}.json")
+                    )
+                )
+            except FileNotFoundError:
                 break  # lineage beyond retention
             at = man.get("committed_at_us")
             if at is None:
@@ -3164,9 +3179,16 @@ class ManifestParquetTable(LakeTable):
         m = self._manifest_of(snapshot_id or self.snapshot_id())
         self.fs.makedirs(os.path.join(dest_path, "data"))
         self.fs.makedirs(os.path.join(dest_path, "manifests"))
-        clone_rels = {fe["path"] for fe in m["files"]} | {
-            fe["dv"]["path"] for fe in m["files"] if fe.get("dv")
-        }
+        clone_rels = (
+            {fe["path"] for fe in m["files"]}
+            | {fe["dv"]["path"] for fe in m["files"] if fe.get("dv")}
+            # bloom sidecars travel with their entries: the cloned
+            # manifest keeps the pointers, so fsck on the clone must find
+            # the blobs (and lookups keep their pruning)
+            | {fe["bloom"]["file"] for fe in m["files"] if fe.get("bloom")}
+        )
+        if any(fe.get("bloom") for fe in m["files"]):
+            self.fs.makedirs(os.path.join(dest_path, "blooms"))
         for rel in sorted(clone_rels):
             src = os.path.join(self.path, rel)
             dst = os.path.join(dest_path, rel)

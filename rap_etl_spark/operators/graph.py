@@ -136,10 +136,15 @@ def connected_components(
             stacklevel=2,
         )
     # star forest -> assignment: members point at their rep; each rep
-    # gets a self row so every non-isolated node appears exactly once
+    # gets a self row. The groupBy-min guarantees ONE row per node even
+    # on the non-converged warning path (a half-contracted edge set can
+    # name a node under two parents; the old label-propagation contract
+    # was one-label-per-node and downstream joins rely on it)
     members = cur.select(F.col("v").alias("node"), F.col("u").alias("comp"))
-    reps = cur.select(F.col("u").alias("node"), F.col("u").alias("comp")).distinct()
-    return members.unionAll(reps).distinct()
+    reps = cur.select(F.col("u").alias("node"), F.col("u").alias("comp"))
+    return (
+        members.unionAll(reps).groupBy("node").agg(F.min("comp").alias("comp"))
+    )
 
 
 def dedup_clusters(pairs: DataFrame, src: str = "a", dst: str = "b") -> DataFrame:

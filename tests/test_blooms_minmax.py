@@ -236,3 +236,31 @@ def test_bloom_blob_cache_is_bounded(spark, tmp_path, monkeypatch):
     for fe in bloomed:
         t._bloom_hits(fe, probes)
     assert len(t._bloom_blob_cache) <= 2
+
+
+def test_clone_carries_bloom_sidecars(spark, tmp_path):
+    t = _mk(spark, tmp_path, mode="mor", n=60)
+    t.build_key_blooms()
+    c = t.clone(os.path.join(str(tmp_path), "c"))
+    rep = c.fsck(deep=False)
+    assert rep["ok"], rep["errors"]
+    assert c.lookup(["k3"]).collect()[0]["val"] == 3
+
+
+def test_truncated_bloom_blob_degrades_conservatively(spark, tmp_path):
+    t = _mk(spark, tmp_path, mode="mor", n=60)
+    t.build_key_blooms()
+    bdir = os.path.join(t.path, "blooms")
+    victim = [f for f in t.fs.listdir(bdir) if f.endswith(".bloom")][0]
+    with open(os.path.join(bdir, victim), "wb") as f:
+        f.write(b"\x00")  # shorter than m/8
+    got = {r["doc_id"]: r["val"] for r in t.lookup(["k3", "k7"]).collect()}
+    assert got == {"k3": 3, "k7": 7}
+
+
+def test_build_key_blooms_rejects_bad_fpp(spark, tmp_path):
+    t = _mk(spark, tmp_path, mode="cow", n=10)
+    with pytest.raises(ValueError):
+        t.build_key_blooms(fpp=0.0)
+    with pytest.raises(ValueError):
+        t.build_key_blooms(fpp=1.5)
