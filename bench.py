@@ -148,6 +148,18 @@ BUDGET_SEC = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_SEC", "960"))
 CACHE_DIR = os.environ.get(
     "SPARK_GRAFT_BENCH_CACHE", "/dev/shm/rap-etl-prepared-logs"
 )
+# Disk-persistent MIRROR of the tmpfs cache: tmpfs dies with the VM (a
+# restart mid-round wiped 38GB of staged logs once), while /root sits on
+# the real disk and survives. `--warm-cache` writes the mirror; a later
+# run whose tmpfs cache is cold restores from it (~3-4 min sequential
+# copy at the disk's ~185MB/s) instead of resynthesizing (~25 min for the
+# stock LC log — which would force the degraded 96M shape under a 960s
+# budget). Same stamp discipline as the cache: the stamp file is written
+# only after the payload copy completes, so a crash mid-copy reads as a
+# miss, never as a corrupt hit. Set to "" to disable.
+MIRROR_DIR = os.environ.get(
+    "SPARK_GRAFT_BENCH_CACHE_MIRROR", "/root/.cache/rap-etl-prepared-logs"
+)
 # Quiet-host PRIORS (seconds), used only until a section yields measured
 # times; every decision after the first measurement uses measurements.
 # prep_per_mev: log synthesis+write per million events at local[32]
@@ -591,18 +603,122 @@ def _log_params(kind: str, events: int, n_batches: int, n_keys: int | None) -> d
     }
 
 
-def _cache_lookup(kind: str, params: dict) -> str | None:
-    """Return the cached log dir iff its stamp matches ``params``."""
-    if not CACHE_DIR:
-        return None
-    d = os.path.join(CACHE_DIR, kind)
+def _stamp_matches(d: str, params: dict) -> bool:
+    """True iff ``d`` holds a complete staged log stamped with ``params``
+    (stamp is written last, so its presence implies a complete payload)."""
     try:
         with open(os.path.join(d, "_stamp.json")) as f:
             if json.load(f) != params:
-                return None
+                return False
     except (OSError, ValueError):
+        return False
+    return os.path.exists(os.path.join(d, "batch=0"))
+
+
+def _copy_staged(src: str, dst: str) -> None:
+    """Copy a staged log dir stamp-last: payload first into a temp sibling,
+    atomic rename into place, THEN the stamp — a crash at any point leaves
+    either the old generation or an unstamped (= invisible) partial."""
+    import shutil
+
+    tmp = dst + ".partial"
+    shutil.rmtree(tmp, ignore_errors=True)
+    shutil.copytree(
+        src, tmp, ignore=shutil.ignore_patterns("_stamp.json")
+    )
+    shutil.rmtree(dst, ignore_errors=True)
+    os.rename(tmp, dst)
+    shutil.copy2(os.path.join(src, "_stamp.json"), os.path.join(dst, "_stamp.json"))
+
+
+def _mirror_save(kind: str, params: dict) -> str:
+    """Mirror the tmpfs-cached ``kind`` log to the persistent disk path.
+    Skips when already current or when the disk lacks headroom (payload +
+    1GB slack). Called only from --warm-cache — never from a budgeted run,
+    where a multi-GB disk write would eat measurement wall clock."""
+    if not MIRROR_DIR or not CACHE_DIR:
+        return "disabled"
+    src = os.path.join(CACHE_DIR, kind)
+    dst = os.path.join(MIRROR_DIR, kind)
+    if not _stamp_matches(src, params):
+        return "no-source"
+    if _stamp_matches(dst, params):
+        return "current"
+    need = sum(
+        os.path.getsize(os.path.join(r, f))
+        for r, _, fs in os.walk(src)
+        for f in fs
+    )
+    os.makedirs(MIRROR_DIR, exist_ok=True)
+    st = os.statvfs(MIRROR_DIR)
+    if st.f_bavail * st.f_frsize < need + (1 << 30):
+        print(
+            f"mirror save skipped for {kind}: need {need >> 30}GB, disk full",
+            file=sys.stderr,
+        )
+        return "no-space"
+    t0 = time.monotonic()
+    try:
+        _copy_staged(src, dst)
+    except OSError as e:
+        print(f"mirror save failed for {kind}: {e}", file=sys.stderr)
+        return "failed"
+    print(
+        f"mirrored {kind} log to {dst} ({need >> 30}GB, "
+        f"{time.monotonic() - t0:.0f}s)",
+        file=sys.stderr,
+    )
+    return dst
+
+
+def _mirror_restore(kind: str, params: dict) -> str | None:
+    """Restore a mirrored log into the tmpfs cache after a VM restart
+    wiped it. Guards tmpfs headroom (payload + 8GB for the run's own
+    working set) so the restore can't be the thing that starves the
+    worker JVMs."""
+    if not MIRROR_DIR or not CACHE_DIR:
         return None
-    return d if os.path.exists(os.path.join(d, "batch=0")) else None
+    src = os.path.join(MIRROR_DIR, kind)
+    if not _stamp_matches(src, params):
+        return None
+    need = sum(
+        os.path.getsize(os.path.join(r, f))
+        for r, _, fs in os.walk(src)
+        for f in fs
+    )
+    os.makedirs(CACHE_DIR, exist_ok=True)
+    st = os.statvfs(CACHE_DIR)
+    if st.f_bavail * st.f_frsize < need + (8 << 30):
+        print(
+            f"mirror restore skipped for {kind}: tmpfs too full",
+            file=sys.stderr,
+        )
+        return None
+    dst = os.path.join(CACHE_DIR, kind)
+    t0 = time.monotonic()
+    try:
+        _copy_staged(src, dst)
+    except OSError as e:
+        print(f"mirror restore failed for {kind}: {e}", file=sys.stderr)
+        return None
+    print(
+        f"restored {kind} log from disk mirror ({need >> 30}GB, "
+        f"{time.monotonic() - t0:.0f}s)",
+        file=sys.stderr,
+    )
+    return dst
+
+
+def _cache_lookup(kind: str, params: dict) -> str | None:
+    """Return the cached log dir iff its stamp matches ``params``; on a
+    tmpfs miss, fall back to restoring the disk mirror (idempotent — the
+    next call hits tmpfs directly)."""
+    if not CACHE_DIR:
+        return None
+    d = os.path.join(CACHE_DIR, kind)
+    if _stamp_matches(d, params):
+        return d
+    return _mirror_restore(kind, params)
 
 
 def _cache_adopt(kind: str, params: dict, log_dir: str) -> str:
@@ -755,6 +871,7 @@ def main() -> None:
             dir="/dev/shm" if os.path.isdir("/dev/shm") else None,
         )
         warmed = {}
+        mirrored = {}
         try:
             for kind, params in (
                 ("lc", _log_params("lc", LC_EVENTS, 1, None)),
@@ -762,13 +879,17 @@ def main() -> None:
             ):
                 if _cache_lookup(kind, params):
                     warmed[kind] = "hit"
-                    continue
-                warmed[kind] = _cache_adopt(
-                    kind, params, _prep_sub(kind, tmp)
-                )
+                else:
+                    warmed[kind] = _cache_adopt(
+                        kind, params, _prep_sub(kind, tmp)
+                    )
+                # persist across VM restarts (tmpfs is volatile); the
+                # mirror makes the NEXT cold boot a ~4-min restore, not a
+                # ~25-min resynthesis that forces the degraded LC shape.
+                mirrored[kind] = _mirror_save(kind, params)
         finally:
             shutil.rmtree(tmp, ignore_errors=True)
-        print(json.dumps({"warmed": warmed}))
+        print(json.dumps({"warmed": warmed, "mirrored": mirrored}))
         return
 
     clock = _Clock(BUDGET_SEC)
