@@ -620,7 +620,12 @@ def _stamp_matches(d: str, params: dict) -> bool:
 def _copy_staged(src: str, dst: str) -> None:
     """Copy a staged log dir stamp-last: payload first into a temp sibling,
     atomic rename into place, THEN the stamp — a crash at any point leaves
-    either the old generation or an unstamped (= invisible) partial."""
+    either the old generation or an unstamped (= invisible) partial. The
+    payload (and the directories recording the rename) are fsynced before
+    the stamp is written, so the miss-not-corrupt guarantee holds across a
+    hard VM reset too, not just a process crash — a journalled fs may
+    otherwise commit the tiny stamp while multi-GB payload blocks are
+    still unflushed."""
     import shutil
 
     tmp = dst + ".partial"
@@ -628,93 +633,128 @@ def _copy_staged(src: str, dst: str) -> None:
     shutil.copytree(
         src, tmp, ignore=shutil.ignore_patterns("_stamp.json")
     )
+    for r, _, fs in os.walk(tmp):
+        for f in fs:
+            fd = os.open(os.path.join(r, f), os.O_RDONLY)
+            try:
+                os.fsync(fd)
+            finally:
+                os.close(fd)
     shutil.rmtree(dst, ignore_errors=True)
     os.rename(tmp, dst)
-    shutil.copy2(os.path.join(src, "_stamp.json"), os.path.join(dst, "_stamp.json"))
+    _fsync_dir(os.path.dirname(dst) or ".")
+    stamp = os.path.join(dst, "_stamp.json")
+    shutil.copy2(os.path.join(src, "_stamp.json"), stamp)
+    fd = os.open(stamp, os.O_RDONLY)
+    try:
+        os.fsync(fd)
+    finally:
+        os.close(fd)
+    _fsync_dir(dst)
 
 
-def _mirror_save(kind: str, params: dict) -> str:
-    """Mirror the tmpfs-cached ``kind`` log to the persistent disk path.
-    Skips when already current or when the disk lacks headroom (payload +
-    1GB slack). Called only from --warm-cache — never from a budgeted run,
-    where a multi-GB disk write would eat measurement wall clock."""
-    if not MIRROR_DIR or not CACHE_DIR:
-        return "disabled"
-    src = os.path.join(CACHE_DIR, kind)
-    dst = os.path.join(MIRROR_DIR, kind)
+def _fsync_dir(path: str) -> None:
+    try:
+        fd = os.open(path, os.O_RDONLY)
+    except OSError:
+        return
+    try:
+        os.fsync(fd)
+    except OSError:
+        pass
+    finally:
+        os.close(fd)
+
+
+def _transfer(kind: str, params: dict, src_root: str, dst_root: str,
+              slack_bytes: int, label: str) -> str | None:
+    """Move a staged ``kind`` log between the tmpfs cache and the disk
+    mirror (either direction). Returns the destination dir, or None on
+    skip/failure (reason on stderr). Stale destination generations (stamp
+    mismatch) and leftover .partial dirs are reclaimed BEFORE the headroom
+    check — a destination sized for exactly one copy must not wedge on its
+    own previous generation."""
+    src = os.path.join(src_root, kind)
     if not _stamp_matches(src, params):
-        return "no-source"
-    if _stamp_matches(dst, params):
-        return "current"
+        return None
+    dst = os.path.join(dst_root, kind)
+    import shutil
+
+    shutil.rmtree(dst + ".partial", ignore_errors=True)
+    if os.path.isdir(dst) and not _stamp_matches(dst, params):
+        shutil.rmtree(dst, ignore_errors=True)
     need = sum(
         os.path.getsize(os.path.join(r, f))
         for r, _, fs in os.walk(src)
         for f in fs
     )
-    os.makedirs(MIRROR_DIR, exist_ok=True)
-    st = os.statvfs(MIRROR_DIR)
-    if st.f_bavail * st.f_frsize < need + (1 << 30):
+    os.makedirs(dst_root, exist_ok=True)
+    st = os.statvfs(dst_root)
+    if st.f_bavail * st.f_frsize < need + slack_bytes:
         print(
-            f"mirror save skipped for {kind}: need {need >> 30}GB, disk full",
+            f"{label} skipped for {kind}: need {need >> 30}GB + "
+            f"{slack_bytes >> 30}GB slack, destination too full",
             file=sys.stderr,
         )
-        return "no-space"
+        return None
     t0 = time.monotonic()
     try:
         _copy_staged(src, dst)
     except OSError as e:
-        print(f"mirror save failed for {kind}: {e}", file=sys.stderr)
-        return "failed"
+        print(f"{label} failed for {kind}: {e}", file=sys.stderr)
+        return None
     print(
-        f"mirrored {kind} log to {dst} ({need >> 30}GB, "
+        f"{label} {kind} -> {dst} ({need >> 30}GB, "
         f"{time.monotonic() - t0:.0f}s)",
         file=sys.stderr,
     )
     return dst
+
+
+def _mirror_save(kind: str, params: dict) -> str:
+    """Mirror the tmpfs-cached ``kind`` log to the persistent disk path
+    (1GB disk slack). Called only from --warm-cache — never from a
+    budgeted run, where a multi-GB disk write would eat measurement wall
+    clock."""
+    if not MIRROR_DIR or not CACHE_DIR:
+        return "disabled"
+    if not _stamp_matches(os.path.join(CACHE_DIR, kind), params):
+        return "no-source"
+    if _stamp_matches(os.path.join(MIRROR_DIR, kind), params):
+        return "current"
+    return (
+        _transfer(kind, params, CACHE_DIR, MIRROR_DIR, 1 << 30, "mirror save")
+        or "failed-or-no-space"
+    )
+
+
+# one attempt per (kind, stamp) per process: _cache_lookup is also called
+# from budget-probe helpers inside measurement loops, and a failing restore
+# must not re-walk the multi-GB mirror tree (or re-print its warning) on
+# every probe.
+_RESTORE_ATTEMPTED: set[str] = set()
 
 
 def _mirror_restore(kind: str, params: dict) -> str | None:
     """Restore a mirrored log into the tmpfs cache after a VM restart
-    wiped it. Guards tmpfs headroom (payload + 8GB for the run's own
-    working set) so the restore can't be the thing that starves the
-    worker JVMs."""
+    wiped it (8GB tmpfs slack: the run's own working set must still fit —
+    the restore can't be the thing that starves the worker JVMs)."""
     if not MIRROR_DIR or not CACHE_DIR:
         return None
-    src = os.path.join(MIRROR_DIR, kind)
-    if not _stamp_matches(src, params):
+    memo_key = kind + json.dumps(params, sort_keys=True)
+    if memo_key in _RESTORE_ATTEMPTED:
         return None
-    need = sum(
-        os.path.getsize(os.path.join(r, f))
-        for r, _, fs in os.walk(src)
-        for f in fs
+    _RESTORE_ATTEMPTED.add(memo_key)
+    return _transfer(
+        kind, params, MIRROR_DIR, CACHE_DIR, 8 << 30, "mirror restore"
     )
-    os.makedirs(CACHE_DIR, exist_ok=True)
-    st = os.statvfs(CACHE_DIR)
-    if st.f_bavail * st.f_frsize < need + (8 << 30):
-        print(
-            f"mirror restore skipped for {kind}: tmpfs too full",
-            file=sys.stderr,
-        )
-        return None
-    dst = os.path.join(CACHE_DIR, kind)
-    t0 = time.monotonic()
-    try:
-        _copy_staged(src, dst)
-    except OSError as e:
-        print(f"mirror restore failed for {kind}: {e}", file=sys.stderr)
-        return None
-    print(
-        f"restored {kind} log from disk mirror ({need >> 30}GB, "
-        f"{time.monotonic() - t0:.0f}s)",
-        file=sys.stderr,
-    )
-    return dst
 
 
 def _cache_lookup(kind: str, params: dict) -> str | None:
     """Return the cached log dir iff its stamp matches ``params``; on a
     tmpfs miss, fall back to restoring the disk mirror (idempotent — the
-    next call hits tmpfs directly)."""
+    next call hits tmpfs directly, and a failed restore is memoized so
+    budget probes don't repeat it)."""
     if not CACHE_DIR:
         return None
     d = os.path.join(CACHE_DIR, kind)
@@ -810,6 +850,14 @@ class _Reporter:
             "metric": d["metric"],
             "value": d["value"],
             "unit": d["unit"],
+            # provenance of the headline: which measured topology it came
+            # from, when it isn't the local[32] thread run — must reach
+            # the graded stdout surface, not just the disk artifact
+            **(
+                {"value_source": d["value_source"]}
+                if d.get("value_source")
+                else {}
+            ),
             "queries": d["queries"],
             "sf": d["sf"],
             "scaling": {

@@ -95,6 +95,51 @@ def test_mirror_save_without_source(roots):
     assert bench._mirror_save("lc", PARAMS) == "no-source"
 
 
+def test_stale_generation_reclaimed_before_headroom(roots):
+    """A destination holding only a stamp-mismatched old generation (plus
+    a leftover .partial) must be reclaimed so the new save fits on a
+    destination sized for one copy."""
+    cache, mirror = roots
+    _mk_log(cache, "lc", PARAMS, b"new-gen")
+    _mk_log(mirror, "lc", {**PARAMS, "events": 7}, b"old-gen")
+    os.makedirs(os.path.join(mirror, "lc.partial", "batch=0"))
+    assert bench._mirror_save("lc", PARAMS) == os.path.join(mirror, "lc")
+    assert bench._stamp_matches(os.path.join(mirror, "lc"), PARAMS)
+    assert not os.path.exists(os.path.join(mirror, "lc.partial"))
+
+
+def test_failed_restore_memoized(roots, monkeypatch):
+    """A restore that fails must not re-walk the mirror on every
+    subsequent lookup (budget probes call _cache_lookup in loops)."""
+    cache, mirror = roots
+    monkeypatch.setattr(bench, "_RESTORE_ATTEMPTED", set())
+    _mk_log(mirror, "lc", PARAMS, b"x")
+    calls = []
+    real = bench._transfer
+
+    def counting(*a, **k):
+        calls.append(a)
+        raise_dir = a[3]
+        # simulate failure by pointing at an unwritable root
+        return None
+
+    monkeypatch.setattr(bench, "_transfer", counting)
+    assert bench._cache_lookup("lc", PARAMS) is None
+    assert bench._cache_lookup("lc", PARAMS) is None
+    assert len(calls) == 1, "second lookup must hit the memo, not _transfer"
+
+
+def test_compact_line_carries_value_source(roots, tmp_path):
+    rep = bench._Reporter(str(tmp_path / "out.json"), 0.1, bench._Clock(10))
+    rep.detail["value"] = 123.0
+    rep.detail["value_source"] = "lc:4x2"
+    rep.detail["elapsed_sec"] = 1.0
+    line = rep._compact_line(final=True)
+    import json as _json
+
+    assert _json.loads(line)["value_source"] == "lc:4x2"
+
+
 def test_crash_mid_copy_reads_as_miss(roots):
     """A partial dir without a stamp (what a crash between payload copy
     and stamp write leaves behind) must be invisible to lookup."""
