@@ -8,13 +8,15 @@ Databricks-DLT / Materialize product shape, rebuilt on the manifest
 layer.
 
 Commit model (mirrors the lake table's): the view's state lives in
-versioned parquet dirs `data/v{N}`; `_mv.json` is the single commit
-point, swapped atomically (write-temp + rename) and VERSION-CONDITIONAL
-(re-read before swap; a concurrent refresh loses with a clean error,
-never a torn state). A crash after the data write but before the swap
-leaves an orphan `data/v{N+1}` dir that the retried refresh simply
-overwrites — refresh is idempotent because the cursor (the base snapshot
-the view reflects) only advances in the same atomic swap.
+uniquely-named versioned parquet dirs `data/v{N}-{token}` (each refresh
+attempt writes its OWN dir — a CAS loser can never have scribbled over
+the winner's live data); `_mv.json` is the single commit point, swapped
+atomically (write-temp + rename) and VERSION-CONDITIONAL under the
+backend's commit lock (re-read before swap; a concurrent refresh loses
+with a clean error, never a torn state). A crash after the data write
+but before the swap leaves an orphan dir that a later `_gc` reaps —
+refresh is idempotent because the cursor (the base snapshot the view
+reflects) only advances in the same atomic swap.
 
 Scale design — why this is a view REFRESH and not a view REBUILD:
 
@@ -124,7 +126,8 @@ class MaterializedView:
             raise FileExistsError(f"materialized view already exists at {path}")
         snap = base.snapshot_id()
         state = mv._definition(base.read(), spec)
-        rows = mv._write_version(state, 1)
+        dirname = mv._new_dirname(1)
+        rows = mv._write_version(state, dirname)
         mv._commit(
             {
                 "spec": spec,
@@ -133,6 +136,7 @@ class MaterializedView:
                 "cursor": snap,
                 "version": 1,
                 "rows": rows,
+                "data_dir": dirname,
             },
             expect_version=None,
         )
@@ -154,7 +158,7 @@ class MaterializedView:
 
     def read(self) -> DataFrame:
         meta = self._meta()
-        return self.spark.read.parquet(self._vdir(meta["version"]))
+        return self.spark.read.parquet(self._vdir_of(meta))
 
     def spec(self) -> dict:
         return dict(self._meta()["spec"])
@@ -189,11 +193,24 @@ class MaterializedView:
             full = True
             state = self._definition(self.base.read(head), meta["spec"])
         new_version = meta["version"] + 1
-        rows = self._write_version(state, new_version)
+        # each refresh writes its OWN uniquely-named state dir: a CAS
+        # loser must never have touched the winner's live data — with a
+        # shared v{N+1} dir, the loser's parquet overwrite lands BEFORE
+        # its commit is rejected, tearing the winner's committed state.
+        # The loser's orphan dir is dropped by a later _gc.
+        dirname = self._new_dirname(new_version)
+        rows = self._write_version(state, dirname)
         meta2 = dict(meta)
-        meta2.update({"cursor": head, "version": new_version, "rows": rows})
+        meta2.update(
+            {
+                "cursor": head,
+                "version": new_version,
+                "rows": rows,
+                "data_dir": dirname,
+            }
+        )
         self._commit(meta2, expect_version=meta["version"])
-        self._gc(new_version)
+        self._gc(new_version, dirname)
         return RefreshInfo(False, cur, head, new_version, rows, full)
 
     # ---------- spec -> plans ----------
@@ -279,19 +296,32 @@ class MaterializedView:
 
     # ---------- storage plumbing ----------
 
-    def _vdir(self, version: int) -> str:
-        return os.path.join(self.path, "data", f"v{version}")
+    def _new_dirname(self, version: int) -> str:
+        """Unique state-dir name for one refresh attempt: the version
+        prefix keeps _gc's age ordering, the random suffix keeps two
+        same-version refreshers (one of which must lose the CAS) from
+        ever writing to the same path."""
+        import uuid
 
-    def _write_version(self, state: DataFrame, version: int) -> int:
+        return f"v{version}-{uuid.uuid4().hex[:8]}"
+
+    def _vdir_of(self, meta: dict) -> str:
+        # data_dir absent = a view committed before unique dir names
+        name = meta.get("data_dir") or f"v{meta['version']}"
+        return os.path.join(self.path, "data", name)
+
+    def _write_version(self, state: DataFrame, dirname: str) -> int:
         """Materialize one view version; aggregate states are small
         relative to the fact table (|groups|, not |rows|), so coalesce the
         shuffle tail into a handful of files. Returns the row count from
         the SAME job via observe (no second scan)."""
         from pyspark.sql import Observation
 
-        obs = Observation(f"mv-write-{version}-{id(self)}")
+        obs = Observation(f"mv-write-{dirname}-{id(self)}")
         out = state.observe(obs, F.count(F.lit(1)).alias("rows")).coalesce(4)
-        out.write.mode("overwrite").parquet(self._vdir(version))
+        out.write.mode("overwrite").parquet(
+            os.path.join(self.path, "data", dirname)
+        )
         return int(obs.get["rows"] or 0)
 
     def _meta(self) -> dict:
@@ -302,29 +332,39 @@ class MaterializedView:
 
     def _commit(self, meta: dict, expect_version: int | None) -> None:
         """Atomic, version-conditional pointer swap — the only commit
-        point. The CAS check rejects a concurrent refresher cleanly."""
-        p = os.path.join(self.path, MV_FILE)
-        if expect_version is not None:
-            now = json.loads(self.fs.read_text(p))
-            if now["version"] != expect_version:
-                raise RuntimeError(
-                    f"concurrent mv refresh: expected v{expect_version}, "
-                    f"found v{now['version']}"
-                )
+        point. The read→CAS-check→swap sequence runs under the backend's
+        commit lock (same discipline as the lake table's pointer swap):
+        without it two refreshers can both pass the check and the loser's
+        swap silently erases the winner's commit."""
         self.fs.makedirs(self.path)
-        self.fs.write_text_atomic(p, json.dumps(meta))
+        p = os.path.join(self.path, MV_FILE)
+        lock_path = os.path.join(self.path, "_commit.lock")
+        with self.fs.commit_lock(lock_path):
+            if expect_version is not None:
+                now = json.loads(self.fs.read_text(p))
+                if now["version"] != expect_version:
+                    raise RuntimeError(
+                        f"concurrent mv refresh: expected v{expect_version}, "
+                        f"found v{now['version']}"
+                    )
+            self.fs.write_text_atomic(p, json.dumps(meta))
 
-    def _gc(self, head_version: int) -> None:
-        """Drop state dirs older than the keep window (never the head)."""
+    def _gc(self, head_version: int, head_dir: str) -> None:
+        """Drop state dirs older than the keep window, plus SAME-version
+        dirs that are not the committed head (a CAS loser's or crashed
+        refresher's orphan). Never the head itself, and never a NEWER
+        version — that could be a legitimate successor's in-flight write.
+        Loser orphans at intermediate versions age out of the keep window
+        on later refreshes."""
         data = os.path.join(self.path, "data")
         if not self.fs.exists(data):
             return
         for name in self.fs.listdir(data):
-            if not name.startswith("v"):
+            if not name.startswith("v") or name == head_dir:
                 continue
             try:
-                v = int(name[1:])
+                v = int(name[1:].split("-", 1)[0])
             except ValueError:
                 continue
-            if v <= head_version - KEEP_VERSIONS:
+            if v <= head_version - KEEP_VERSIONS or v == head_version:
                 self.fs.rmtree(os.path.join(data, name))

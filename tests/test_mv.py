@@ -208,8 +208,48 @@ def test_load_and_gc(spark, tmp_path):
         mv.refresh()
     assert mv._meta()["version"] == 4
     live = sorted(os.listdir(os.path.join(path, "data")))
-    assert live == ["v3", "v4"]  # KEEP_VERSIONS=2 window enforced
+    # KEEP_VERSIONS=2 window enforced (dir names carry a uniqueness token)
+    assert [n.split("-")[0] for n in live] == ["v3", "v4"]
     assert _rows(mv.read()) == _rows(_full_agg(t))
+
+
+def test_cas_loser_never_touches_winner_state(spark, tmp_path):
+    """Torn-state regression: a refresher that loses the version CAS has
+    already written its state parquet BEFORE its commit is rejected. With
+    a shared v{N} dir that write lands on top of the winner's LIVE data;
+    unique per-attempt dir names make it an orphan instead, reaped by the
+    next successful refresh's gc."""
+    t, eng = _setup(spark, tmp_path)
+    path = str(tmp_path / "mv")
+    a = MaterializedView.create(
+        spark, path, t, {"kind": "agg", "group_cols": ["grp"], "sum_cols": ["val"]}
+    )
+    eng.apply_batch(_batch(spark, [("I", "y0", 700, "q", 5)]), batch_id=1)
+    b = MaterializedView.load(spark, path)
+    assert b.refresh().version == 2  # the winner commits first
+    winner = _rows(b.read())
+
+    # the loser's refresh body, up to and including the doomed commit:
+    # it computed SOME v2 state (stale here) and wrote it out already
+    loser_dir = a._new_dirname(2)
+    a._write_version(a.base.read().limit(3), loser_dir)
+    with pytest.raises(RuntimeError, match="concurrent mv refresh"):
+        a._commit(
+            dict(a._meta(), version=2, data_dir=loser_dir), expect_version=1
+        )
+    # the winner's committed state is untouched by the loser's write
+    assert _rows(b.read()) == winner
+    # the orphan ages out of the KEEP_VERSIONS grace window: it is still
+    # held at head=3 (it shares the previous version's slot) and is
+    # reaped once the window moves past it at head=4
+    for bid, ver in ((2, 3), (3, 4)):
+        eng.apply_batch(
+            _batch(spark, [("I", f"y{bid}", 700 + bid, "q", bid)]),
+            batch_id=bid,
+        )
+        assert b.refresh().version == ver
+    assert loser_dir not in os.listdir(os.path.join(path, "data"))
+    assert _rows(b.read()) == _rows(_full_agg(t))
 
 
 def test_bad_specs_rejected(spark, tmp_path):
