@@ -465,8 +465,23 @@ class CdcEngine:
                 # The observation fired with the first action over the
                 # batch (winners count or staging write) — reading it here
                 # is a dict lookup, not a job. sum() over zero rows is
-                # NULL, hence the `or 0`.
-                n_quarantined = int(q_obs.get["bad"] or 0)
+                # NULL, hence the `or 0`. EXCEPT when the batch
+                # short-circuited before any action scanned the observed
+                # plan (empty batch, or EVERY row quarantined so the valid
+                # set is empty and AQE propagates the empty relation past
+                # the CollectMetrics node): Observation.get then has no
+                # row to return and raises. Fall back to an explicit count
+                # — one tiny job over exactly the rare degenerate batches,
+                # and the only way an all-bad batch's dead letters get
+                # counted (and written) at all.
+                try:
+                    n_quarantined = int(q_obs.get["bad"] or 0)
+                except Exception:  # noqa: BLE001 - observation never fired
+                    from rap_etl_spark.operators.quarantine import REASON_COL
+
+                    n_quarantined = bad_src.filter(
+                        F.col(REASON_COL).isNotNull()
+                    ).count()
                 if n_quarantined > 0:
                     from rap_etl_spark.operators.quarantine import (
                         REASON_COL,

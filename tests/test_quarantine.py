@@ -127,6 +127,38 @@ def test_clean_batch_writes_nothing(spark, tmp_path):  # noqa: F811
     assert not os.path.exists(qdir)  # no dead letters -> no dir, no job
 
 
+def test_empty_batch_with_quarantine_on(spark, tmp_path):  # noqa: F811
+    """Regression: an empty batch short-circuits before any action scans
+    the observed plan, so Observation.get raises — the engine must fall
+    back to a direct count, not crash."""
+    t = ManifestParquetTable.create(spark, str(tmp_path / "t"), SCHEMA, n_buckets=4)
+    qdir = str(tmp_path / "dlq")
+    eng = CdcEngine(spark, t, quarantine_dir=qdir)
+    m = eng.apply_batch(_events(spark, []), batch_id=0)
+    assert m.applied_rows == 0 and m.quarantined_rows == 0
+    assert not os.path.exists(qdir)
+
+
+def test_all_bad_batch_still_writes_dlq(spark, tmp_path):  # noqa: F811
+    """Regression: when EVERY row is quarantined the valid set is empty
+    and AQE propagates the empty relation past the CollectMetrics node —
+    the observation never fires, but the dead letters must still be
+    counted AND written (this is precisely the batch an operator most
+    needs the DLQ for)."""
+    t = ManifestParquetTable.create(spark, str(tmp_path / "t"), SCHEMA, n_buckets=4)
+    qdir = str(tmp_path / "dlq")
+    eng = CdcEngine(spark, t, quarantine_dir=qdir)
+    m = eng.apply_batch(
+        _events(spark, [("X", None, -1, [1], 9), ("Z", "", -2, [1], 9)]),
+        batch_id=0,
+    )
+    assert m.applied_rows == 0 and m.quarantined_rows == 2
+    assert m.input_rows == 2
+    assert t.read().count() == 0
+    dead = read_quarantine(spark, qdir)
+    assert dead.count() == 2
+
+
 def test_redelivery_rewrites_identical_dlq(spark, tmp_path):  # noqa: F811
     t = ManifestParquetTable.create(spark, str(tmp_path / "t"), SCHEMA, n_buckets=4)
     qdir = str(tmp_path / "dlq")
