@@ -37,6 +37,7 @@ Subcommands::
     replay   --table PATH --log DIR [--lineage DIR] [--batches a,b,...]
              [--format parquet|binlog]   (binlog --batches = segment indices)
              [--auto-split-rows N]       (self-widening bucket layout)
+             [--occ-retries N]           (multi-writer CAS rebase depth)
              [--branch NAME]             (WAP: stage commits on a branch)
              [--publish DIR [--publish-format parquet|binlog]]
                                          (downstream delta publishing)
@@ -125,6 +126,7 @@ def cmd_replay(args) -> int:
         auto_evolve=getattr(args, "auto_evolve", False),
         auto_split_rows=getattr(args, "auto_split_rows", None),
         quarantine_dir=getattr(args, "quarantine", None),
+        occ_retries=getattr(args, "occ_retries", 2),
     )
     if args.format == "binlog":
         from rap_etl_spark.sources.binlog import _list_segments, as_events, register
@@ -1024,6 +1026,15 @@ def build_parser() -> argparse.ArgumentParser:
         type=int,
         help="double the bucket count (metadata-only split) whenever mean "
         "live rows per bucket reach this threshold",
+    )
+    sp.add_argument(
+        "--occ-retries",
+        type=int,
+        default=2,
+        help="rebase-and-retry depth for merges whose manifest CAS lost to "
+        "a concurrent committer; raise it when several writer processes "
+        "share one table (each conflict costs one manifest re-read, never "
+        "a data rewrite)",
     )
     sp.set_defaults(fn=cmd_replay)
 
