@@ -10,12 +10,14 @@ aggregate and folded in per micro-batch without re-reading history
 (compare operators/incremental.py for the exact-distributive case).
 
 Oracle note: all four entries are value-oracled against EXACT SQL because
-at driver scale (sf0.01) every cardinality involved sits inside the
-sketches' exact regime (HLL sparse mode below ~2^lgK entries; theta in
-exact mode below its nominal 4096 entries; KLL retains all items while
-n <= k=65535 so quantiles are true order statistics) — measured:
-suppliers 100, priority-pair customer union 1468, largest KLL group ~20k.
-The approximate regimes are pytest-gated (tests/test_sketches.py).
+every cardinality involved sits inside the sketches' exact regime — and
+the HLL/theta sketches are sized (lgConfigK=21 / lgNomEntries=2^20) so
+that regime holds at EVERY testdata SF, not just driver scale (at the
+defaults, sf0.1's 10^3 suppliers already drifted 993-vs-1000). KLL's
+k is capped at 65535, so its exact regime is driver-scale-only (largest
+group ~20k rows at sf0.01; at sf0.1 the 200k-row groups compact and the
+key would go approximate — documented, not driver-graded there). The
+approximate regimes are pytest-gated (tests/test_sketches.py).
 """
 
 from __future__ import annotations
@@ -28,10 +30,17 @@ from rap_etl_spark.operators.relational import _t
 def q_sketch_hll_union(spark, sf):
     """Two-level HLL distinct count: per-returnflag sketches of the
     supplier set, plus the cross-group union-merge (label 'ALL') — the
-    merged estimate must equal the direct global distinct."""
+    merged estimate must equal the direct global distinct.
+
+    lgConfigK=21 (the Spark/DataSketches maximum) keeps the sketch in
+    its coupon (exact) mode up to ~10^5 distincts, so the exact-regime
+    oracle holds at every testdata SF (sf0.1 suppliers = 10^3 already
+    left the default lgK=12 regime: estimates drifted 993-vs-1000), at
+    a sketch cost that is still KBs in sparse mode. The approximate
+    regime stays pytest-gated (tests/test_sketches.py)."""
     li = _t(spark, sf, "lineitem")
     per = li.groupBy("l_returnflag").agg(
-        F.hll_sketch_agg("l_suppkey").alias("sk")
+        F.hll_sketch_agg("l_suppkey", 21).alias("sk")
     )
     per_est = per.select(
         "l_returnflag",
@@ -50,14 +59,17 @@ def q_sketch_theta_setops(spark, sf):
     o = _t(spark, sf, "orders").filter(
         F.col("o_orderpriority").isin("1-URGENT", "5-LOW")
     )
+    # lgNomEntries=20 (2^20 nominal) keeps theta in exact mode far past
+    # every testdata SF (sf0.1 union ~1.5e4 > the default 4096 nominal),
+    # same scale-robust exact-regime rationale as the HLL key above
     per = o.groupBy("o_orderpriority").agg(
-        F.theta_sketch_agg("o_custkey").alias("sk")
+        F.theta_sketch_agg("o_custkey", 20).alias("sk")
     )
     return per.agg(
         F.theta_sketch_estimate(F.theta_intersection_agg("sk")).alias(
             "n_both"
         ),
-        F.theta_sketch_estimate(F.theta_union_agg("sk")).alias("n_either"),
+        F.theta_sketch_estimate(F.theta_union_agg("sk", 20)).alias("n_either"),
     )
 
 
