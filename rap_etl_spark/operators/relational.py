@@ -506,11 +506,17 @@ def q_fn_case(spark, sf):
 
 
 def q_fn_array(spark, sf):
+    # first_val_e4 = floor(x * 1e4) instead of round(x, 4): round's
+    # half-way behavior differs between engines (Spark HALF_UP vs
+    # DuckDB), and at sf0.1 some float32 embedding values land exactly
+    # on the boundary — floor is rounding-mode-free on both sides
     e = _t(spark, sf, "embeddings")
     return e.select(
         "vec_id",
         F.size("embedding").alias("n_dims"),
-        F.round(F.element_at("embedding", 1).cast("double"), 4).alias("first_val"),
+        F.floor(F.element_at("embedding", 1).cast("double") * 10000)
+        .cast("long")
+        .alias("first_val_e4"),
     )
 
 
@@ -909,7 +915,8 @@ ORACLES = {
     ),
     "fn_array": (
         "SELECT vec_id, len(embedding) AS n_dims,"
-        " round(CAST(embedding[1] AS DOUBLE), 4) AS first_val FROM embeddings"
+        " CAST(floor(CAST(embedding[1] AS DOUBLE) * 10000) AS BIGINT)"
+        " AS first_val_e4 FROM embeddings"
     ),
     "stream_tumbling": (
         "SELECT strftime(time_bucket(INTERVAL 5 MINUTE, ts), '%Y-%m-%d %H:%M:%S')"
