@@ -243,9 +243,20 @@ def q_agg_count_distinct(spark, sf):
 
 
 def q_agg_approx_distinct(spark, sf):
+    """A6 approximate distinct — via the mergeable DataSketches HLL
+    (lgConfigK=21) rather than approx_count_distinct: same operator
+    class and cost model (fixed-size mergeable state, map-side partial),
+    but the coupon (exact) mode then covers every testdata SF, so this
+    key is value-oracled against exact COUNT(DISTINCT) — the same
+    exact-regime strategy as operators/sketches.py. (Spark's HLL++
+    approx_count_distinct leaves its sparse-exact regime by sf0.1's
+    1.5k users/group even at rsd=0.001; the exact twin
+    `agg_count_distinct` stays the comparison point for exact cost.)"""
     ev = _t(spark, sf, "events")
     return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id").alias("approx_users")
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id", 21)).alias(
+            "approx_users"
+        )
     )
 
 
@@ -961,6 +972,8 @@ ORACLES = {
         "SELECT doc_id, CAST(list_sum(list_transform(string_split(text, ' '),"
         " w -> (7 * length(w) + 3) % 64)) AS BIGINT) AS remap_sum FROM documents"
     ),
-    # rows-only (no oracle): agg_approx_distinct, agg_pandas_udaf,
-    # udf_grouped_map
+    "agg_approx_distinct": (
+        "SELECT event_type, count(DISTINCT user_id) AS approx_users"
+        " FROM events GROUP BY event_type"
+    ),
 }
