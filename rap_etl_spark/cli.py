@@ -233,6 +233,11 @@ def cmd_stream(args) -> int:
     if args.format == "envelope":
         from rap_etl_spark.streaming.tail import stream_envelope_tail
 
+        registry = None
+        if getattr(args, "registry", None):
+            from rap_etl_spark.sources.registry import SchemaRegistry
+
+            registry = SchemaRegistry(args.registry)
         q = stream_envelope_tail(
             spark,
             args.log,
@@ -245,6 +250,8 @@ def cmd_stream(args) -> int:
             available_now=not args.continuous,
             auto_evolve=args.auto_evolve,
             mv_dirs=getattr(args, "mv", None),
+            registry=registry,
+            registry_topic=getattr(args, "registry_topic", None) or "docs",
         )
     else:
         q = stream_tail(
@@ -982,6 +989,48 @@ def cmd_synth(args) -> int:
     return 0
 
 
+def cmd_registry(args) -> int:
+    """Producer surface of the X100 schema registry: register a payload
+    schema (DDL), list a topic's versions, or retire one — no Spark
+    session needed (pure driver-side JSON)."""
+    from rap_etl_spark.sources.registry import (
+        IncompatibleSchemaError,
+        SchemaRegistry,
+        ddl_to_struct,
+    )
+
+    reg = SchemaRegistry(args.root)
+    if args.action == "register":
+        schema = ddl_to_struct(args.ddl)
+        try:
+            v = reg.register(args.topic, schema, mode=args.mode)
+        except IncompatibleSchemaError as e:
+            print(
+                json.dumps({"error": "incompatible", "violations": e.violations})
+            )
+            return 3
+        print(json.dumps({"topic": args.topic, "version": v}))
+        return 0
+    if args.action == "retire":
+        reg.retire(args.topic, args.version)
+        print(json.dumps({"topic": args.topic, "retired": args.version}))
+        return 0
+    doc = {
+        "topic": args.topic,
+        "compat": reg.compat_mode(args.topic),
+        "versions": [
+            {
+                "v": v,
+                "live": v in reg.accepted_versions(args.topic),
+                "ddl": reg.get(args.topic, v).simpleString()[7:-1],
+            }
+            for v in reg.versions(args.topic)
+        ],
+    }
+    print(json.dumps(doc))
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="rap-etl-spark", description=__doc__)
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -1060,6 +1109,15 @@ def build_parser() -> argparse.ArgumentParser:
         help="envelope payload schema, e.g. 'doc_id: STRING, price_c: BIGINT'",
     )
     sp.add_argument("--dlq", help="quarantine dir for malformed envelopes")
+    sp.add_argument(
+        "--registry",
+        help="schema-registry root (X100): envelope rows whose wire-level "
+        "schema_version is unregistered or retired quarantine to --dlq",
+    )
+    sp.add_argument(
+        "--registry-topic",
+        help="registry topic/subject to gate against (default: docs)",
+    )
     sp.add_argument(
         "--quarantine",
         help="dead-letter dir for semantically malformed events "
@@ -1275,6 +1333,19 @@ def build_parser() -> argparse.ArgumentParser:
         "--format", choices=["parquet", "binlog", "topic"], default="parquet"
     )
     sp.set_defaults(fn=cmd_synth)
+
+    sp = sub.add_parser("registry")
+    sp.add_argument("action", choices=["register", "list", "retire"])
+    sp.add_argument("--root", required=True, help="registry root dir")
+    sp.add_argument("--topic", required=True)
+    sp.add_argument("--ddl", help="payload schema DDL (register)")
+    sp.add_argument(
+        "--mode",
+        choices=["BACKWARD", "FORWARD", "FULL", "NONE"],
+        help="set the topic's compat mode while registering",
+    )
+    sp.add_argument("--version", type=int, help="version to retire")
+    sp.set_defaults(fn=cmd_registry)
     return p
 
 

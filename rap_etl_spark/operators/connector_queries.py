@@ -315,6 +315,83 @@ def q_cdc_chunked_bootstrap(spark, sf):
         shutil.rmtree(work, ignore_errors=True)
 
 
+def q_envelope_registry(spark, sf):
+    """Schema-registry ingest gate (X100, sources/registry.py): wire rows
+    from `orders` are stamped with a writer-schema version (o_orderkey%5 →
+    v1 / v2 / v3-retired / v4-never-registered / NULL), a registry is
+    populated with v1 → v2 → v3 (each a legal BACKWARD evolution; v3 then
+    retired), and gate_envelopes splits the feed. Output: per-version
+    disposition counts + the resolved reader DDL's field count for
+    accepted rows (n_fields proves the right version's schema was bound,
+    not just that the row passed). The gate folds the registry's accept
+    set into scan-stage literals — zero exchanges before the tiny rollup,
+    nothing per-row in Python; the registry doc itself is O(versions)
+    bytes read once on the driver."""
+    from pyspark.sql import types as T
+
+    from rap_etl_spark.sources.registry import SchemaRegistry, gate_envelopes
+
+    work = tempfile.mkdtemp(prefix="rap-etl-registry-")
+    try:
+        reg = SchemaRegistry(os.path.join(work, "reg"))
+        v1 = T.StructType(
+            [
+                T.StructField("doc_id", T.StringType(), False),
+                T.StructField("price_c", T.LongType(), True),
+            ]
+        )
+        v2 = T.StructType(
+            [*v1.fields, T.StructField("priority", T.StringType(), True)]
+        )
+        v3 = T.StructType(
+            [*v2.fields, T.StructField("status", T.StringType(), True)]
+        )
+        for s in (v1, v2, v3):
+            reg.register("docs", s)
+        reg.retire("docs", 3)
+
+        o = _t(spark, sf, "orders")
+        m = F.col("o_orderkey") % 5
+        sv = (
+            F.when(m == 0, 1)
+            .when(m == 1, 2)
+            .when(m == 2, 3)
+            .when(m == 3, 4)
+            .cast("int")
+        )
+        wire = o.select(
+            F.concat(
+                F.lit('{"op":"c","after":{"doc_id":"'),
+                F.col("o_custkey").cast("string"),
+                F.lit('"}}'),
+            ).alias("env"),
+            sv.alias("schema_version"),
+        )
+        good, dead = gate_envelopes(wire, reg, "docs")
+        g = good.groupBy("schema_version").agg(
+            F.first(
+                F.size(F.split("_schema_ddl", ",")).cast("int")
+            ).alias("n_fields"),
+            F.count(F.lit(1)).alias("n"),
+        ).select(
+            "schema_version",
+            F.lit("accepted").alias("disposition"),
+            "n_fields",
+            "n",
+        )
+        d = dead.groupBy("schema_version", "dlq_reason").agg(
+            F.count(F.lit(1)).alias("n")
+        ).select(
+            "schema_version",
+            F.col("dlq_reason").alias("disposition"),
+            F.lit(None).cast("int").alias("n_fields"),
+            "n",
+        )
+        return g.unionByName(d)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def q_token_drift(spark, sf):
     """Source-distribution drift (text.unigram_drift): per source, the
     total-variation distance between its unigram distribution and the
@@ -334,6 +411,7 @@ CONNECTOR_QUERIES = {
     "cdc_emit_envelope": q_cdc_emit_envelope,
     "cdc_chunked_bootstrap": q_cdc_chunked_bootstrap,
     "token_drift": q_token_drift,
+    "envelope_registry": q_envelope_registry,
 }
 
 CONNECTOR_ORACLES = {
@@ -585,4 +663,21 @@ CONNECTOR_ORACLES["cdc_fanout_txn"] = (
     " w AS (SELECT *, row_number() OVER"
     " (PARTITION BY doc_id ORDER BY lsn DESC) AS rn FROM ev)"
     " SELECT route, doc_id, lsn, price FROM w WHERE rn = 1 AND op <> 'D'"
+)
+
+
+CONNECTOR_ORACLES["envelope_registry"] = (
+    # mirror of q_envelope_registry's version stamping and the registry
+    # state (v1/v2 live with 2/3 reader fields, v3 retired, v4 unknown)
+    "WITH w AS (SELECT o_orderkey % 5 AS m FROM orders)"
+    " SELECT"
+    "  CASE WHEN m = 0 THEN 1 WHEN m = 1 THEN 2 WHEN m = 2 THEN 3"
+    "   WHEN m = 3 THEN 4 END AS schema_version,"
+    "  CASE WHEN m = 0 OR m = 1 THEN 'accepted'"
+    "   WHEN m = 2 THEN 'retired_schema:3'"
+    "   WHEN m = 3 THEN 'unregistered_schema:4'"
+    "   ELSE 'missing_field:schema_version' END AS disposition,"
+    "  CASE WHEN m = 0 THEN 2 WHEN m = 1 THEN 3 END AS n_fields,"
+    "  count(*) AS n"
+    " FROM w GROUP BY 1, 2, 3"
 )

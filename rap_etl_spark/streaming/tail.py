@@ -166,6 +166,8 @@ def stream_envelope_tail(
     available_now: bool = True,
     auto_evolve: bool = False,
     mv_dirs: list[str] | None = None,
+    registry=None,
+    registry_topic: str = "docs",
 ) -> StreamingQuery:
     """Tail a directory of JSON-lines Debezium-style envelope files into
     `table` — the connector-wire twin of stream_tail: text readStream →
@@ -177,6 +179,14 @@ def stream_envelope_tail(
     quarantine leaf, never duplicate it — the same idempotency discipline
     as the table commit itself).
 
+    With a ``registry`` (sources.registry.SchemaRegistry), each wire row's
+    top-level ``schema_version`` stamp is additionally checked against the
+    topic's accepted set INSIDE foreachBatch — so a registration or
+    retirement lands on the very next micro-batch of a long-running tail —
+    and unregistered/retired-version rows quarantine alongside the
+    malformed ones (X100). The gate is scan-stage literals: no extra pass,
+    no exchange.
+
     The decode and the DLQ classification are scan-stage work; everything
     volume-bound downstream is the engine's existing one-shuffle LWW +
     bucket merge."""
@@ -186,7 +196,14 @@ def stream_envelope_tail(
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     raw = reader.text(src_dir)
-    parsed = parse_debezium_envelope(raw, "value", payload_ddl)
+    extra: list[str] = []
+    if registry is not None:
+        raw = raw.withColumn(
+            "schema_version",
+            F.get_json_object("value", "$.schema_version").cast("int"),
+        )
+        extra = ["schema_version"]
+    parsed = parse_debezium_envelope(raw, "value", payload_ddl, extra_cols=extra)
 
     engine = CdcEngine(
         spark, table, lineage_dir=lineage_dir, auto_evolve=auto_evolve
@@ -194,7 +211,19 @@ def stream_envelope_tail(
     required = ["doc_id", "lsn", "op"]
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if registry is not None:
+            from rap_etl_spark.sources.registry import gate_envelopes
+
+            # re-load the registry doc each epoch: O(versions) driver read
+            batch_df, reg_dead = gate_envelopes(
+                batch_df, registry, registry_topic
+            )
+            batch_df = batch_df.drop("_schema_ddl", "schema_version")
+        else:
+            reg_dead = None
         good, dead = split_dlq(batch_df, required=required)
+        if reg_dead is not None:
+            dead = dead.unionByName(reg_dead, allowMissingColumns=True)
         if dlq_dir is not None:
             # deterministic per-epoch leaf + overwrite = idempotent DLQ
             dead.write.mode("overwrite").parquet(
