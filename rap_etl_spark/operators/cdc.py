@@ -343,7 +343,11 @@ ENVELOPE_DDL_TMPL = (
 
 
 def parse_debezium_envelope(
-    df: DataFrame, env_col: str, payload_ddl: str, include_table: bool = False
+    df: DataFrame,
+    env_col: str,
+    payload_ddl: str,
+    include_table: bool = False,
+    extra_cols: list[str] | None = None,
 ) -> DataFrame:
     """Decode a Debezium-style CDC envelope column into this engine's
     change-event shape (the wire format every log-based connector emits:
@@ -360,6 +364,11 @@ def parse_debezium_envelope(
     ``source.table`` — exactly the routing column engine.fanout_apply
     consumes, so a single multi-table wire feed chains
     decode -> split_dlq -> fanout_apply with no extra pass.
+
+    ``extra_cols`` passes through named INPUT columns unchanged (e.g. a
+    wire-level ``schema_version`` stamp extracted upstream), so gates that
+    classify on sideband metadata — registry.gate_envelopes — compose with
+    the decode without a second parse.
     """
     ddl = ENVELOPE_DDL_TMPL.format(p=payload_ddl)
     j = df.withColumn(
@@ -389,6 +398,8 @@ def parse_debezium_envelope(
     ]
     if include_table:
         out.insert(0, F.col("_env.source.table").alias("_table"))
+    for c in extra_cols or []:
+        out.append(F.col(c))
     return j.select(*out)
 
 
@@ -658,4 +669,50 @@ def snapshot_changes(diff: DataFrame, sync_lsn: int, key: str = KEY) -> DataFram
         .withColumn("op", F.when(F.col("action") == "D", "D").otherwise("U"))
         .withColumn("lsn", F.lit(sync_lsn).cast("long"))
         .drop("action")
+    )
+
+
+def row_lineage(
+    events: DataFrame, key: str = KEY, lsn_col: str = "lsn", op_col: str = "op"
+) -> DataFrame:
+    """Row-lineage view over a change log (X101 — the consumer-side shape
+    of Iceberg v3 row lineage / Debezium's row-identity tracking): for
+    every key whose FINAL state is live, emit
+
+    - ``row_id``       — the LSN that created the row's current
+      incarnation: the first non-delete event after the key's last
+      applied delete. Stable across updates (updates keep the
+      incarnation), reset by delete+reinsert (a new row identity, exactly
+      Iceberg v3's semantics for a fresh insert), and — unlike Iceberg's
+      commit-assigned ids — a pure function of the log, so replay at any
+      batching yields the identical lineage (the engine's C12
+      replay-equivalence discipline extends to identities).
+    - ``last_updated_lsn`` — the winning LSN (the analogue of Iceberg's
+      ``_last_updated_sequence_number``; equals the stored ``_lsn`` meta
+      column of the merged table, which tests pin).
+    - ``n_versions``   — updates applied to this incarnation (audit: how
+      hot is this row).
+
+    Keys whose final event is a delete drop out (their incarnation died).
+
+    Plan shape (pinned in test_plan_shapes): the window aggregates
+    (last-delete LSN, per-key max) use ``Window.partitionBy(key)`` with no
+    ordering — a single hash Exchange of just (key, lsn, op), three narrow
+    columns, never the payload — and the follow-up groupBy reuses that
+    same hash partitioning, so the whole lineage view is ONE exchange
+    end-to-end at any scale.
+    """
+    w = Window.partitionBy(key)
+    lsn = F.col(lsn_col)
+    is_del = F.col(op_col) == "D"
+    tagged = events.select(key, lsn_col, op_col).withColumn(
+        "_last_del", F.max(F.when(is_del, lsn)).over(w)
+    )
+    live = tagged.filter(
+        (~is_del) & (lsn > F.coalesce(F.col("_last_del"), F.lit(-1)))
+    )
+    return live.groupBy(key).agg(
+        F.min(lsn_col).alias("row_id"),
+        F.max(lsn_col).alias("last_updated_lsn"),
+        F.count(F.lit(1)).alias("n_versions"),
     )

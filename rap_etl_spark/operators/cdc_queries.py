@@ -791,3 +791,40 @@ CDC_ORACLES["mv_join"] = (
     " SELECT doc_id, val, c_nationkey FROM live"
     " JOIN customer ON cust = c_custkey"
 )
+
+
+def q_row_lineage(spark, sf):
+    """Row-lineage view (X101, cdc.row_lineage — the consumer-side shape of
+    Iceberg v3 row lineage): per live key, the LSN that created its current
+    incarnation (row_id — stable across updates, reset by delete+reinsert),
+    the winning LSN (last_updated_lsn = the table's stored _lsn), and the
+    incarnation's version count. Change stream: doc_id = custkey,
+    lsn = orderkey, delete on every orderkey % 7 == 3 — keys keep ordering
+    events after their deletes, so reincarnation is exercised throughout.
+    ONE exchange end-to-end: the no-order window and the groupBy share the
+    same hash partitioning (pinned in test_plan_shapes)."""
+    from rap_etl_spark.operators.cdc import row_lineage
+
+    ev = _t(spark, sf, "orders").select(
+        F.col("o_custkey").cast("string").alias("doc_id"),
+        F.col("o_orderkey").alias("lsn"),
+        F.when(F.col("o_orderkey") % 7 == 3, "D").otherwise("U").alias("op"),
+    )
+    return row_lineage(ev)
+
+
+CDC_QUERIES["row_lineage"] = q_row_lineage
+
+CDC_ORACLES["row_lineage"] = (
+    "WITH ev AS (SELECT CAST(o_custkey AS VARCHAR) AS doc_id,"
+    " o_orderkey AS lsn,"
+    " CASE WHEN o_orderkey % 7 = 3 THEN 'D' ELSE 'U' END AS op"
+    " FROM orders),"
+    " d AS (SELECT doc_id, max(CASE WHEN op = 'D' THEN lsn END) AS last_del"
+    "  FROM ev GROUP BY doc_id)"
+    " SELECT e.doc_id, min(e.lsn) AS row_id,"
+    "  max(e.lsn) AS last_updated_lsn, count(*) AS n_versions"
+    " FROM ev e JOIN d ON e.doc_id = d.doc_id"
+    " WHERE e.op <> 'D' AND e.lsn > COALESCE(d.last_del, -1)"
+    " GROUP BY e.doc_id"
+)

@@ -255,3 +255,71 @@ def test_key_bloom_filter_written(spark, tmp_path):
         if p.endswith(".parquet")
     )
     assert os.path.getsize(f) > nobloom + 15_000, (os.path.getsize(f), nobloom)
+
+
+# --- X101 row lineage -------------------------------------------------------
+
+
+def test_row_lineage_incarnation_semantics(spark):
+    """row_id is the first non-delete LSN after the last delete: stable
+    across updates, reset by delete+reinsert, dead keys absent."""
+    from rap_etl_spark.operators.cdc import row_lineage
+
+    ev = spark.createDataFrame(
+        [
+            # a: insert, update, update -> one incarnation born at 1
+            ("a", 1, "I"), ("a", 5, "U"), ("a", 9, "U"),
+            # b: insert, delete, REINSERT, update -> reborn at 7
+            ("b", 2, "I"), ("b", 4, "D"), ("b", 7, "I"), ("b", 8, "U"),
+            # c: insert then delete -> dead, absent from the view
+            ("c", 3, "I"), ("c", 6, "D"),
+        ],
+        "doc_id STRING, lsn LONG, op STRING",
+    )
+    out = {
+        r["doc_id"]: (r["row_id"], r["last_updated_lsn"], r["n_versions"])
+        for r in row_lineage(ev).collect()
+    }
+    assert out == {"a": (1, 9, 3), "b": (7, 8, 2)}
+
+
+def test_row_lineage_matches_merged_table_lsn(spark, tmp_path):
+    """Consistency with the lake: the view's keys equal the replayed
+    table's keys, and last_updated_lsn equals the stored _lsn row version
+    for every key — lineage and table state derive from one LWW order."""
+    from pyspark.sql import types as T
+
+    from rap_etl_spark.lake import META_LSN, ManifestParquetTable
+    from rap_etl_spark.operators.cdc import lww_latest, row_lineage
+
+    ev = spark.range(200).select(
+        (F.col("id") % 37).cast("string").alias("doc_id"),
+        (F.col("id") + 1).alias("lsn"),
+        F.when((F.col("id") + 1) % 7 == 3, "D").otherwise("U").alias("op"),
+        (F.col("id") * 10).alias("val"),
+    )
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType()),
+            T.StructField("lsn", T.LongType()),
+            T.StructField("val", T.LongType()),
+        ]
+    )
+    table = ManifestParquetTable.create(
+        spark, str(tmp_path / "t"), schema, n_buckets=4
+    )
+    for b, half in enumerate((ev.filter("lsn <= 100"), ev.filter("lsn > 100"))):
+        table.merge(lww_latest(half), batch_id=b)
+    stored = {
+        r["doc_id"]: r[META_LSN]
+        for r in table._read_resolved(
+            table._manifest()["files"], table.schema(), with_meta=True
+        )
+        .filter(~F.col("_del"))
+        .collect()
+    }
+    view = {
+        r["doc_id"]: r["last_updated_lsn"]
+        for r in row_lineage(ev.select("doc_id", "lsn", "op")).collect()
+    }
+    assert view == stored

@@ -374,3 +374,15 @@ def test_exact_substring_no_cartesian_and_text_never_joins(spark, sf_oracle):
 
     for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
         assert "text" not in m.group(1)
+
+
+def test_row_lineage_single_exchange(spark, sf_oracle):
+    """X101: the no-order window (last-delete LSN) and the follow-up
+    groupBy hash-partition on the same key, so the whole lineage view is
+    ONE exchange — and only (key, lsn, op) ever moves, never a payload."""
+    from rap_etl_spark.operators.cdc_queries import q_row_lineage
+
+    df = q_row_lineage(spark, sf_oracle)
+    assert count_exchanges(df) == 1
+    cols = read_columns(df)
+    assert "o_totalprice" not in cols and "o_comment" not in cols
