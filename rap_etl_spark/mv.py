@@ -29,7 +29,12 @@ Scale design — why this is a view REFRESH and not a view REBUILD:
   the group key). The 'minmax' kind is the non-distributive class:
   closed-form for inserts, and only groups whose deleted values touch a
   stored extremum trigger the broadcast-semi dirty re-aggregation
-  (operators/incremental.maintain_minmax — plan pinned there).
+  (operators/incremental.maintain_minmax — plan pinned there). The
+  'distinct_sketch' kind (X102) keeps a per-group HLL sketch: inserts
+  fold in with a scalar hll_union (mergeable, fact never touched);
+  groups seeing a delete/update-preimage re-aggregate via the same
+  broadcast-semi dirty pattern — per-group DISTINCT at bounded state
+  (2^lgk bytes/group) however wide the value domain grows.
 - Retention interplay: if the cursor snapshot has been expired
   (`expire_snapshots` / vacuum), the changefeed is gone — exactly the
   Delta CDF / Iceberg incremental-read retention contract. The refresh
@@ -55,7 +60,7 @@ MV_FILE = "_mv.json"
 #: pointer just before the swap (same grace rationale as table vacuum).
 KEEP_VERSIONS = 2
 
-KINDS = ("agg", "minmax", "join", "token_stats")
+KINDS = ("agg", "minmax", "join", "token_stats", "distinct_sketch")
 
 
 @dataclass
@@ -72,12 +77,14 @@ def _validate_spec(spec: dict) -> None:
     kind = spec.get("kind")
     if kind not in KINDS:
         raise ValueError(f"mv kind must be one of {KINDS}, got {kind!r}")
-    if kind in ("agg", "minmax") and not spec.get("group_cols"):
+    if kind in ("agg", "minmax", "distinct_sketch") and not spec.get(
+        "group_cols"
+    ):
         raise ValueError(f"{kind} mv spec needs non-empty group_cols")
     if kind == "agg" and "sum_cols" not in spec:
         raise ValueError("agg mv spec needs sum_cols (may be [])")
-    if kind == "minmax" and not spec.get("val_col"):
-        raise ValueError("minmax mv spec needs val_col")
+    if kind in ("minmax", "distinct_sketch") and not spec.get("val_col"):
+        raise ValueError(f"{kind} mv spec needs val_col")
     if kind == "token_stats" and not spec.get("tokens_col"):
         raise ValueError("token_stats mv spec needs tokens_col")
     if kind == "join":
@@ -242,6 +249,17 @@ class MaterializedView:
             ]
             return df.groupBy(*g).agg(*aggs)
         v = spec["val_col"]
+        if spec["kind"] == "distinct_sketch":
+            return (
+                df.groupBy(*g)
+                .agg(
+                    F.count(F.lit(1)).alias(n),
+                    F.hll_sketch_agg(
+                        v, F.lit(spec.get("lgk", 12))
+                    ).alias("sk"),
+                )
+                .withColumn("est", F.hll_sketch_estimate("sk"))
+            )
         return df.groupBy(*g).agg(
             F.count(F.lit(1)).alias(n),
             F.min(v).alias("min_v"),
@@ -282,6 +300,16 @@ class MaterializedView:
         n = spec.get("count_col", "n")
         if spec["kind"] == "agg":
             return ivm.maintain(view, changes, g, spec["sum_cols"], count_col=n)
+        if spec["kind"] == "distinct_sketch":
+            return ivm.maintain_distinct_sketch(
+                view,
+                changes,
+                fact=self.base.read(head),
+                group_cols=g,
+                val_col=spec["val_col"],
+                count_col=n,
+                lgk=spec.get("lgk", 12),
+            )
         return ivm.maintain_minmax(
             view,
             changes,

@@ -828,3 +828,87 @@ CDC_ORACLES["row_lineage"] = (
     " WHERE e.op <> 'D' AND e.lsn > COALESCE(d.last_del, -1)"
     " GROUP BY e.doc_id"
 )
+
+
+def q_mv_distinct_sketch(spark, sf):
+    """X102 end-to-end: a per-group HLL DISTINCT view over a CDC'd table —
+    created after batch 0, incrementally refreshed after batch 1 (inserts
+    fold by scalar hll_union; the batch's deletes/updates force the dirty
+    broadcast-semi re-aggregation path). val = orderkey % 97 keeps every
+    group's domain (≤97 values) deep inside the lgk=12 coupon (exact)
+    regime, so the sketch ESTIMATE must equal the oracle's exact
+    COUNT(DISTINCT) over the final LWW state — the same exact-regime
+    strategy that oracles the standalone sketch keys. The binary sketch
+    column stays internal; the compared output is (grp, n, est)."""
+    from pyspark.sql import types as T
+
+    from rap_etl_spark.engine import CdcEngine
+    from rap_etl_spark.lake import ManifestParquetTable
+    from rap_etl_spark.mv import MaterializedView
+
+    k = F.col("o_orderkey")
+    ev = _t(spark, sf, "orders").select(
+        F.when(k % 10 == 0, "D").otherwise("U").alias("op"),
+        F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("doc_id"),
+        k.cast("long").alias("lsn"),
+        F.col("o_orderpriority").alias("grp"),
+        (k % 97).cast("long").alias("val"),
+    )
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType()),
+            T.StructField("lsn", T.LongType()),
+            T.StructField("grp", T.StringType()),
+            T.StructField("val", T.LongType()),
+        ]
+    )
+    work = tempfile.mkdtemp(prefix="rap-etl-mv-sk-")
+    try:
+        t = ManifestParquetTable.create(
+            spark, os.path.join(work, "t"), schema, n_buckets=8
+        )
+        eng = CdcEngine(spark, t)
+        eng.apply_batch(ev.filter(F.col("lsn") % 2 == 0), batch_id=0)
+        mv = MaterializedView.create(
+            spark,
+            os.path.join(work, "mv"),
+            t,
+            {
+                "kind": "distinct_sketch",
+                "group_cols": ["grp"],
+                "val_col": "val",
+                "lgk": 12,
+            },
+        )
+        eng.apply_batch(ev.filter(F.col("lsn") % 2 == 1), batch_id=1)
+        info = mv.refresh()
+        assert not info.skipped and not info.full_recompute
+        rows = mv.read().select("grp", "n", "est").collect()
+        out = T.StructType(
+            [
+                T.StructField("grp", T.StringType()),
+                T.StructField("n", T.LongType()),
+                T.StructField("est", T.LongType()),
+            ]
+        )
+        return spark.createDataFrame(rows, out)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+CDC_QUERIES["mv_distinct_sketch"] = q_mv_distinct_sketch
+
+CDC_ORACLES["mv_distinct_sketch"] = (
+    "WITH ev AS (SELECT"
+    "  CASE WHEN o_orderkey % 10 = 0 THEN 'D' ELSE 'U' END AS op,"
+    "  'c' || CAST(o_custkey AS VARCHAR) AS doc_id,"
+    "  o_orderkey AS lsn,"
+    "  o_orderpriority AS grp,"
+    "  o_orderkey % 97 AS val FROM orders),"
+    " w AS (SELECT *, row_number() OVER"
+    "  (PARTITION BY doc_id ORDER BY lsn DESC) AS rn FROM ev),"
+    " live AS (SELECT * FROM w WHERE rn = 1 AND op <> 'D')"
+    " SELECT grp, count(*) AS n,"
+    "  CAST(count(DISTINCT val) AS BIGINT) AS est"
+    " FROM live GROUP BY grp"
+)

@@ -367,3 +367,87 @@ def maintain_token_stats(
         )
         .filter(F.col(count_col) > 0)
     )
+
+
+def maintain_distinct_sketch(
+    base_agg: DataFrame,
+    changes: DataFrame,
+    fact: DataFrame,
+    group_cols: list[str],
+    val_col: str,
+    count_col: str = "n",
+    lgk: int = 12,
+) -> DataFrame:
+    """Incrementally maintain a per-group HLL DISTINCT sketch (X102) —
+    the bounded-state alternative to exact COUNT(DISTINCT) maintenance
+    (``maintain_count_distinct``'s refcount state is O(distinct values);
+    this state is O(groups × 2^lgk bytes) no matter how wide the value
+    domain gets — the 100-TB answer when per-group domains are huge).
+
+    State per group: ``count_col`` (row count, for group-death detection),
+    ``sk`` (DataSketches HLL binary, Spark's native hll_sketch_agg), and
+    ``est`` (its cardinality estimate, refreshed on every maintenance).
+
+    Maintenance splits by the sketch's algebra:
+
+    - Inserts are FREE: HLL is a mergeable insert-only summary, so a
+      clean group folds the batch's sketch in with one scalar
+      ``hll_union`` — no fact access, delta-sized work only.
+    - Deletes (and update PREimages: the old value may have been the
+      last carrier of its hash) cannot be subtracted from an HLL, so any
+      group with a negative contribution goes DIRTY and re-aggregates
+      from the fact via the same broadcast-LEFT-SEMI pattern as
+      ``maintain_minmax`` — one column-pruned pass touching only dirty
+      groups' rows, zero passes for append-only batches (the training-
+      corpus common case).
+
+    `fact` must be the POST-change table state. Groups whose maintained
+    row count reaches 0 drop out; brand-new groups enter from the batch.
+    """
+    sign = _sign()
+    d = changes.groupBy(*group_cols).agg(
+        F.sum(sign).alias("_dn"),
+        F.hll_sketch_agg(
+            F.when(sign == 1, F.col(val_col)), F.lit(lgk)
+        ).alias("_pos_sk"),
+        F.max(F.when(sign == -1, F.lit(1)).otherwise(F.lit(0))).alias(
+            "_has_neg"
+        ),
+    )
+    cur = base_agg.alias("cur")
+    dd = d.alias("d")
+    cond = [cur[c].eqNullSafe(dd[c]) for c in group_cols]
+    joined = cur.join(dd, cond, "full_outer")
+    n_new = F.coalesce(cur[count_col], F.lit(0)) + F.coalesce(
+        dd["_dn"], F.lit(0)
+    )
+    sk_new = (
+        F.when(
+            cur["sk"].isNotNull() & dd["_pos_sk"].isNotNull(),
+            F.hll_union(cur["sk"], dd["_pos_sk"]),
+        )
+        .when(cur["sk"].isNotNull(), cur["sk"])
+        .otherwise(dd["_pos_sk"])
+    )
+    merged = joined.select(
+        *[F.coalesce(cur[c], dd[c]).alias(c) for c in group_cols],
+        n_new.alias(count_col),
+        sk_new.alias("sk"),
+        (F.coalesce(dd["_has_neg"], F.lit(0)) == 1).alias("_dirty"),
+    ).filter(F.col(count_col) > 0)
+    clean = (
+        merged.filter(~F.col("_dirty"))
+        .drop("_dirty")
+        .withColumn("est", F.hll_sketch_estimate("sk"))
+    )
+    dirty_groups = merged.filter(F.col("_dirty")).select(*group_cols)
+    reagg = (
+        fact.join(F.broadcast(dirty_groups), on=group_cols, how="left_semi")
+        .groupBy(*group_cols)
+        .agg(
+            F.count(F.lit(1)).alias(count_col),
+            F.hll_sketch_agg(val_col, F.lit(lgk)).alias("sk"),
+        )
+        .withColumn("est", F.hll_sketch_estimate("sk"))
+    )
+    return clean.unionByName(reagg)

@@ -413,3 +413,89 @@ def test_token_stats_mv_matches_full_explode(spark, tmp_path):
     eng.apply_batch(tb(b1), batch_id=1)
     assert not mv.refresh().skipped
     assert _rows(mv.read()) == full()
+
+
+def test_distinct_sketch_mv_matches_exact_in_coupon_regime(spark, tmp_path):
+    """X102: per-group HLL distinct view. Small cardinalities sit in the
+    sketch's exact (coupon) regime, so est must EQUAL the exact distinct
+    count after every refresh — insert-only fold and the delete-dirty
+    re-aggregation both."""
+    t, eng = _setup(spark, tmp_path)
+    mv = MaterializedView.create(
+        spark,
+        str(tmp_path / "mv"),
+        t,
+        {
+            "kind": "distinct_sketch",
+            "group_cols": ["grp"],
+            "val_col": "val",
+            "lgk": 12,
+        },
+    )
+
+    def exact():
+        return {
+            tuple(r)
+            for r in t.read()
+            .groupBy("grp")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.count_distinct("val").alias("est"),
+            )
+            .collect()
+        }
+
+    def view():
+        return {
+            tuple(r)
+            for r in mv.read().select("grp", "n", "est").collect()
+        }
+
+    assert view() == exact()
+    # append-only batch: duplicate values on purpose (val repeats 0/10)
+    eng.apply_batch(
+        _batch(
+            spark,
+            [("I", f"n{i}", 100 + i, "a", (i % 2) * 10) for i in range(6)],
+        ),
+        batch_id=1,
+    )
+    info = mv.refresh()
+    assert not info.skipped and not info.full_recompute
+    assert view() == exact()
+    # deletes + an update changing the sketched value: dirty path
+    eng.apply_batch(
+        _batch(
+            spark,
+            [
+                ("D", "d0", 200, None, None),
+                ("D", "d2", 201, None, None),
+                ("U", "d4", 202, "a", 777),
+            ],
+        ),
+        batch_id=2,
+    )
+    mv.refresh()
+    assert view() == exact()
+    # group death: remove every 'b' row
+    eng.apply_batch(
+        _batch(
+            spark,
+            [("D", f"d{i}", 300 + i, None, None) for i in range(1, 20, 2)],
+        ),
+        batch_id=3,
+    )
+    mv.refresh()
+    assert view() == exact()
+    assert {r["grp"] for r in mv.read().collect()} == {"a"}
+
+
+def test_distinct_sketch_spec_validation(spark, tmp_path):
+    t, _ = _setup(spark, tmp_path)
+    with pytest.raises(ValueError, match="val_col"):
+        MaterializedView.create(
+            spark,
+            str(tmp_path / "mv2"),
+            t,
+            {"kind": "distinct_sketch", "group_cols": ["grp"]},
+        )
