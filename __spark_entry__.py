@@ -120,7 +120,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # older unseen keys: the top-50 window this round stays exactly the
     # set already validated end-to-end by tools/check_oracles.py at
     # sf0.01; these (also locally validated) take round-5 slots instead.
-    defer = ["envelope_registry", "row_lineage", "mv_distinct_sketch"]
+    defer = [
+        "envelope_registry",
+        "row_lineage",
+        "mv_distinct_sketch",
+        "cdc_requeue",
+    ]
     oracles = oracle_sql()
     seen = _driver_checked_keys(set(oracles))
     ordered = {k: all_q[k] for k in flagship if k in all_q}

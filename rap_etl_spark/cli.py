@@ -989,6 +989,40 @@ def cmd_synth(args) -> int:
     return 0
 
 
+def cmd_requeue(args) -> int:
+    """Replay-after-fix (X103): re-ingest quarantined dead letters through
+    the exactly-once engine after applying --set repair expressions."""
+    from rap_etl_spark.engine import CdcEngine, requeue_quarantine
+    from rap_etl_spark.lake import ManifestParquetTable
+
+    fixes = {}
+    for a in args.set or []:
+        col, sep, expr = a.partition("=")
+        if not sep:
+            raise SystemExit(f"--set needs COL=EXPR, got {a!r}")
+        fixes[col.strip()] = expr.strip()
+    spark = _spark("rap-etl-requeue")
+    t = ManifestParquetTable(spark, args.table)
+    eng = CdcEngine(spark, t, lineage_dir=args.lineage)
+    m = requeue_quarantine(
+        spark, eng, args.quarantine, batch_id=args.batch_id, fixes=fixes
+    )
+    if m is None:
+        print(json.dumps({"requeued": 0, "skipped": True}))
+        return 0
+    print(
+        json.dumps(
+            {
+                "requeued": m.applied_rows,
+                "batch_id": m.batch_id,
+                "skipped": m.skipped,
+                "snapshot": m.snapshot_id,
+            }
+        )
+    )
+    return 0
+
+
 def cmd_registry(args) -> int:
     """Producer surface of the X100 schema registry: register a payload
     schema (DDL), list a topic's versions, or retire one — no Spark
@@ -1333,6 +1367,19 @@ def build_parser() -> argparse.ArgumentParser:
         "--format", choices=["parquet", "binlog", "topic"], default="parquet"
     )
     sp.set_defaults(fn=cmd_synth)
+
+    sp = sub.add_parser("requeue")
+    sp.add_argument("--table", required=True)
+    sp.add_argument("--quarantine", required=True, help="dead-letter dir")
+    sp.add_argument("--batch-id", type=int, required=True)
+    sp.add_argument(
+        "--set",
+        action="append",
+        help="repair expression COL=SQL_EXPR (repeatable), e.g. "
+        "n_tok=size(tokens); rows still invalid after repair stay dead",
+    )
+    sp.add_argument("--lineage")
+    sp.set_defaults(fn=cmd_requeue)
 
     sp = sub.add_parser("registry")
     sp.add_argument("action", choices=["register", "list", "retire"])

@@ -619,6 +619,75 @@ def replay_log(
     return engine.metrics
 
 
+def requeue_quarantine(
+    spark: SparkSession,
+    engine: "CdcEngine",
+    quarantine_dir: str,
+    batch_id: int,
+    fixes: dict[str, str] | None = None,
+) -> "BatchMetrics | None":
+    """Replay-after-fix for the X89 dead-letter quarantine (X103): read
+    un-requeued quarantine leaves, apply the caller's repair expressions
+    (SQL snippets per column — e.g. ``{"n_tok": "size(tokens)"}`` for
+    ntok_mismatch rows, the classic connector-bug repair), RE-classify
+    with the same ``quarantine_reason`` gate, and push the now-valid rows
+    through the ordinary exactly-once ``apply_batch`` under the caller's
+    ``batch_id``. Rows STILL invalid after the fix stay dead.
+
+    Exactly-once composition (nothing new to trust):
+
+    - Quarantined events kept their ORIGINAL LSNs, so a late requeue is
+      just out-of-order delivery — the LWW merge makes it convergent: a
+      requeued event superseded meanwhile loses by version, one still
+      current applies its final state.
+    - The requeue itself commits through the table ledger under
+      ``batch_id``; redelivering the same requeue is a skip.
+    - Each consumed quarantine leaf is marked with a ``_requeued-<id>``
+      sentinel ONLY AFTER the apply commits, and marked leaves are
+      excluded from later requeues. Crash between commit and marking →
+      rerun with the same batch_id → the apply skips via the ledger, the
+      marking completes. Markers are per-requeue-id, so the sequence
+      requeue(5) → new dead letters → requeue(6) consumes each leaf
+      exactly once.
+
+    Scale: the quarantine is by construction a tiny fraction of the feed;
+    this is one scan of the dead-letter set + one ordinary engine batch.
+    Returns None when there is nothing to requeue (no unmarked leaves or
+    no row passes re-classification — nothing commits in that case).
+    """
+    from rap_etl_spark.operators.quarantine import (
+        REASON_COL,
+        quarantine_reason,
+    )
+
+    leaves = [
+        d
+        for d in sorted(os.listdir(quarantine_dir))
+        if d.startswith("batch=")
+        and not any(
+            m.startswith("_requeued-")
+            for m in os.listdir(os.path.join(quarantine_dir, d))
+        )
+    ]
+    if not leaves:
+        return None
+    dead = spark.read.parquet(
+        *[os.path.join(quarantine_dir, d) for d in leaves]
+    ).drop(REASON_COL)
+    for col, expr in (fixes or {}).items():
+        dead = dead.withColumn(col, F.expr(expr))
+    reclass = dead.withColumn(REASON_COL, quarantine_reason(dead, key=KEY))
+    good = reclass.filter(F.col(REASON_COL).isNull()).drop(REASON_COL)
+    if good.limit(1).count() == 0:
+        return None
+    metrics = engine.apply_batch(good, batch_id=batch_id)
+    for d in leaves:
+        marker = os.path.join(quarantine_dir, d, f"_requeued-{batch_id}")
+        with open(marker, "w") as f:
+            f.write("")
+    return metrics
+
+
 def assert_equivalent(t1: DataFrame, t2: DataFrame, payload_cols: list[str] | None = None) -> None:
     """C12 replay-equivalence gate: same keys, per-key payload equality
     (token-array equality + n_tok/source equality — BASELINE.json

@@ -681,3 +681,92 @@ CONNECTOR_ORACLES["envelope_registry"] = (
     "  count(*) AS n"
     " FROM w GROUP BY 1, 2, 3"
 )
+
+
+def q_cdc_requeue(spark, sf):
+    """Quarantine requeue end-to-end (X103, engine.requeue_quarantine):
+    a change stream where every third event declares a WRONG n_tok
+    (ntok_mismatch — the classic connector bug) and every seventh is a
+    delete, replayed with the DLQ classifier on (bad rows divert, batch
+    keeps flowing), then repaired with the --set expression
+    n_tok=size(tokens) and requeued through the exactly-once engine under
+    a fresh batch id. Requeued events keep their ORIGINAL LSNs, so the
+    oracle is simply the global LWW over the CORRECTED stream — wherever
+    a poisoned event was the true winner, the requeue must land it; where
+    it was superseded meanwhile, the requeue must lose by version."""
+    from pyspark.sql import types as T
+
+    from rap_etl_spark.engine import CdcEngine, requeue_quarantine
+    from rap_etl_spark.lake import ManifestParquetTable
+
+    k = F.col("o_orderkey")
+    tokens = F.when(
+        k % 7 == 3, F.lit(None).cast("array<int>")
+    ).otherwise(
+        F.when(
+            k % 2 == 1,
+            F.array((k % 50).cast("int"), (F.col("o_custkey") % 50).cast("int")),
+        ).otherwise(F.array((k % 50).cast("int")))
+    )
+    n_tok_declared = F.when(k % 7 == 3, F.lit(None).cast("int")).otherwise(
+        F.when(k % 3 == 0, F.lit(99)).otherwise(
+            (F.lit(1) + (k % 2)).cast("int")
+        )
+    )
+    ev = _t(spark, sf, "orders").select(
+        F.when(k % 7 == 3, "D").otherwise("U").alias("op"),
+        F.col("o_custkey").cast("string").alias("doc_id"),
+        k.cast("long").alias("lsn"),
+        tokens.alias("tokens"),
+        n_tok_declared.alias("n_tok"),
+    )
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType()),
+            T.StructField("lsn", T.LongType()),
+            T.StructField("tokens", T.ArrayType(T.IntegerType())),
+            T.StructField("n_tok", T.IntegerType()),
+        ]
+    )
+    work = tempfile.mkdtemp(prefix="rap-etl-requeue-")
+    try:
+        t = ManifestParquetTable.create(
+            spark, os.path.join(work, "t"), schema, n_buckets=8
+        )
+        eng = CdcEngine(spark, t, quarantine_dir=os.path.join(work, "dlq"))
+        eng.apply_batch(ev, batch_id=0)
+        requeue_quarantine(
+            spark,
+            eng,
+            os.path.join(work, "dlq"),
+            batch_id=100,
+            fixes={"n_tok": "size(tokens)"},
+        )
+        rows = t.read().select("doc_id", "lsn", "n_tok").collect()
+        out = T.StructType(
+            [
+                T.StructField("doc_id", T.StringType()),
+                T.StructField("lsn", T.LongType()),
+                T.StructField("n_tok", T.IntegerType()),
+            ]
+        )
+        return spark.createDataFrame(rows, out)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+CONNECTOR_QUERIES["cdc_requeue"] = q_cdc_requeue
+
+CONNECTOR_ORACLES["cdc_requeue"] = (
+    # global LWW over the CORRECTED stream: n_tok = true token count
+    "WITH ev AS (SELECT"
+    "  CASE WHEN o_orderkey % 7 = 3 THEN 'D' ELSE 'U' END AS op,"
+    "  CAST(o_custkey AS VARCHAR) AS doc_id,"
+    "  o_orderkey AS lsn,"
+    "  CASE WHEN o_orderkey % 7 = 3 THEN NULL"
+    "   ELSE CAST(1 + o_orderkey % 2 AS INTEGER) END AS n_tok"
+    "  FROM orders),"
+    " w AS (SELECT *, row_number() OVER"
+    "  (PARTITION BY doc_id ORDER BY lsn DESC) AS rn FROM ev)"
+    " SELECT doc_id, lsn, n_tok FROM w WHERE rn = 1 AND op <> 'D'"
+)

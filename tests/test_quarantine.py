@@ -215,3 +215,96 @@ def test_cli_replay_quarantine(spark, tmp_path):  # noqa: F811
     assert [r["lsn"] for r in dead.collect()] == [2]
     t = ManifestParquetTable(spark, str(tmp_path / "t"))
     assert {r["doc_id"] for r in t.read().collect()} == {"a", "b"}
+
+
+# --- X103 requeue (replay-after-fix) ---------------------------------------
+
+
+def test_requeue_after_fix_applies_and_marks(spark, tmp_path):  # noqa: F811
+    """Poisoned rows (ntok_mismatch) quarantine, a --set style repair
+    re-ingests them exactly-once with their ORIGINAL LSNs (late-delivery
+    convergence), unfixable rows stay dead, consumed leaves are marked so
+    a second requeue is a no-op."""
+    from rap_etl_spark.engine import requeue_quarantine
+
+    t = ManifestParquetTable.create(
+        spark, str(tmp_path / "t"), SCHEMA, n_buckets=4
+    )
+    qdir = str(tmp_path / "dlq")
+    eng = CdcEngine(spark, t, quarantine_dir=qdir)
+    ev = _events(
+        spark,
+        [
+            ("U", "a", 1, [1, 2], 2),        # valid
+            ("U", "b", 2, [1, 2, 3], 99),    # ntok_mismatch -> dead
+            ("U", "a", 3, [7], 99),          # dead; on requeue must BEAT lsn=1
+            ("X", "c", 4, [1], 1),           # bad_op: no fix can save it
+        ],
+    )
+    m = eng.apply_batch(ev, batch_id=0)
+    assert m.quarantined_rows == 3
+    assert {r["doc_id"]: r["lsn"] for r in t.read().collect()} == {"a": 1}
+
+    m2 = requeue_quarantine(
+        spark, eng, qdir, batch_id=100, fixes={"n_tok": "size(tokens)"}
+    )
+    assert m2 is not None and not m2.skipped
+    state = {r["doc_id"]: (r["lsn"], r["n_tok"]) for r in t.read().collect()}
+    # a's requeued lsn=3 superseded the live lsn=1; b entered repaired
+    assert state == {"a": (3, 1), "b": (2, 3)}
+    # second requeue: leaves are marked, nothing to do, no commit
+    assert requeue_quarantine(spark, eng, qdir, batch_id=101) is None
+    # the unfixable row is still in the DLQ record (audit is append-only)
+    dead = read_quarantine(spark, qdir)
+    assert {r["lsn"] for r in dead.collect()} == {2, 3, 4}
+
+
+def test_requeue_consumes_new_leaves_only(spark, tmp_path):  # noqa: F811
+    """requeue(N) marks only the leaves it consumed; dead letters arriving
+    AFTER it are picked up by the next requeue under a fresh batch id."""
+    from rap_etl_spark.engine import requeue_quarantine
+
+    t = ManifestParquetTable.create(
+        spark, str(tmp_path / "t"), SCHEMA, n_buckets=4
+    )
+    qdir = str(tmp_path / "dlq")
+    eng = CdcEngine(spark, t, quarantine_dir=qdir)
+    eng.apply_batch(
+        _events(spark, [("U", "a", 1, [1, 2], 9)]), batch_id=0
+    )
+    assert requeue_quarantine(
+        spark, eng, qdir, batch_id=100, fixes={"n_tok": "size(tokens)"}
+    ) is not None
+    eng.apply_batch(
+        _events(spark, [("U", "b", 2, [5], 9)]), batch_id=1
+    )
+    m = requeue_quarantine(
+        spark, eng, qdir, batch_id=101, fixes={"n_tok": "size(tokens)"}
+    )
+    assert m is not None and m.applied_rows == 1
+    state = {r["doc_id"]: r["n_tok"] for r in t.read().collect()}
+    assert state == {"a": 2, "b": 1}
+
+
+def test_cli_requeue(spark, tmp_path):  # noqa: F811
+    from rap_etl_spark.cli import main
+
+    t = ManifestParquetTable.create(
+        spark, str(tmp_path / "t"), SCHEMA, n_buckets=4
+    )
+    qdir = str(tmp_path / "dlq")
+    eng = CdcEngine(spark, t, quarantine_dir=qdir)
+    eng.apply_batch(
+        _events(spark, [("U", "a", 1, [1, 2], 9)]), batch_id=0
+    )
+    assert main(
+        ["requeue", "--table", str(tmp_path / "t"), "--quarantine", qdir,
+         "--batch-id", "100", "--set", "n_tok=size(tokens)"]
+    ) == 0
+    t2 = ManifestParquetTable(spark, str(tmp_path / "t"))
+    assert {r["n_tok"] for r in t2.read().collect()} == {2}
+    # idempotent redelivery of the same requeue
+    assert main(
+        ["requeue", "--table", str(tmp_path / "t"), "--quarantine", qdir,
+         "--batch-id", "100", "--set", "n_tok=size(tokens)"]
+    ) == 0
