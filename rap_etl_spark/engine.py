@@ -671,9 +671,23 @@ def requeue_quarantine(
     ]
     if not leaves:
         return None
-    dead = spark.read.parquet(
-        *[os.path.join(quarantine_dir, d) for d in leaves]
-    ).drop(REASON_COL)
+    # Quarantine leaves can straddle an upstream schema evolution (a
+    # V1-era leaf has no `lang` and carries int32 tokens); the union must
+    # widen to the superset with NULL fill + type coercion, not silently
+    # drop new columns — otherwise a requeued post-evolution row would
+    # reapply with its evolved fields nulled out and, tying on LSN,
+    # overwrite good state. parquet mergeSchema refuses int->bigint
+    # widening, so fold per-leaf frames through unionByName, whose
+    # least-common-type coercion handles exactly the legal evolutions.
+    dead = None
+    for d in leaves:
+        part = spark.read.parquet(os.path.join(quarantine_dir, d))
+        dead = (
+            part
+            if dead is None
+            else dead.unionByName(part, allowMissingColumns=True)
+        )
+    dead = dead.drop(REASON_COL)
     for col, expr in (fixes or {}).items():
         dead = dead.withColumn(col, F.expr(expr))
     reclass = dead.withColumn(REASON_COL, quarantine_reason(dead, key=KEY))

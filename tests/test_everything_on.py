@@ -132,6 +132,7 @@ def test_everything_on_replay(spark, sf_small, tmp_path, mode):
     )
 
     mv = None
+    mv_sk = None
     n_bad = {}
     for bid, batch in enumerate(batches):
         if bid in (1, 4):
@@ -148,9 +149,22 @@ def test_everything_on_replay(spark, sf_small, tmp_path, mode):
                 t,
                 {"kind": "agg", "group_cols": ["source"], "sum_cols": ["n_tok"]},
             )
+            mv_sk = MaterializedView.create(
+                spark,
+                str(tmp_path / "mv_sk"),
+                t,
+                {
+                    "kind": "distinct_sketch",
+                    "group_cols": ["source"],
+                    "val_col": "n_tok",
+                    "lgk": 12,
+                },
+            )
         else:
             info = mv.refresh()
             assert not info.skipped
+            info_sk = mv_sk.refresh()
+            assert not info_sk.skipped and not info_sk.full_recompute
 
     # 1. final state == naive oracle over the CLEAN stream (V2 schema)
     want = naive_final_state(_clean_union(v1, v2).toPandas())
@@ -180,6 +194,39 @@ def test_everything_on_replay(spark, sf_small, tmp_path, mode):
     )
     assert list(mv_got.columns) == list(mv_want.columns)
     assert mv_got.equals(mv_want), (mv_got, mv_want)
+
+    # 3b. the distinct-sketch MV (X102): maintained across deletes +
+    # the schema change, its estimate must EQUAL exact count_distinct
+    # (n_tok's domain is tiny — deep inside the lgk=12 exact regime)
+    sk_got = {
+        tuple(r)
+        for r in mv_sk.read().select("source", "n", "est").collect()
+    }
+    sk_want = {
+        tuple(r)
+        for r in t.read()
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct("n_tok").alias("est"),
+        )
+        .collect()
+    }
+    assert sk_got == sk_want
+
+    # 3c. requeue (X103): repair the declared-length lie and re-ingest.
+    # The repaired row duplicates an already-applied (doc_id, lsn) with
+    # an identical payload, so the table state must be UNCHANGED (LWW
+    # re-delivery convergence); the unfixable bad_op/null_key/bad_lsn
+    # rows stay dead; a second requeue finds nothing.
+    from rap_etl_spark.engine import requeue_quarantine
+
+    m_rq = requeue_quarantine(
+        spark, eng, qdir, batch_id=100, fixes={"n_tok": "size(tokens)"}
+    )
+    assert m_rq is not None and m_rq.applied_rows >= 1
+    assert_frames_equal(t.read().select(*FINAL_COLS).toPandas(), want)
+    assert requeue_quarantine(spark, eng, qdir, batch_id=101) is None
 
     # 4. a downstream consumer replaying ONLY the published feed converges
     # to the identical table state (the outbound-CDC round trip)
@@ -214,6 +261,8 @@ def test_everything_on_replay(spark, sf_small, tmp_path, mode):
         depth = t.delta_depth()
         assert max(depth.values(), default=0) <= 2
 
-    # per-batch lineage landed for every applied batch
-    lineage = os.listdir(str(tmp_path / "lineage"))
-    assert len([d for d in lineage if d.startswith("batch=")]) == 6
+    # per-batch lineage landed for every applied batch — the 6 stream
+    # batches plus the requeue commit (batch=100), which is a first-class
+    # batch and must leave the same audit trail
+    lineage = {d for d in os.listdir(str(tmp_path / "lineage")) if d.startswith("batch=")}
+    assert lineage == {f"batch={b}" for b in range(6)} | {"batch=100"}
