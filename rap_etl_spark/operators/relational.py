@@ -392,9 +392,30 @@ def q_win_sessionize(spark, sf):
 
 
 def q_win_ntile(spark, sf):
-    o = _t(spark, sf, "orders")
-    w = Window.orderBy("o_totalprice", "o_orderkey")
-    return o.select("o_orderkey", F.ntile(4).over(w).alias("tile"))
+    """ntile(4) over a total order WITHOUT the single-partition global
+    window `F.ntile` lowers to. SQL-standard ntile is a closed-form
+    function of (row_number, N): with q = N div 4, rem = N mod 4, the
+    first rem tiles take q+1 rows and the rest take q. row_number comes
+    from the X45 two-phase distributed prefix sum (weight ≡ 1, see
+    operators/sharding.global_rank) and N falls out of the same
+    per-partition counts — so the plan is range-exchange + narrow scan,
+    never a sort of all orders on one task. Integer `div` arithmetic
+    keeps tile boundaries exact at any N (no double rounding)."""
+    from rap_etl_spark.operators.sharding import global_rank
+
+    o = _t(spark, sf, "orders").select("o_orderkey", "o_totalprice")
+    ranked, n_rows = global_rank(
+        o, ["o_totalprice", "o_orderkey"], rank_col="_rnk"
+    )
+    q, rem = divmod(n_rows, 4)
+    cut = rem * (q + 1)
+    tile = F.expr(
+        f"cast(case when _rnk <= {cut}"
+        f" then (_rnk - 1) div {q + 1} + 1"
+        f" else {rem} + (_rnk - 1 - {cut}) div {max(q, 1)} + 1"
+        " end as int)"
+    )
+    return ranked.select("o_orderkey", tile.alias("tile"))
 
 
 def q_agg_histogram(spark, sf):

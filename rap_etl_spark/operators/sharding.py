@@ -105,6 +105,64 @@ def assign_shards(
     return ranged.mapInPandas(local_scan, schema=out_schema)
 
 
+def global_rank(
+    df: DataFrame,
+    order_cols: list[str],
+    rank_col: str = "rank",
+    num_partitions: int | None = None,
+) -> tuple[DataFrame, int]:
+    """Distributed ``row_number() OVER (ORDER BY order_cols)`` — the same
+    two-phase prefix sum as :func:`assign_shards` with weight ≡ 1, so no
+    single-partition global-window exchange ever appears in the plan.
+
+    Returns ``(df + rank_col, total_row_count)``; the total falls out of
+    the per-partition counts for free (one extra driver-side add, zero
+    extra jobs). order_cols must be a total order (unique tuples).
+    """
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    cols = [F.col(c) for c in order_cols]
+    ranged = (
+        df.repartitionByRange(n, *cols)
+        .sortWithinPartitions(*order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    counts = {
+        r["_pid"]: r["_c"]
+        for r in ranged.groupBy("_pid")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .collect()
+    }
+    offsets: dict[int, int] = {}
+    acc = 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    total = acc
+
+    from pyspark.sql import types as T
+
+    out_schema = ranged.drop("_pid").schema.add(rank_col, T.LongType(), False)
+
+    def local_rank(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        run = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if run is None:
+                run = offsets[int(pdf["_pid"].iloc[0])]
+            out = pdf.drop(columns=["_pid"]).copy()
+            out[rank_col] = np.arange(run + 1, run + 1 + len(pdf), dtype="int64")
+            run += len(pdf)
+            yield out
+
+    # `ranged` stays persisted for the same boundary-stability reason as
+    # in assign_shards (see NOTE above).
+    return ranged.mapInPandas(local_rank, schema=out_schema), total
+
+
 def shard_stats(assigned: DataFrame, weight_col: str = "n_tok") -> DataFrame:
     """Per-shard audit: document count and token total (every shard but the
     last should land within one document of the budget)."""

@@ -376,6 +376,78 @@ def test_exact_substring_no_cartesian_and_text_never_joins(spark, sf_oracle):
         assert "text" not in m.group(1)
 
 
+def test_bm25_topk_avoids_global_sort(spark, sf_oracle):
+    """Round-4 verdict item 2: bm25's top-20 must be TakeOrderedAndProject
+    (per-partition heaps), not a row_number over an unpartitioned window
+    that sorts every matching doc on one task. The residual rank window
+    runs over only the 20-row limit result and is partitioned (by a
+    constant), so no unpartitioned-window node remains in the plan."""
+    from rap_etl_spark.operators.pipeline_queries import q_bm25_search
+
+    df = q_bm25_search(spark, sf_oracle)
+    plan = formatted_plan(df)
+    import re
+
+    # the rank Window's direct child is the TakeOrderedAndProject — i.e.
+    # it consumes the 20-row top-k result, never the full scored set
+    assert re.search(
+        r"Window \(\d+\)\s*\n\s*\+- TakeOrderedAndProject", plan
+    ), plan
+
+
+def test_ntile_no_global_window(spark, sf_oracle):
+    """Round-4 verdict item 3: ntile(4) must not lower to a global
+    unpartitioned window (single-partition sort of all orders). The
+    re-plan is range-exchange + mapInPandas prefix-scan + closed-form
+    tile arithmetic — no Window node and no SinglePartition exchange."""
+    from rap_etl_spark.operators.relational import q_win_ntile
+
+    df = q_win_ntile(spark, sf_oracle)
+    plan = formatted_plan(df)
+    assert "(1) Window" not in plan  # no Window operator at all
+    import re
+
+    assert not re.search(r"\(\d+\) Window\b", plan)
+    assert "Exchange SinglePartition" not in plan
+    # the range exchange lives inside the persisted ranged projection
+    # (InMemoryTableScan); the visible tail is the narrow prefix-scan
+    assert "InMemoryTableScan" in plan
+    assert "MapInPandas" in plan
+    # correctness of the closed form vs F.ntile on a tiny slice
+    from pyspark.sql import Window as W
+
+    o = spark.read.parquet(f"{sf_oracle}/orders.parquet").limit(997)
+    expected = {
+        (r["o_orderkey"], r["tile"])
+        for r in o.select(
+            "o_orderkey",
+            F.ntile(4)
+            .over(W.orderBy("o_totalprice", "o_orderkey"))
+            .alias("tile"),
+        ).collect()
+    }
+    # re-run the closed form over the same 997-row slice via global_rank
+    from rap_etl_spark.operators.sharding import global_rank
+
+    ranked, n = global_rank(
+        o.select("o_orderkey", "o_totalprice"),
+        ["o_totalprice", "o_orderkey"],
+        rank_col="_rnk",
+    )
+    assert n == 997
+    q, rem = divmod(n, 4)
+    cut = rem * (q + 1)
+    tile = F.expr(
+        f"cast(case when _rnk <= {cut} then (_rnk - 1) div {q + 1} + 1"
+        f" else {rem} + (_rnk - 1 - {cut}) div {max(q, 1)} + 1 end as int)"
+    )
+    got = {
+        (r["o_orderkey"], r["tile"])
+        for r in ranked.select("o_orderkey", tile.alias("tile")).collect()
+    }
+    assert got == expected
+
+
 def test_row_lineage_single_exchange(spark, sf_oracle):
     """X101: the no-order window (last-delete LSN) and the follow-up
     groupBy hash-partition on the same key, so the whole lineage view is
