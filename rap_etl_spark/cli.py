@@ -1035,6 +1035,8 @@ def cmd_registry(args) -> int:
 
     reg = SchemaRegistry(args.root)
     if args.action == "register":
+        if not args.ddl:
+            raise SystemExit("registry register needs --ddl")
         schema = ddl_to_struct(args.ddl)
         try:
             v = reg.register(args.topic, schema, mode=args.mode)
@@ -1046,6 +1048,8 @@ def cmd_registry(args) -> int:
         print(json.dumps({"topic": args.topic, "version": v}))
         return 0
     if args.action == "retire":
+        if args.version is None:
+            raise SystemExit("registry retire needs --version")
         reg.retire(args.topic, args.version)
         print(json.dumps({"topic": args.topic, "retired": args.version}))
         return 0

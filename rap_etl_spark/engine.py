@@ -642,33 +642,59 @@ def requeue_quarantine(
       current applies its final state.
     - The requeue itself commits through the table ledger under
       ``batch_id``; redelivering the same requeue is a skip.
-    - Each consumed quarantine leaf is marked with a ``_requeued-<id>``
-      sentinel ONLY AFTER the apply commits, and marked leaves are
-      excluded from later requeues. Crash between commit and marking →
-      rerun with the same batch_id → the apply skips via the ledger, the
-      marking completes. Markers are per-requeue-id, so the sequence
+    - The consumed leaf set is RECORDED FIRST: an atomic per-batch_id
+      pending manifest (``_requeue-pending-<id>``, tmp+rename) is written
+      before ``apply_batch``, and a rerun with the same batch_id replays
+      exactly the recorded set — never a fresh listing. Without this, a
+      crash between commit and marking would let dead-letter leaves
+      written AFTER the commit be swept into the rerun's listing, skipped
+      by the ledger, and then marked consumed without ever being applied.
+    - Each recorded leaf is marked with a ``_requeued-<id>`` sentinel
+      ONLY AFTER the apply commits, and marked leaves are excluded from
+      later requeues; the manifest is removed last (the completion
+      point). Crash anywhere → rerun with the same batch_id converges:
+      manifest present → same leaf set, apply skips via the ledger,
+      still-bad rewrite is an idempotent overwrite, marking and manifest
+      removal complete. Markers are per-requeue-id, so the sequence
       requeue(5) → new dead letters → requeue(6) consumes each leaf
       exactly once.
+    - Rows STILL invalid after the fix are rewritten into a fresh
+      unmarked ``batch=<batch_id>`` leaf (post-fix values + their new
+      reason) before the source leaves are marked — so a later requeue
+      with a better ``--set`` expression can pick them up instead of
+      "stays dead" meaning "dead forever".
 
     Scale: the quarantine is by construction a tiny fraction of the feed;
     this is one scan of the dead-letter set + one ordinary engine batch.
     Returns None when there is nothing to requeue (no unmarked leaves or
     no row passes re-classification — nothing commits in that case).
     """
+    import json
+
     from rap_etl_spark.operators.quarantine import (
         REASON_COL,
         quarantine_reason,
+        write_quarantine,
     )
 
-    leaves = [
-        d
-        for d in sorted(os.listdir(quarantine_dir))
-        if d.startswith("batch=")
-        and not any(
-            m.startswith("_requeued-")
-            for m in os.listdir(os.path.join(quarantine_dir, d))
-        )
-    ]
+    pending = os.path.join(quarantine_dir, f"_requeue-pending-{batch_id}")
+    if os.path.exists(pending):
+        with open(pending) as f:
+            leaves = [
+                d
+                for d in json.load(f)
+                if os.path.isdir(os.path.join(quarantine_dir, d))
+            ]
+    else:
+        leaves = [
+            d
+            for d in sorted(os.listdir(quarantine_dir))
+            if d.startswith("batch=")
+            and not any(
+                m.startswith("_requeued-")
+                for m in os.listdir(os.path.join(quarantine_dir, d))
+            )
+        ]
     if not leaves:
         return None
     # Quarantine leaves can straddle an upstream schema evolution (a
@@ -694,11 +720,23 @@ def requeue_quarantine(
     good = reclass.filter(F.col(REASON_COL).isNull()).drop(REASON_COL)
     if good.limit(1).count() == 0:
         return None
+    if not os.path.exists(pending):
+        tmp = pending + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(leaves, f)
+        os.replace(tmp, pending)
     metrics = engine.apply_batch(good, batch_id=batch_id)
+    still_bad = reclass.filter(F.col(REASON_COL).isNotNull())
+    if still_bad.limit(1).count() > 0:
+        # overwrite-mode write keeps the crash-rerun idempotent; the
+        # fresh leaf is not in the recorded set, so it is neither
+        # consumed nor marked by this requeue
+        write_quarantine(still_bad, quarantine_dir, batch_id)
     for d in leaves:
         marker = os.path.join(quarantine_dir, d, f"_requeued-{batch_id}")
         with open(marker, "w") as f:
             f.write("")
+    os.remove(pending)
     return metrics
 
 

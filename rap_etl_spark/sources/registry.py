@@ -147,7 +147,10 @@ def ddl_to_struct(ddl: str) -> T.StructType:
         if low.endswith("not null"):
             nullable = False
             part = part[: -len("not null")].strip()
-        if ":" in _split_top(part, ":")[0] or ":" in part.split("<")[0]:
+        # colon form iff a TOP-LEVEL colon exists — `meta struct<a:int>`
+        # has only nested colons and must take the space-form branch
+        # (checking `":" in first-segment` inverts exactly that case)
+        if len(_split_top(part, ":")) > 1:
             name, ty = part.split(":", 1)
         else:
             name, ty = part.split(None, 1)

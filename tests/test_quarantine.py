@@ -286,6 +286,98 @@ def test_requeue_consumes_new_leaves_only(spark, tmp_path):  # noqa: F811
     assert state == {"a": 2, "b": 1}
 
 
+def test_requeue_crash_rerun_marks_only_recorded_leaves(spark, tmp_path):  # noqa: F811
+    """Crash-recovery soundness: a rerun with the same batch_id must
+    consume the leaf set RECORDED in the pending manifest, not a fresh
+    listing — dead letters arriving between the crashed commit and the
+    rerun would otherwise be ledger-skipped yet marked consumed (rows
+    silently lost)."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from rap_etl_spark.engine import requeue_quarantine
+
+    t = ManifestParquetTable.create(
+        spark, str(tmp_path / "t"), SCHEMA, n_buckets=4
+    )
+    qdir = str(tmp_path / "dlq")
+    eng = CdcEngine(spark, t, quarantine_dir=qdir)
+    eng.apply_batch(_events(spark, [("U", "a", 1, [1, 2], 9)]), batch_id=0)
+    # Simulate requeue(100) crashing right after its ledger commit: the
+    # pending manifest exists, the repaired rows are committed, but no
+    # leaf carries a marker yet.
+    pending = os.path.join(qdir, "_requeue-pending-100")
+    with open(pending, "w") as f:
+        json.dump(["batch=0"], f)
+    fixed = (
+        spark.read.parquet(os.path.join(qdir, "batch=0"))
+        .drop(REASON_COL)
+        .withColumn("n_tok", F.expr("size(tokens)"))
+    )
+    eng.apply_batch(fixed, batch_id=100)
+    # a NEW dead letter lands between the crash and the rerun
+    eng.apply_batch(_events(spark, [("U", "b", 2, [5], 9)]), batch_id=1)
+    # rerun: ledger-skips the apply, marks ONLY the recorded batch=0
+    m = requeue_quarantine(
+        spark, eng, qdir, batch_id=100, fixes={"n_tok": "size(tokens)"}
+    )
+    assert m is not None and m.skipped
+    assert not os.path.exists(pending)
+    assert os.path.exists(os.path.join(qdir, "batch=0", "_requeued-100"))
+    assert not any(
+        x.startswith("_requeued")
+        for x in os.listdir(os.path.join(qdir, "batch=1"))
+    )
+    # the new leaf is still requeue-able under a fresh id
+    m2 = requeue_quarantine(
+        spark, eng, qdir, batch_id=101, fixes={"n_tok": "size(tokens)"}
+    )
+    assert m2 is not None and m2.applied_rows == 1
+    state = {r["doc_id"]: r["n_tok"] for r in t.read().collect()}
+    assert state == {"a": 2, "b": 1}
+
+
+def test_requeue_still_invalid_rows_stay_requeueable(spark, tmp_path):  # noqa: F811
+    """Rows a requeue could NOT repair are rewritten into a fresh
+    unmarked leaf, so a later requeue with a better fix picks them up —
+    'stays dead' is not 'dead forever'."""
+    from rap_etl_spark.engine import requeue_quarantine
+
+    t = ManifestParquetTable.create(
+        spark, str(tmp_path / "t"), SCHEMA, n_buckets=4
+    )
+    qdir = str(tmp_path / "dlq")
+    eng = CdcEngine(spark, t, quarantine_dir=qdir)
+    eng.apply_batch(
+        _events(
+            spark,
+            [
+                ("U", "a", 1, [1, 2], 9),  # ntok_mismatch: n_tok fix saves it
+                ("X", "c", 4, [1], 1),     # bad_op: n_tok fix cannot
+            ],
+        ),
+        batch_id=0,
+    )
+    m = requeue_quarantine(
+        spark, eng, qdir, batch_id=100, fixes={"n_tok": "size(tokens)"}
+    )
+    assert m is not None and m.applied_rows == 1
+    # the unfixable row moved to a fresh unmarked leaf under the requeue id
+    assert os.path.isdir(os.path.join(qdir, "batch=100"))
+    assert not any(
+        x.startswith("_requeued")
+        for x in os.listdir(os.path.join(qdir, "batch=100"))
+    )
+    # a second requeue with the RIGHT fix repairs it
+    m2 = requeue_quarantine(
+        spark, eng, qdir, batch_id=101, fixes={"op": "'U'"}
+    )
+    assert m2 is not None and m2.applied_rows == 1
+    state = {r["doc_id"]: r["lsn"] for r in t.read().collect()}
+    assert state == {"a": 1, "c": 4}
+
+
 def test_cli_requeue(spark, tmp_path):  # noqa: F811
     from rap_etl_spark.cli import main
 

@@ -277,6 +277,13 @@ def test_ddl_to_struct_roundtrips_forms():
     assert s2["m"].dataType == T.MapType(T.StringType(), T.DoubleType())
     # simpleString round-trip: parse(simpleString(x)) == x
     assert ddl_to_struct(s2.simpleString()[7:-1]) == s2
+    # space form whose type contains ONLY nested colons must not be
+    # routed to the colon-split branch
+    s3 = ddl_to_struct("meta struct<a:int,b:string>")
+    assert s3["meta"].dataType["a"].dataType == T.IntegerType()
+    assert s3["meta"].dataType["b"].dataType == T.StringType()
+    s4 = ddl_to_struct("m map<string,struct<x:int>> NOT NULL")
+    assert not s4["m"].nullable
     with pytest.raises(ValueError):
         ddl_to_struct("x mystery_type")
 
@@ -313,3 +320,16 @@ def test_cli_registry_lifecycle(tmp_path, capsys):
     assert out[2]["error"] == "incompatible"
     doc = out[-1]
     assert [v["live"] for v in doc["versions"]] == [True, False]
+
+
+def test_cli_registry_missing_required_flags_exit_cleanly(tmp_path):
+    """register without --ddl / retire without --version must be a clean
+    usage error (SystemExit), not an unhandled TypeError inside the
+    parser."""
+    from rap_etl_spark.cli import main
+
+    root = str(tmp_path / "reg")
+    with pytest.raises(SystemExit):
+        main(["registry", "register", "--root", root, "--topic", "docs"])
+    with pytest.raises(SystemExit):
+        main(["registry", "retire", "--root", root, "--topic", "docs"])
