@@ -2076,14 +2076,15 @@ class ManifestParquetTable(LakeTable):
 
         Cost: one column-pruned resolved scan (condition columns + key),
         one key+_metadata-only scan (token arrays never read), one
-        semi-join (AQE broadcasts typical delete-key sets), and one
-        single-file DV write sized by the total deleted positions. Every
-        prior DV generation is folded into the new file and ALL dv
-        pointers re-pointed at it — reads therefore anti-join exactly one
-        DV file set regardless of how many DV deletes have accumulated,
-        and superseded DV files become orphans for expire_snapshots. The
-        single-file write serializes through one task: a purge so large
-        the DV itself is data-sized belongs in tombstone modes."""
+        semi-join (AQE broadcasts typical delete-key sets), and one DV
+        write partitioned BY BUCKET (mirroring the MoR delta layout) —
+        one DV file per touched bucket, so even a GDPR-scale 10^9-row
+        purge fans out across writer tasks instead of funneling through
+        one. Every prior DV generation is folded into the new per-bucket
+        set and ALL dv pointers re-pointed at their bucket's file —
+        reads therefore anti-join exactly one DV file set regardless of
+        how many DV deletes have accumulated, and superseded DV files
+        become orphans for expire_snapshots."""
         m = self._manifest()
         if self.is_committed(batch_id):
             prev = m["committed"].get(str(batch_id), {"snapshot_id": m["snapshot_id"]})
@@ -2144,30 +2145,71 @@ class ManifestParquetTable(LakeTable):
             if old_dv:
                 dv_df = dv_df.unionByName(self._dv_frame(old_dv))
             nxt = self._next_manifest(m)
-            dv_rel = os.path.join("data", f"dv-{nxt['snapshot_id']}.parquet")
-            staging = os.path.join(self.path, f"_staging_dv-{nxt['snapshot_id']}")
-            dv_df.repartition(1).write.mode("overwrite").parquet(staging)
-            part_file = next(
-                fn for fn in sorted(self.fs.listdir(staging))
-                if fn.endswith(".parquet")
+            # per-bucket DV files: tag each position with its data file's
+            # bucket (a tiny broadcast map, O(manifest files)), shuffle on
+            # the bucket, and let partitionBy split one file per bucket —
+            # the write parallelizes like the delta layout instead of
+            # serializing through a repartition(1) single task
+            # partition column deliberately NOT underscore-prefixed:
+            # Spark's file listing hides `_`-prefixed dirs, which would
+            # make the staged `<col>=K` leaves invisible to the read-back
+            file_bucket = self.spark.createDataFrame(
+                [
+                    (os.path.basename(fe["path"]), int(fe["bucket"]))
+                    for fe in m["files"]
+                ],
+                "_dv_file string, dvb int",
             )
+            dv_df = dv_df.join(F.broadcast(file_bucket), "_dv_file")
+            staging = os.path.join(self.path, f"_staging_dv-{nxt['snapshot_id']}")
+            (
+                dv_df.repartition(F.col("dvb"))
+                .write.partitionBy("dvb")
+                .mode("overwrite")
+                .parquet(staging)
+            )
+            leaves = [
+                leaf
+                for leaf in sorted(self.fs.listdir(staging))
+                if leaf.startswith("dvb=")
+            ]
+            # read the leaf dirs explicitly (the `_staging_dv-*` root is a
+            # hidden path to Spark's file listing; its children are not)
             counts = {
                 r["_dv_file"]: int(r["n"])
-                for r in self.spark.read.parquet(os.path.join(staging, part_file))
+                for r in self.spark.read.schema("_dv_file string, _dv_pos long")
+                .parquet(*[os.path.join(staging, leaf) for leaf in leaves])
                 .groupBy("_dv_file")
                 .agg(F.count(F.lit(1)).alias("n"))
                 .collect()
             }
-            self.fs.rename(
-                os.path.join(staging, part_file), os.path.join(self.path, dv_rel)
-            )
+            dv_rel_by_bucket: dict[int, str] = {}
+            for leaf in leaves:
+                b = int(leaf.split("=", 1)[1])
+                part_file = next(
+                    fn
+                    for fn in sorted(self.fs.listdir(os.path.join(staging, leaf)))
+                    if fn.endswith(".parquet")
+                )
+                rel = os.path.join("data", f"dv-{nxt['snapshot_id']}-b{b}.parquet")
+                self.fs.rename(
+                    os.path.join(staging, leaf, part_file),
+                    os.path.join(self.path, rel),
+                )
+                dv_rel_by_bucket[b] = rel
             self.fs.rmtree(staging)
             # keep untouched entries IDENTITY-equal to the loaded manifest's
             # objects: _write_manifest's bucket-page reuse is an `is` check,
             # so rebuilding every dict would re-serialize and re-hash every
             # page — O(total files) per DV commit instead of O(touched)
             nxt["files"] = [
-                {**fe, "dv": {"path": dv_rel, "rows": counts[os.path.basename(fe["path"])]}}
+                {
+                    **fe,
+                    "dv": {
+                        "path": dv_rel_by_bucket[int(fe["bucket"])],
+                        "rows": counts[os.path.basename(fe["path"])],
+                    },
+                }
                 if os.path.basename(fe["path"]) in counts
                 else (
                     fe

@@ -447,15 +447,27 @@ def _hash_tokens(d):
 
 
 def q_pack_sequences(spark, sf):
-    """Rows-only: per-partition next-fit packing (operators/packing.py) —
-    sequence composition depends on partitioning, so the invariants
-    (length bound, token conservation, determinism) are pytest-gated and
-    the conservation total is separately oracled (pack_conservation)."""
+    """Planted oracle regime for the packer itself: 199 docs of EXACTLY
+    32 tokens each, one sorted partition, seq_len=128 — next-fit is then
+    order-independent and has a unique assignment (4 docs per sequence,
+    a 3-doc tail), so DuckDB reproduces seq_id / n_tok / n_docs /
+    doc_ids bit-for-bit with row_number arithmetic. The tiny single-
+    partition slice is the VERIFICATION fixture; the scale-shaped
+    multi-partition packing (composition partitioning-dependent by
+    design) keeps its pytest invariants (test_packing_sampling) and the
+    partitioning-independent conservation total stays separately oracled
+    (pack_conservation)."""
     from rap_etl_spark.operators.packing import pack_sequences
 
-    packed = pack_sequences(_hash_tokens(_t(spark, sf, "documents")), 256,
-                            num_partitions=8)
-    return packed.select("seq_id", "n_tok", "n_docs", "fill_ratio")
+    d = (
+        _t(spark, sf, "documents")
+        .select("doc_id")
+        .orderBy("doc_id")
+        .limit(199)
+        .withColumn("tokens", F.array(*[F.lit(i) for i in range(32)]))
+    )
+    packed = pack_sequences(d.coalesce(1).sortWithinPartitions("doc_id"), 128)
+    return packed.select("seq_id", "n_tok", "n_docs", "doc_ids")
 
 
 def q_pack_conservation(spark, sf):
@@ -1061,6 +1073,21 @@ ORACLES2 = {
     "pack_conservation": (
         "SELECT CAST(sum(len(string_split(text, ' '))) AS BIGINT)"
         " AS total_tokens FROM documents"
+    ),
+    "pack_sequences": (
+        # planted regime: 199 equal-length (32-token) docs, one sorted
+        # partition, seq_len=128 -> next-fit assignment is uniquely
+        # rn//4 (4 docs per sequence, 3-doc tail)
+        "WITH base AS (SELECT doc_id FROM documents ORDER BY doc_id"
+        " LIMIT 199),"
+        " d AS (SELECT doc_id,"
+        "   (row_number() OVER (ORDER BY doc_id) - 1) // 4 AS seq"
+        "   FROM base)"
+        " SELECT '0-' || CAST(seq AS VARCHAR) AS seq_id,"
+        "   CAST(count(*) * 32 AS INT) AS n_tok,"
+        "   CAST(count(*) AS INT) AS n_docs,"
+        "   list(CAST(doc_id AS VARCHAR) ORDER BY doc_id) AS doc_ids"
+        " FROM d GROUP BY seq"
     ),
     "sample_stratified": (
         "SELECT doc_id, source FROM documents"

@@ -60,8 +60,9 @@ def test_dv_delete_masks_rows_without_touching_data_files(spark, tmp_path):
         for fe in t._manifest()["files"]
     }
     assert after == before  # same files, byte-identical — no rewrite
+    # per-bucket DV layout: one file per touched bucket, all present
     dvs = {fe["dv"]["path"] for fe in t._manifest()["files"] if fe.get("dv")}
-    assert len(dvs) == 1 and t.fs.exists(os.path.join(t.path, dvs.pop()))
+    assert dvs and all(t.fs.exists(os.path.join(t.path, p)) for p in dvs)
 
 
 def test_dv_fast_count_stays_metadata_only_and_exact(spark, tmp_path):
@@ -92,9 +93,12 @@ def test_dv_second_delete_folds_prior_generation(spark, tmp_path):
     t.delete_where("val < 0", mode="dv")
     t.delete_where("val > 40", mode="dv")
     assert state(t) == {"a": (10, "wiki"), "c": (30, "crawl")}
-    # replace-on-write pointer: every dv'd entry references ONE dv file
+    # replace-on-write pointers: every dv'd entry references exactly the
+    # LATEST generation (one file per touched bucket, all sharing the new
+    # snapshot id), and the fold carries all 3 masked positions forward
     dvs = {fe["dv"]["path"] for fe in t._manifest()["files"] if fe.get("dv")}
-    assert len(dvs) == 1
+    sids = {p.rsplit("-b", 1)[0] for p in dvs}
+    assert len(sids) == 1
     assert sum(
         fe["dv"]["rows"] for fe in t._manifest()["files"] if fe.get("dv")
     ) == 3
@@ -363,6 +367,64 @@ def test_dv_rewrite_mixed_moduli_no_filename_collision(spark, tmp_path):
     assert t.read().count() == len(masked)
     assert len(before) - len(masked) == len([v for v in range(80) if v % 5 == 0]) + len(
         [v for v in range(1000, 1040) if v % 5 == 0]
+    )
+
+
+def test_dv_files_are_per_bucket(spark, tmp_path):
+    """Round-4 verdict item 5: the folded DV positions are written one
+    file PER TOUCHED BUCKET (mirroring the delta layout) with each data
+    file's dv pointer targeting its own bucket's file — so a massive
+    delete fans out across writer tasks instead of funneling through a
+    repartition(1) single-task write."""
+    t = mk_table(spark, str(tmp_path / "t"))
+    t.delete_where("val < 100", mode="dv", batch_id=1)  # everything masked
+    dvs = {fe["bucket"]: fe["dv"]["path"] for fe in t._manifest()["files"]}
+    touched_buckets = set(dvs)
+    assert len(touched_buckets) > 1  # 5 keys over 4 buckets: >1 touched
+    # one distinct DV file per touched bucket, each named for its bucket
+    assert len(set(dvs.values())) == len(touched_buckets)
+    for b, p in dvs.items():
+        assert p.endswith(f"-b{b}.parquet")
+        assert os.path.exists(os.path.join(str(tmp_path / "t"), p))
+    assert state(t) == {}
+
+
+def test_dv_large_delete_no_single_writer(spark, tmp_path):
+    """Large-delete drill: 10^5 rows over many buckets delete in one DV
+    commit, positions land in per-bucket files that together hold every
+    masked position, and the fold across a second delete still reads
+    back exactly once per position."""
+    t = ManifestParquetTable.create(
+        spark, str(tmp_path / "big"), SCHEMA, n_buckets=16
+    )
+    n = 100_000
+    t.append(
+        spark.range(n).select(
+            F.concat(F.lit("k"), F.col("id")).alias("doc_id"),
+            F.col("id").alias("val"),
+            F.lit("src").alias("src"),
+        ),
+        batch_id=0,
+        assume_unique=True,
+    )
+    info = t.delete_where("val % 2 = 0", mode="dv", batch_id=1)
+    assert info.rows_written == n // 2
+    m = t._manifest()
+    dv_paths = {fe["dv"]["path"] for fe in m["files"] if fe.get("dv")}
+    assert len(dv_paths) > 1  # fan-out, not one file
+    total = sum(
+        int(fe["dv"]["rows"]) for fe in m["files"] if fe.get("dv")
+    )
+    assert total == n // 2
+    assert t.read().count() == n // 2
+    # second delete folds the prior generation into fresh per-bucket files
+    info2 = t.delete_where("val % 3 = 0 and val % 2 = 1", mode="dv", batch_id=2)
+    assert t.read().count() == n - (n // 2) - info2.rows_written
+    m2 = t._manifest()
+    assert all(
+        fe["dv"]["path"].endswith(f"-b{fe['bucket']}.parquet")
+        for fe in m2["files"]
+        if fe.get("dv")
     )
 
 
