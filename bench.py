@@ -121,6 +121,23 @@ MERGE_EVENTS = int(os.environ.get("SPARK_GRAFT_BENCH_MERGE_EVENTS", "16000000"))
 # batches in the merge-heavy log: >2 models a sustained CDC cadence where
 # CoW re-rewrites hot buckets every batch and MoR's O(delta) write wins
 MERGE_BATCHES = int(os.environ.get("SPARK_GRAFT_BENCH_MERGE_BATCHES", "2"))
+# Micro fallback sizes (round-4 verdict item 4): when the leftover budget
+# can't fit the stock merge-heavy/soak sections, run a same-shape micro
+# variant instead of leaving the graded artifact's sections empty. The
+# stock numbers stay in BENCH/bench_full_last.json; the micro run is
+# flagged "micro": true so readers never mistake one for the other.
+MERGE_MICRO_EVENTS = int(
+    os.environ.get("SPARK_GRAFT_BENCH_MERGE_MICRO_EVENTS", "2000000")
+)
+MERGE_MICRO_KEYS = int(
+    os.environ.get("SPARK_GRAFT_BENCH_MERGE_MICRO_KEYS", "150000")
+)
+SOAK_MICRO_BATCHES = int(
+    os.environ.get("SPARK_GRAFT_BENCH_SOAK_MICRO_BATCHES", "8")
+)
+SOAK_MICRO_EVENTS = int(
+    os.environ.get("SPARK_GRAFT_BENCH_SOAK_MICRO_EVENTS", "4000000")
+)
 # Sustained-cadence soak: the 10^10-event regime is a CADENCE, not one
 # batch — replay SOAK_BATCHES MoR batches with the in-line maintenance the
 # engine ships (auto-materialize past depth, ledger pruning, snapshot
@@ -176,7 +193,12 @@ PRIORS = {
     "thread_top_sec": 35.0,  # one local[32] run at 64M + startup
     "queries_sec": 110.0,
     "merge_sec": 150.0,  # prep + 1 CoW + 1 MoR round
+    # micro priors sized so BOTH micro sections fit the ~140s leftover a
+    # 960s graded run typically has after queries+calibration (measured
+    # 2026-08-21: 4M micro merge = ~80s incl prep; halved sizes below)
+    "merge_micro_sec": 65.0,  # micro prep (2M) + 1 CoW + 1 MoR round
     "soak_sec": 420.0,  # prep + 32-batch cadence
+    "soak_micro_sec": 70.0,  # micro prep (4M) + 8-batch cadence
     "calib_sec": 25.0,
     "tail_sec": 15.0,  # artifact write + final prints
 }
@@ -871,7 +893,14 @@ class _Reporter:
                 if k not in ("all_times_sec", "efficiency_paired_rounds")
             },
             "merge_heavy": d["merge_heavy"],
-            "soak": d["soak"],
+            # summary scalars only: the per-batch arrays live in the disk
+            # artifact, and carrying them here would push the line over
+            # MAX_LINE and drop the whole section from the graded tail
+            "soak": {
+                k: v
+                for k, v in d["soak"].items()
+                if k not in ("batch_secs", "files_over_time")
+            },
             "elapsed_sec": d["elapsed_sec"],
         }
         if not final:
@@ -1377,16 +1406,44 @@ def main() -> None:
         rep.flush()
 
     # ================= section 4: merge-heavy (leftover budget) ==========
-    if clock.remaining() - _floor_tail() > est["merge_sec"]:
-        merge_log = os.path.join(work, "log-merge")
+    # Stock when it fits; otherwise the same-shape MICRO variant so the
+    # graded artifact's merge_heavy section is never empty (round-4
+    # verdict item 4). A pre-existing stock log (explicit work-dir reuse)
+    # drops the prep cost to ~0, so prefer stock whenever it is staged.
+    merge_events, merge_keys, merge_batches = MERGE_EVENTS, MERGE_KEYS, MERGE_BATCHES
+    merge_micro = False
+    merge_work = work
+    stock_staged = os.path.exists(os.path.join(work, "log-merge", "batch=0"))
+    merge_cost = (
+        est["merge_sec"] - est["prep_per_mev"] * MERGE_EVENTS / 1e6
+        if stock_staged
+        else est["merge_sec"]
+    )
+    if clock.remaining() - _floor_tail() <= merge_cost and not stock_staged:
+        merge_events, merge_keys, merge_batches = (
+            MERGE_MICRO_EVENTS, MERGE_MICRO_KEYS, 2,
+        )
+        merge_micro = True
+        merge_work = os.path.join(work, "micro-merge")
+        os.makedirs(merge_work, exist_ok=True)
+        merge_cost = est["merge_micro_sec"]
+    if clock.remaining() - _floor_tail() > merge_cost:
+        merge_log = os.path.join(merge_work, "log-merge")
         try:
             if not os.path.exists(os.path.join(merge_log, "batch=0")):
                 merge_log = _prep_sub(
                     "merge",
-                    work,
+                    merge_work,
                     timeout_sec=max(
                         60.0, clock.remaining() - _floor_tail() - 60
                     ),
+                    env_extra={
+                        "SPARK_GRAFT_BENCH_MERGE_EVENTS": str(merge_events),
+                        "SPARK_GRAFT_BENCH_MERGE_KEYS": str(merge_keys),
+                        "SPARK_GRAFT_BENCH_MERGE_BATCHES": str(merge_batches),
+                    }
+                    if merge_micro
+                    else None,
                 )
         except Exception as e:  # noqa: BLE001
             print(f"merge log prep failed ({e}); skipping", file=sys.stderr)
@@ -1394,14 +1451,14 @@ def main() -> None:
         if merge_log:
             mtimes: dict[str, list[float]] = {"cow": [], "mor": []}
             mor_mat: list[float] = []
-            for rnd in range(2):
+            for rnd in range(1 if merge_micro else 2):
                 if rnd == 1 and clock.remaining() - _floor_tail() < 90:
                     break
                 for mm in ("cow", "mor"):
                     secs, ph = _run_replay(
                         f"local:{top}",
                         merge_log,
-                        work,
+                        merge_work,
                         n_buckets=64,
                         merge_mode=mm,
                         timing=rnd == 0 and mm == "mor",
@@ -1414,17 +1471,18 @@ def main() -> None:
                         if mm == "mor" and "mor.materialize" in ph:
                             mor_mat.append(ph["mor.materialize"])
             rep.detail["merge_heavy"] = {
-                "n_events": MERGE_EVENTS,
-                "n_keys": MERGE_KEYS,
-                "n_batches": MERGE_BATCHES,
+                "n_events": merge_events,
+                "n_keys": merge_keys,
+                "n_batches": merge_batches,
+                "micro": merge_micro,
                 "best_sec": round(min(mtimes["cow"]), 3) if mtimes["cow"] else None,
-                "eps": round(MERGE_EVENTS / min(mtimes["cow"]), 1)
+                "eps": round(merge_events / min(mtimes["cow"]), 1)
                 if mtimes["cow"]
                 else None,
                 "mor_best_sec": round(min(mtimes["mor"]), 3)
                 if mtimes["mor"]
                 else None,
-                "mor_eps": round(MERGE_EVENTS / min(mtimes["mor"]), 1)
+                "mor_eps": round(merge_events / min(mtimes["mor"]), 1)
                 if mtimes["mor"]
                 else None,
                 "mor_materialize_sec": round(min(mor_mat), 3) if mor_mat else None,
@@ -1433,16 +1491,45 @@ def main() -> None:
             rep.flush()
 
     # ================= section 5: sustained-cadence soak ==================
-    if RUN_SOAK and clock.remaining() - _floor_tail() > est["soak_sec"]:
-        soak_log = os.path.join(work, "log-soak")
+    # same stock-else-micro policy as section 4
+    soak_events, soak_keys, soak_batches = SOAK_EVENTS, SOAK_KEYS, SOAK_BATCHES
+    soak_micro = False
+    soak_work = work
+    soak_staged = os.path.exists(os.path.join(work, "log-soak", "batch=0"))
+    soak_cost = (
+        est["soak_sec"] - est["prep_per_mev"] * SOAK_EVENTS / 1e6
+        if soak_staged
+        else est["soak_sec"]
+    )
+    if (
+        RUN_SOAK
+        and clock.remaining() - _floor_tail() <= soak_cost
+        and not soak_staged
+    ):
+        soak_events, soak_keys, soak_batches = (
+            SOAK_MICRO_EVENTS, MERGE_MICRO_KEYS, SOAK_MICRO_BATCHES,
+        )
+        soak_micro = True
+        soak_work = os.path.join(work, "micro-soak")
+        os.makedirs(soak_work, exist_ok=True)
+        soak_cost = est["soak_micro_sec"]
+    if RUN_SOAK and clock.remaining() - _floor_tail() > soak_cost:
+        soak_log = os.path.join(soak_work, "log-soak")
         try:
             if not os.path.exists(os.path.join(soak_log, "batch=0")):
                 soak_log = _prep_sub(
                     "soak",
-                    work,
+                    soak_work,
                     timeout_sec=max(
                         60.0, clock.remaining() - _floor_tail() - 180
                     ),
+                    env_extra={
+                        "SPARK_GRAFT_BENCH_SOAK_EVENTS": str(soak_events),
+                        "SPARK_GRAFT_BENCH_SOAK_KEYS": str(soak_keys),
+                        "SPARK_GRAFT_BENCH_SOAK_BATCHES": str(soak_batches),
+                    }
+                    if soak_micro
+                    else None,
                 )
         except Exception as e:  # noqa: BLE001
             print(f"soak log prep failed ({e}); skipping soak", file=sys.stderr)
@@ -1451,7 +1538,7 @@ def main() -> None:
             try:
                 proc = subprocess.run(
                     [sys.executable, os.path.abspath(__file__),
-                     "--soak-worker", soak_log, work],
+                     "--soak-worker", soak_log, soak_work],
                     capture_output=True, text=True, check=False,
                     timeout=max(60.0, clock.remaining() - _floor_tail()),
                 )
@@ -1465,13 +1552,14 @@ def main() -> None:
                 soak_detail = json.loads(line[-1])
                 bs = soak_detail["batch_secs"]
                 q = max(1, len(bs) // 4)
-                per_batch = SOAK_EVENTS / max(1, len(bs))
+                per_batch = soak_events / max(1, len(bs))
                 eps_first = per_batch * q / sum(bs[:q])
                 eps_last = per_batch * q / sum(bs[-q:])
                 rep.detail["soak"] = {
                     "batches": len(bs),
-                    "n_events": SOAK_EVENTS,
-                    "n_keys": SOAK_KEYS,
+                    "n_events": soak_events,
+                    "n_keys": soak_keys,
+                    "micro": soak_micro,
                     "eps_first_quartile": round(eps_first, 1),
                     "eps_last_quartile": round(eps_last, 1),
                     # >=~0.8 = flat throughput over the cadence
