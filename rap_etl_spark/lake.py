@@ -2057,10 +2057,10 @@ class ManifestParquetTable(LakeTable):
     def _delete_where_dv(self, condition, batch_id: int | None = None) -> CommitInfo:
         """``DELETE FROM ... WHERE`` as an Iceberg-v3-style DELETION
         VECTOR commit: no data file is read-modified-rewritten and no
-        delta row is added — the commit writes ONE parquet of
-        (file basename, row position) pairs and re-points the affected
-        file entries at it; ``_read_files`` masks the positions at scan
-        time, before MoR key resolution.
+        delta row is added — the commit writes (file basename, row
+        position) pairs, ONE parquet per touched bucket, and re-points
+        the affected file entries at their bucket's file; ``_read_files``
+        masks the positions at scan time, before MoR key resolution.
 
         Semantics: the condition is evaluated on the RESOLVED LIVE view
         (exactly what a reader sees), then EVERY physical occurrence of a

@@ -467,7 +467,11 @@ def q_pack_sequences(spark, sf):
         .withColumn("tokens", F.array(*[F.lit(i) for i in range(32)]))
     )
     packed = pack_sequences(d.coalesce(1).sortWithinPartitions("doc_id"), 128)
-    return packed.select("seq_id", "n_tok", "n_docs", "doc_ids")
+    # doc_ids serialized: the driver canonicalizer cannot hash list cells
+    return packed.select(
+        "seq_id", "n_tok", "n_docs",
+        F.concat_ws(",", "doc_ids").alias("doc_ids"),
+    )
 
 
 def q_pack_conservation(spark, sf):
@@ -1086,7 +1090,8 @@ ORACLES2 = {
         " SELECT '0-' || CAST(seq AS VARCHAR) AS seq_id,"
         "   CAST(count(*) * 32 AS INT) AS n_tok,"
         "   CAST(count(*) AS INT) AS n_docs,"
-        "   list(CAST(doc_id AS VARCHAR) ORDER BY doc_id) AS doc_ids"
+        "   string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)"
+        "     AS doc_ids"
         " FROM d GROUP BY seq"
     ),
     "sample_stratified": (

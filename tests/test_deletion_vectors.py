@@ -1,7 +1,8 @@
 """Deletion-vector deletes (`delete_where(mode="dv")`) — Iceberg-v3-style
-position deletes: the commit writes one (file, position) parquet and
-re-points manifest entries; data files are untouched until compaction, and
-every physical version of a matched key is masked at scan time."""
+position deletes: the commit writes (file, position) parquets (one per
+touched bucket) and re-points manifest entries; data files are untouched
+until compaction, and every physical version of a matched key is masked
+at scan time."""
 
 import os
 
