@@ -122,21 +122,21 @@ MERGE_EVENTS = int(os.environ.get("SPARK_GRAFT_BENCH_MERGE_EVENTS", "16000000"))
 # CoW re-rewrites hot buckets every batch and MoR's O(delta) write wins
 MERGE_BATCHES = int(os.environ.get("SPARK_GRAFT_BENCH_MERGE_BATCHES", "2"))
 # Micro fallback sizes (round-4 verdict item 4): when the leftover budget
-# can't fit the stock merge-heavy/soak sections, run a same-shape micro
-# variant instead of leaving the graded artifact's sections empty. The
-# stock numbers stay in BENCH/bench_full_last.json; the micro run is
-# flagged "micro": true so readers never mistake one for the other.
+# can't fit the stock merge-heavy/soak sections, run the ONE-JVM micro
+# tail (micro_tail_worker) instead of leaving the graded artifact's
+# sections empty: shared event set synthesized once, both log shapes
+# written, CoW+MoR pair and the soak cadence measured in the same
+# subprocess. The stock numbers stay in BENCH/bench_full_last.json; the
+# micro results are flagged "micro": true so readers never mistake one
+# for the other. MERGE_MICRO_EVENTS/KEYS are the SHARED micro sizes.
 MERGE_MICRO_EVENTS = int(
-    os.environ.get("SPARK_GRAFT_BENCH_MERGE_MICRO_EVENTS", "2000000")
+    os.environ.get("SPARK_GRAFT_BENCH_MERGE_MICRO_EVENTS", "3000000")
 )
 MERGE_MICRO_KEYS = int(
     os.environ.get("SPARK_GRAFT_BENCH_MERGE_MICRO_KEYS", "150000")
 )
 SOAK_MICRO_BATCHES = int(
     os.environ.get("SPARK_GRAFT_BENCH_SOAK_MICRO_BATCHES", "8")
-)
-SOAK_MICRO_EVENTS = int(
-    os.environ.get("SPARK_GRAFT_BENCH_SOAK_MICRO_EVENTS", "4000000")
 )
 # Sustained-cadence soak: the 10^10-event regime is a CADENCE, not one
 # batch — replay SOAK_BATCHES MoR batches with the in-line maintenance the
@@ -193,12 +193,12 @@ PRIORS = {
     "thread_top_sec": 35.0,  # one local[32] run at 64M + startup
     "queries_sec": 110.0,
     "merge_sec": 150.0,  # prep + 1 CoW + 1 MoR round
-    # micro priors sized so BOTH micro sections fit the ~140s leftover a
-    # 960s graded run typically has after queries+calibration (measured
-    # 2026-08-21: 4M micro merge = ~80s incl prep; halved sizes below)
-    "merge_micro_sec": 65.0,  # micro prep (2M) + 1 CoW + 1 MoR round
     "soak_sec": 420.0,  # prep + 32-batch cadence
-    "soak_micro_sec": 70.0,  # micro prep (4M) + 8-batch cadence
+    # one-JVM micro tail: sized to fit the ~90s leftover a 960s graded
+    # run has after the LC pair + queries + calibration (measured
+    # 2026-08-21: separate micro subprocesses cost ~12s JVM startup
+    # EACH, which is why the micro tail shares one)
+    "micro_tail_sec": 80.0,
     "calib_sec": 25.0,
     "tail_sec": 15.0,  # artifact write + final prints
 }
@@ -408,6 +408,96 @@ def soak_worker(log_dir: str, work: str) -> None:
             }
         )
     )
+    spark.stop()
+
+
+def micro_tail_worker(work: str) -> None:
+    """ONE subprocess producing BOTH micro sections (merge-heavy pair +
+    soak cadence) when the leftover graded budget can't fit the stock
+    shapes: synthesize the shared micro event set once, write the
+    merge-shaped (2-batch) and soak-shaped (SOAK_MICRO_BATCHES) logs,
+    run a CoW replay, a MoR replay + explicit materialize, and the
+    maintenance-on MoR cadence — all in this JVM. Deliberately shares
+    the JVM across prep and measurement: the micro tail exists to keep
+    the graded artifact's sections non-empty under a ~90s leftover
+    (flagged "micro": true), not to reproduce the stock sections'
+    subprocess isolation — at these sizes per-JVM startup (~12s each)
+    would otherwise cost more than the measurements."""
+    import shutil
+
+    from rap_etl_spark.engine import CdcEngine, replay_log
+    from rap_etl_spark.lake import ManifestParquetTable
+    from rap_etl_spark.schemas import DOCS_SCHEMA
+    from rap_etl_spark.session import get_spark
+    from rap_etl_spark.sources.synth import synthesize_events, write_event_log
+
+    n_events, n_keys = MERGE_MICRO_EVENTS, MERGE_MICRO_KEYS
+    spark = get_spark(app_name="bench-micro-tail", cpus=max(LEVELS))
+    staging = os.path.join(work, "stage-micro")
+    ev = synthesize_events(
+        spark, SF_DIR, n_events, max_tok=MAX_TOK, packed=PACKED,
+        staging_dir=staging, n_keys=n_keys,
+    )
+    merge_log = os.path.join(work, "log-merge-micro")
+    soak_log = os.path.join(work, "log-soak-micro")
+    write_event_log(ev, merge_log, n_batches=2, n_events=n_events)
+    write_event_log(ev, soak_log, n_batches=SOAK_MICRO_BATCHES, n_events=n_events)
+    shutil.rmtree(staging, ignore_errors=True)
+    # warm the python worker pool outside every timed region
+    from pyspark.sql import functions as F
+
+    from rap_etl_spark.functions.tokens import unpack_tokens
+
+    par = spark.sparkContext.defaultParallelism
+    warm = spark.range(0, par, 1, par).withColumn(
+        "tokens_bin", F.lit(b"\x01\x00\x00\x00")
+    )
+    unpack_tokens(warm).write.format("noop").mode("overwrite").save()
+
+    out: dict = {"n_events": n_events, "n_keys": n_keys}
+    msecs: dict[str, float] = {}
+    for mm in ("cow", "mor"):
+        tdir = os.path.join(work, f"table-micro-{mm}")
+        shutil.rmtree(tdir, ignore_errors=True)
+        table = ManifestParquetTable.create(
+            spark, tdir, DOCS_SCHEMA, n_buckets=64, merge_mode=mm
+        )
+        t0 = time.monotonic()
+        replay_log(spark, table, merge_log, count_input=False)
+        msecs[mm] = time.monotonic() - t0
+        if mm == "mor":
+            t0 = time.monotonic()
+            table.materialize_deltas()
+            out["mor_materialize_sec"] = round(time.monotonic() - t0, 3)
+        shutil.rmtree(tdir, ignore_errors=True)
+    out["merge"] = {k: round(v, 3) for k, v in msecs.items()}
+
+    tdir = os.path.join(work, "table-micro-soak")
+    shutil.rmtree(tdir, ignore_errors=True)
+    table = ManifestParquetTable.create(
+        spark, tdir, DOCS_SCHEMA, n_buckets=64, merge_mode="mor"
+    )
+    engine = CdcEngine(spark, table, count_input=False, auto_materialize_depth=4)
+    secs: list[float] = []
+    files_over_time: list[int] = []
+    for b in range(SOAK_MICRO_BATCHES):
+        df = spark.read.parquet(os.path.join(soak_log, f"batch={b}"))
+        t0 = time.monotonic()
+        engine.apply_batch(df, batch_id=b)
+        if b % 8 == 7:
+            table.prune_ledger(b - 4)
+            table.expire_snapshots(keep=3, orphan_grace_sec=0.0)
+        secs.append(time.monotonic() - t0)
+        files_over_time.append(len(table._manifest()["files"]))
+    out["soak"] = {
+        "batch_secs": [round(s, 2) for s in secs],
+        "files_over_time": files_over_time,
+        "final_rows": table.fast_count(),
+    }
+    shutil.rmtree(tdir, ignore_errors=True)
+    shutil.rmtree(merge_log, ignore_errors=True)
+    shutil.rmtree(soak_log, ignore_errors=True)
+    print(json.dumps(out))
     spark.stop()
 
 
@@ -933,6 +1023,9 @@ def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "--soak-worker":
         soak_worker(sys.argv[2], sys.argv[3])
         return
+    if len(sys.argv) > 1 and sys.argv[1] == "--micro-tail-worker":
+        micro_tail_worker(sys.argv[2])
+        return
     if len(sys.argv) > 1 and sys.argv[1] == "--prep-worker":
         print(json.dumps({"prepared": _PREP_KINDS[sys.argv[2]](sys.argv[3])}))
         return
@@ -1406,44 +1499,83 @@ def main() -> None:
         rep.flush()
 
     # ================= section 4: merge-heavy (leftover budget) ==========
-    # Stock when it fits; otherwise the same-shape MICRO variant so the
-    # graded artifact's merge_heavy section is never empty (round-4
-    # verdict item 4). A pre-existing stock log (explicit work-dir reuse)
-    # drops the prep cost to ~0, so prefer stock whenever it is staged.
-    merge_events, merge_keys, merge_batches = MERGE_EVENTS, MERGE_KEYS, MERGE_BATCHES
-    merge_micro = False
-    merge_work = work
+    # Stock when it fits; otherwise the ONE-JVM micro tail fills BOTH
+    # the merge-heavy and soak sections so the graded artifact is never
+    # empty there (round-4 verdict item 4). A pre-existing stock log
+    # (explicit work-dir reuse) drops the prep cost to ~0, so stock runs
+    # whenever it is actually affordable.
+    def _micro_tail() -> None:
+        """Run micro_tail_worker once; fill any still-empty sections."""
+        micro_work = os.path.join(work, "micro-tail")
+        os.makedirs(micro_work, exist_ok=True)
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__),
+                 "--micro-tail-worker", micro_work],
+                capture_output=True, text=True, check=False,
+                timeout=max(60.0, clock.remaining() - _floor_tail()),
+            )
+            line = [
+                ln for ln in proc.stdout.splitlines() if ln.startswith("{")
+            ]
+        except subprocess.TimeoutExpired:
+            print("micro tail worker hit budget timeout", file=sys.stderr)
+            return
+        if not line:
+            print(proc.stdout[-2000:], file=sys.stderr)
+            print(proc.stderr[-4000:], file=sys.stderr)
+            return
+        mt = json.loads(line[-1])
+        n_ev = mt["n_events"]
+        if not rep.detail["merge_heavy"]:
+            rep.detail["merge_heavy"] = {
+                "n_events": n_ev,
+                "n_keys": mt["n_keys"],
+                "n_batches": 2,
+                "micro": True,
+                "best_sec": mt["merge"]["cow"],
+                "eps": round(n_ev / mt["merge"]["cow"], 1),
+                "mor_best_sec": mt["merge"]["mor"],
+                "mor_eps": round(n_ev / mt["merge"]["mor"], 1),
+                "mor_materialize_sec": mt.get("mor_materialize_sec"),
+            }
+        if not rep.detail["soak"]:
+            bs = mt["soak"]["batch_secs"]
+            q = max(1, len(bs) // 4)
+            per_batch = n_ev / max(1, len(bs))
+            eps_first = per_batch * q / sum(bs[:q])
+            eps_last = per_batch * q / sum(bs[-q:])
+            rep.detail["soak"] = {
+                "batches": len(bs),
+                "n_events": n_ev,
+                "n_keys": mt["n_keys"],
+                "micro": True,
+                "eps_first_quartile": round(eps_first, 1),
+                "eps_last_quartile": round(eps_last, 1),
+                "flat_ratio": round(eps_last / eps_first, 3),
+                "final_files": mt["soak"]["files_over_time"][-1],
+                "max_files": max(mt["soak"]["files_over_time"]),
+                "total_sec": round(sum(bs), 1),
+                **mt["soak"],
+            }
+        rep.flush()
+
     stock_staged = os.path.exists(os.path.join(work, "log-merge", "batch=0"))
     merge_cost = (
         est["merge_sec"] - est["prep_per_mev"] * MERGE_EVENTS / 1e6
         if stock_staged
         else est["merge_sec"]
     )
-    if clock.remaining() - _floor_tail() <= merge_cost and not stock_staged:
-        merge_events, merge_keys, merge_batches = (
-            MERGE_MICRO_EVENTS, MERGE_MICRO_KEYS, 2,
-        )
-        merge_micro = True
-        merge_work = os.path.join(work, "micro-merge")
-        os.makedirs(merge_work, exist_ok=True)
-        merge_cost = est["merge_micro_sec"]
     if clock.remaining() - _floor_tail() > merge_cost:
-        merge_log = os.path.join(merge_work, "log-merge")
+        merge_log = os.path.join(work, "log-merge")
         try:
             if not os.path.exists(os.path.join(merge_log, "batch=0")):
                 merge_log = _prep_sub(
                     "merge",
-                    merge_work,
+                    work,
                     timeout_sec=max(
                         60.0, clock.remaining() - _floor_tail() - 60
                     ),
-                    env_extra={
-                        "SPARK_GRAFT_BENCH_MERGE_EVENTS": str(merge_events),
-                        "SPARK_GRAFT_BENCH_MERGE_KEYS": str(merge_keys),
-                        "SPARK_GRAFT_BENCH_MERGE_BATCHES": str(merge_batches),
-                    }
-                    if merge_micro
-                    else None,
                 )
         except Exception as e:  # noqa: BLE001
             print(f"merge log prep failed ({e}); skipping", file=sys.stderr)
@@ -1451,14 +1583,14 @@ def main() -> None:
         if merge_log:
             mtimes: dict[str, list[float]] = {"cow": [], "mor": []}
             mor_mat: list[float] = []
-            for rnd in range(1 if merge_micro else 2):
+            for rnd in range(2):
                 if rnd == 1 and clock.remaining() - _floor_tail() < 90:
                     break
                 for mm in ("cow", "mor"):
                     secs, ph = _run_replay(
                         f"local:{top}",
                         merge_log,
-                        merge_work,
+                        work,
                         n_buckets=64,
                         merge_mode=mm,
                         timing=rnd == 0 and mm == "mor",
@@ -1471,30 +1603,30 @@ def main() -> None:
                         if mm == "mor" and "mor.materialize" in ph:
                             mor_mat.append(ph["mor.materialize"])
             rep.detail["merge_heavy"] = {
-                "n_events": merge_events,
-                "n_keys": merge_keys,
-                "n_batches": merge_batches,
-                "micro": merge_micro,
+                "n_events": MERGE_EVENTS,
+                "n_keys": MERGE_KEYS,
+                "n_batches": MERGE_BATCHES,
+                "micro": False,
                 "best_sec": round(min(mtimes["cow"]), 3) if mtimes["cow"] else None,
-                "eps": round(merge_events / min(mtimes["cow"]), 1)
+                "eps": round(MERGE_EVENTS / min(mtimes["cow"]), 1)
                 if mtimes["cow"]
                 else None,
                 "mor_best_sec": round(min(mtimes["mor"]), 3)
                 if mtimes["mor"]
                 else None,
-                "mor_eps": round(merge_events / min(mtimes["mor"]), 1)
+                "mor_eps": round(MERGE_EVENTS / min(mtimes["mor"]), 1)
                 if mtimes["mor"]
                 else None,
                 "mor_materialize_sec": round(min(mor_mat), 3) if mor_mat else None,
             }
             _free_log(merge_log, keep=keep_logs)
             rep.flush()
+    elif clock.remaining() - _floor_tail() > est["micro_tail_sec"]:
+        _micro_tail()
 
     # ================= section 5: sustained-cadence soak ==================
-    # same stock-else-micro policy as section 4
-    soak_events, soak_keys, soak_batches = SOAK_EVENTS, SOAK_KEYS, SOAK_BATCHES
-    soak_micro = False
-    soak_work = work
+    # Stock when it fits and the micro tail hasn't already filled the
+    # section; else fall back to the micro tail (fills only what's empty).
     soak_staged = os.path.exists(os.path.join(work, "log-soak", "batch=0"))
     soak_cost = (
         est["soak_sec"] - est["prep_per_mev"] * SOAK_EVENTS / 1e6
@@ -1503,33 +1635,18 @@ def main() -> None:
     )
     if (
         RUN_SOAK
-        and clock.remaining() - _floor_tail() <= soak_cost
-        and not soak_staged
+        and not rep.detail["soak"]
+        and clock.remaining() - _floor_tail() > soak_cost
     ):
-        soak_events, soak_keys, soak_batches = (
-            SOAK_MICRO_EVENTS, MERGE_MICRO_KEYS, SOAK_MICRO_BATCHES,
-        )
-        soak_micro = True
-        soak_work = os.path.join(work, "micro-soak")
-        os.makedirs(soak_work, exist_ok=True)
-        soak_cost = est["soak_micro_sec"]
-    if RUN_SOAK and clock.remaining() - _floor_tail() > soak_cost:
-        soak_log = os.path.join(soak_work, "log-soak")
+        soak_log = os.path.join(work, "log-soak")
         try:
             if not os.path.exists(os.path.join(soak_log, "batch=0")):
                 soak_log = _prep_sub(
                     "soak",
-                    soak_work,
+                    work,
                     timeout_sec=max(
                         60.0, clock.remaining() - _floor_tail() - 180
                     ),
-                    env_extra={
-                        "SPARK_GRAFT_BENCH_SOAK_EVENTS": str(soak_events),
-                        "SPARK_GRAFT_BENCH_SOAK_KEYS": str(soak_keys),
-                        "SPARK_GRAFT_BENCH_SOAK_BATCHES": str(soak_batches),
-                    }
-                    if soak_micro
-                    else None,
                 )
         except Exception as e:  # noqa: BLE001
             print(f"soak log prep failed ({e}); skipping soak", file=sys.stderr)
@@ -1538,7 +1655,7 @@ def main() -> None:
             try:
                 proc = subprocess.run(
                     [sys.executable, os.path.abspath(__file__),
-                     "--soak-worker", soak_log, soak_work],
+                     "--soak-worker", soak_log, work],
                     capture_output=True, text=True, check=False,
                     timeout=max(60.0, clock.remaining() - _floor_tail()),
                 )
@@ -1552,14 +1669,14 @@ def main() -> None:
                 soak_detail = json.loads(line[-1])
                 bs = soak_detail["batch_secs"]
                 q = max(1, len(bs) // 4)
-                per_batch = soak_events / max(1, len(bs))
+                per_batch = SOAK_EVENTS / max(1, len(bs))
                 eps_first = per_batch * q / sum(bs[:q])
                 eps_last = per_batch * q / sum(bs[-q:])
                 rep.detail["soak"] = {
                     "batches": len(bs),
-                    "n_events": soak_events,
-                    "n_keys": soak_keys,
-                    "micro": soak_micro,
+                    "n_events": SOAK_EVENTS,
+                    "n_keys": SOAK_KEYS,
+                    "micro": False,
                     "eps_first_quartile": round(eps_first, 1),
                     "eps_last_quartile": round(eps_last, 1),
                     # >=~0.8 = flat throughput over the cadence
@@ -1571,6 +1688,12 @@ def main() -> None:
                 }
             _free_log(soak_log, keep=keep_logs)
             rep.flush()
+    elif (
+        RUN_SOAK
+        and not rep.detail["soak"]
+        and clock.remaining() - _floor_tail() > est["micro_tail_sec"]
+    ):
+        _micro_tail()
     _free_log(log_dir, keep=keep_logs)
 
     # ================= section 6: platform calibration ====================
