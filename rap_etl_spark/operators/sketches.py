@@ -143,11 +143,16 @@ def heavy_hitters(df, col: str, k: int = 10, capacity: int = 4096):
     )
     from pyspark.sql import Window
 
-    w = Window.orderBy(F.col("est_count").desc(), F.col(col))
-    return (
-        merged.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(col, "est_count", "rank")
+    # top-k via orderBy+limit (TakeOrderedAndProject) — the merged frame
+    # is bounded by capacity x partitions, but there is no reason to sort
+    # even that on one task; the rank window then runs over only k rows
+    # (constant-partitioned, so no unpartitioned-window node remains)
+    top = merged.orderBy(F.col("est_count").desc(), F.col(col)).limit(k)
+    w = Window.partitionBy(F.lit(1)).orderBy(
+        F.col("est_count").desc(), F.col(col)
+    )
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        col, "est_count", "rank"
     )
 
 
