@@ -395,6 +395,19 @@ def test_bm25_topk_avoids_global_sort(spark, sf_oracle):
     ), plan
 
 
+def test_heavy_hitters_topk_avoids_global_sort(spark, sf_oracle):
+    """Same shape pin as bm25: the sketch-merge top-k takes its k rows
+    via TakeOrderedAndProject with the rank window directly above it."""
+    from rap_etl_spark.operators.sketches import q_sketch_heavy_hitters
+
+    plan = formatted_plan(q_sketch_heavy_hitters(spark, sf_oracle))
+    import re
+
+    assert re.search(
+        r"Window \(\d+\)\s*\n\s*\+- TakeOrderedAndProject", plan
+    ), plan
+
+
 def test_ntile_no_global_window(spark, sf_oracle):
     """Round-4 verdict item 3: ntile(4) must not lower to a global
     unpartitioned window (single-partition sort of all orders). The
